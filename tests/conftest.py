@@ -1,0 +1,72 @@
+"""Shared fixtures: a session-scoped SparkSession and a DuckDB oracle
+comparator that mirrors the driver's correctness gate (row count + schema +
+order-insensitive value comparison)."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from vector_search_spark.session import get_spark  # noqa: E402
+
+SF_TEST = "/root/testdata/sf0.01"
+SF_SMOKE = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cpus=8, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 4)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:26]
+    return v
+
+
+def compare_with_oracle(spark_df, oracle_sql: str, sf_dir: str):
+    """Assert the Spark result and the DuckDB oracle match, order-insensitively,
+    with columns aligned by (sorted) name — the driver's comparison model."""
+    con = duck_con(sf_dir)
+    oracle = con.execute(oracle_sql)
+    o_cols = [d[0] for d in oracle.description]
+    o_rows = oracle.fetchall()
+
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+
+    assert sorted(s_cols) == sorted(o_cols), f"schema mismatch: {s_cols} vs {o_cols}"
+    assert len(s_rows) == len(o_rows), f"row count {len(s_rows)} vs oracle {len(o_rows)}"
+
+    s_order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    o_order = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+    s_set = sorted(tuple(_norm_cell(r[i]) for i in s_order) for r in s_rows)
+    o_set = sorted(tuple(_norm_cell(r[i]) for i in o_order) for r in o_rows)
+    mismatches = [(a, b) for a, b in zip(s_set, o_set) if a != b]
+    assert not mismatches, f"value mismatch ({len(mismatches)} rows), first: {mismatches[:3]}"
