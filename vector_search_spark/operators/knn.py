@@ -15,11 +15,13 @@ Scale design (the part that must survive 100 TB / 1000 executors):
   score in the scan, then **project the vectors away before any exchange**
   — the per-query top-k shuffle moves only (query_id, id, score) ≈ 24-byte
   rows, never the 1.5 KB embeddings.
-- Optional **per-partition pre-top-k** (``prune_per_partition=True``):
-  an Arrow-batched ``mapInPandas`` heap keeps ≤ k rows per (partition,
-  query) before the global window, bounding the exchange at
-  ``num_partitions * |Q| * k`` rows regardless of corpus size.  Exactness
-  is preserved (global top-k ⊆ union of per-partition top-k).
+- Spark 4 plans ``row_number() <= k`` as ``WindowGroupLimit`` on BOTH sides
+  of the exchange (verified via .explain), i.e. native map-side
+  per-partition top-k: the shuffle is already bounded at
+  ``num_partitions * |Q| * k`` narrow rows regardless of corpus size.
+  The Arrow-batched ``mapInPandas`` heap variant
+  (``prune_per_partition=True``) is kept only as a fallback knob for
+  engines without rank-limit pushdown; default path is pure JVM.
 """
 
 from __future__ import annotations
