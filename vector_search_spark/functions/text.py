@@ -26,6 +26,10 @@ STOPWORDS = {
 # symbol — a deterministic, SQL-portable stand-in for a GPT-style pre-tokenizer.
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
+# Explicit ASCII punctuation class: Java regex does NOT support POSIX
+# [[:punct:]], so spell the set out — identical semantics in Java and RE2.
+PUNCT_PATTERN = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+
 
 def _c(x: Column | str) -> Column:
     return F.col(x) if isinstance(x, str) else x
@@ -47,7 +51,7 @@ def punct_ratio(text: Column | str) -> Column:
     t = _c(text)
     n = F.length(t)
     return F.when(n == 0, F.lit(0.0)).otherwise(
-        F.regexp_count(t, F.lit(r"[[:punct:]]")).cast("double") / n.cast("double")
+        F.regexp_count(t, F.lit(PUNCT_PATTERN)).cast("double") / n.cast("double")
     )
 
 
@@ -96,7 +100,7 @@ def rolling_hash(text: Column | str, base: int = 131, mod: int = 1_000_000_007) 
     Native ``aggregate`` fold over the char array — stays in codegen.  BIGINT
     intermediate stays < base*mod so no overflow.
     """
-    chars = F.split(_c(text), "")
+    chars = F.filter(F.split(_c(text), ""), lambda ch: ch != "")
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),

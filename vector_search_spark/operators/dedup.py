@@ -1,0 +1,306 @@
+"""Deduplication operators for LLM training-data pipelines (north-star,
+SURVEY.md §2.6 / BASELINE.json).
+
+Not in the reference (single-corpus RAG system); designed here as
+first-class 100 TB operators:
+
+- **exact**: content fingerprint (md5 of normalized text) + group-keep-min.
+  One shuffle on a 16-byte key; at 100 TB this is the cheap first stage of
+  a cascade and prunes before anything expensive runs.
+- **MinHash + LSH**: shingle → H md5-derived min-hashes → band buckets →
+  bucket self-join for candidates → exact-Jaccard verification on the
+  candidates only.  Never materializes the O(n²) pair space; all hashing
+  is md5-based Catalyst expressions so the DuckDB oracle reproduces bits.
+- **SimHash**: 32-bit signature, one groupBy with 32 partial-aggregable
+  sums (map-side combine keeps the shuffle at one row per (doc, nothing)),
+  pairs by Hamming distance.
+- **n-gram Jaccard**: exact pairwise Jaccard via shingle-equijoin —
+  correct but quadratic in shared-shingle frequency; intended as the
+  verify stage after LSH at scale (``neardup_cascade``).
+- **embedding cosine**: nearest-pair mining over the vector column.
+
+Determinism: every hash is md5-derived (never Spark's murmur ``hash``)
+so results are identical across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_fingerprint, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct (normalized) text: fingerprint, keeper id
+    (min id), duplicate count.  Single hash-shuffle on the fingerprint."""
+    return (
+        df.select(F.col(id_col), md5_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per fingerprint (deterministic, unlike
+    dropDuplicates which keeps an arbitrary row)."""
+    keepers = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def _md5_hash64(s: Column, seed: int | Column, hex_chars: int = 8) -> Column:
+    """Deterministic md5-derived hash (hex_chars*4 bits) — portable across
+    engines.  8 hex chars → 32-bit range; 15 → 60-bit (safe in BIGINT)."""
+    seed_c = F.lit(str(seed)) if isinstance(seed, int) else seed
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", seed_c, s)), 1, hex_chars), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{H-1}): H min-hashes over distinct word n-gram shingles.
+
+    One explode + one groupBy with H partial-aggregable ``min`` columns —
+    map-side combine collapses each partition to one row per doc before the
+    shuffle, so shuffle volume is |docs| × H longs regardless of text size.
+    """
+    shingled = (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
+        .distinct()
+    )
+    aggs = [
+        F.min(_md5_hash64(F.col("shingle"), h)).alias(f"h{h}") for h in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, scored by signature agreement.
+
+    Signatures are split into ``bands`` bands of ``num_hashes/bands`` rows;
+    a pair is a candidate iff some band matches exactly (classic MMDS
+    banding).  Estimated Jaccard = fraction of agreeing minhash components.
+    Returns (id_1, id_2, est_jaccard) with id_1 < id_2.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
+
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    # bucket self-join per band; union distinct candidate id pairs
+    cand = None
+    for b in range(bands):
+        left = banded.select(F.col(id_col).alias("id_1"), F.col(f"band{b}").alias("bk"))
+        right = banded.select(F.col(id_col).alias("id_2"), F.col(f"band{b}").alias("bk"))
+        pairs_b = left.join(right, "bk").filter(F.col("id_1") < F.col("id_2")).select("id_1", "id_2")
+        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
+    cand = cand.distinct()
+
+    s1 = sig.select(F.col(id_col).alias("id_1"), *[F.col(f"h{h}").alias(f"a{h}") for h in range(num_hashes)])
+    s2 = sig.select(F.col(id_col).alias("id_2"), *[F.col(f"h{h}").alias(f"b{h}") for h in range(num_hashes)])
+    agree = sum(
+        F.when(F.col(f"a{h}") == F.col(f"b{h}"), 1).otherwise(0) for h in range(num_hashes)
+    )
+    return (
+        cand.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn("est_jaccard", (agree / F.lit(float(num_hashes))).cast("double"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_1", "id_2", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification stage)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-gram shingle sets.
+
+    Without ``candidates``: pairs that share ≥1 shingle (shingle equijoin —
+    the shuffle key is the shingle, so frequent shingles dominate cost; at
+    100 TB pass LSH candidates instead).  With ``candidates`` (id_1, id_2):
+    computes exact Jaccard only for those pairs.
+    Returns (id_1, id_2, jaccard) with id_1 < id_2, jaccard ≥ threshold.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("id").alias("id_1"), "shingle")
+    b = sh.select(F.col("id").alias("id_2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    if candidates is not None:
+        shared = shared.join(candidates.select("id_1", "id_2"), ["id_1", "id_2"], "left_semi")
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_1").withColumnRenamed("n_sh", "n1"), "id_1")
+        .join(sizes.withColumnRenamed("id", "id_2").withColumnRenamed("n_sh", "n2"), "id_2")
+        .withColumn(
+            "jaccard",
+            (F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+    return out
+
+
+def neardup_cascade(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """The scale path: LSH candidates → exact Jaccard verify (never O(n²))."""
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, shingle_n, bands, min_est_jaccard=0.0
+    )
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, shingle_n, jaccard_threshold, candidates=cand
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 60  # 15 md5 hex chars; stays positive in a signed 64-bit long
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, simhash): 60-bit SimHash over distinct word n-gram shingles.
+
+    Shingle features (not unigrams): unigram sets from a shared vocabulary
+    collide badly; shingles carry word order, matching the MinHash unit.
+    Per-bit majority vote expressed as 60 partial-aggregable SUMs in one
+    groupBy — map-side combine keeps the shuffle at |docs| rows.
+    """
+    feats = (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("f"))
+        .distinct()
+        .withColumn("th", _md5_hash64(F.col("f"), 0, hex_chars=15))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = feats.groupBy(id_col).agg(*bit_sums)
+    sim = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(SIMHASH_BITS)
+    )
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming, (id_1 < id_2, hamming).
+
+    All-pairs comparison here (fine ≤ ~10⁵ docs); at 100 TB block by
+    rotated-prefix bucketing before the join (standard SimHash sharding).
+    """
+    sig = simhash(df, id_col, text_col, shingle_n)
+    a = sig.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("sh1"))
+    b = sig.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("sh2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_m: int = 50,
+) -> DataFrame:
+    """Top-m most-similar vector pairs by dot product (unit vectors ⇒ cosine).
+
+    All-pairs scored scan + TakeOrderedAndProject (vectors dropped before
+    the ordered merge).  At 100 TB swap the crossJoin for the IVF-bucketed
+    ANN join (operators/ann.py) — same output contract.
+    """
+    from ..functions.vector import dot_product
+
+    a = emb.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1"))
+    b = emb.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("cosine", dot_product("v1", "v2"))
+    )
+    return (
+        pairs.select("id_1", "id_2", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("id_1"), F.asc("id_2"))
+        .limit(top_m)
+    )

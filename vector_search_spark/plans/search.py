@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..encoders import hash_rerank_score
+from ..functions.scalar import round4
 from ..operators.filters import date_range_filter, min_score_filter
 from ..operators.knn import knn_topk
 
@@ -65,5 +66,5 @@ def search(
         id_col,
         *payload_cols,
         text_col,
-        F.round("rerank_score", 4).alias("score"),
+        round4("rerank_score").alias("score"),
     )

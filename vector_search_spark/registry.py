@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .encoders import hash_rerank_score
-from .functions.scalar import relevance_label, sigmoid
+from .functions.scalar import relevance_label, round4, sigmoid
 from .functions.vector import dot_product
 from .operators.knn import knn_topk, similarity_join
 
@@ -50,7 +50,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id, e.label,
-           round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+           floor((list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]))*10000 + 0.5)/10000.0 AS score
     FROM embeddings e CROSS JOIN q
     ORDER BY list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
     LIMIT 20
@@ -65,7 +65,7 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.desc("raw_score"), F.asc("vec_id"))
         .limit(20)
-        .select("vec_id", "label", F.round("raw_score", 4).alias("score"))
+        .select("vec_id", "label", round4("raw_score").alias("score"))
     )
 
 
@@ -78,7 +78,7 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_multi_query",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5)
-    SELECT query_id, vec_id, round(score, 4) AS score, rank::INTEGER AS rank FROM (
+    SELECT query_id, vec_id, floor((score)*10000 + 0.5)/10000.0 AS score, rank::INTEGER AS rank FROM (
       SELECT q.query_id, e.vec_id,
              list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS score,
              row_number() OVER (
@@ -95,7 +95,7 @@ def q_knn_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = similarity_join(emb, queries, k=10)
-    return out.select("query_id", "vec_id", F.round("score", 4).alias("score"), "rank")
+    return out.select("query_id", "vec_id", round4("score").alias("score"), "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -107,7 +107,7 @@ def q_knn_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id, e.label,
-           round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+           floor((list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]))*10000 + 0.5)/10000.0 AS score
     FROM embeddings e CROSS JOIN q
     WHERE e.label = 3
     ORDER BY list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
@@ -120,7 +120,7 @@ def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn_topk(
         emb, qvec, k=20, payload_cols=["label"], where=F.col("label") == 3
     )
-    return out.select("vec_id", "label", F.round("score", 4).alias("score"))
+    return out.select("vec_id", "label", round4("score").alias("score"))
 
 
 # ---------------------------------------------------------------------------
@@ -134,8 +134,8 @@ _RERANK_SQL = "((('0x'||substr(md5('what is spark' || '|' || text),1,8))::BIGINT
     "rerank_scores",
     oracle=f"""
     SELECT doc_id,
-           round(rr, 4) AS rerank_score,
-           round(1/(1+exp(-rr)), 4) AS probability,
+           floor((rr)*10000 + 0.5)/10000.0 AS rerank_score,
+           floor((1/(1+exp(-rr)))*10000 + 0.5)/10000.0 AS probability,
            CASE WHEN rr >= 3 THEN 'high' WHEN rr >= 0 THEN 'medium' ELSE 'low' END AS relevance
     FROM (SELECT doc_id, {_RERANK_SQL} AS rr FROM documents)
     ORDER BY rr DESC, doc_id
@@ -150,8 +150,8 @@ def q_rerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(
             "doc_id",
-            F.round("rr", 4).alias("rerank_score"),
-            F.round(sigmoid("rr"), 4).alias("probability"),
+            round4("rr").alias("rerank_score"),
+            round4(sigmoid("rr")).alias("probability"),
             relevance_label("rr").alias("relevance"),
         )
     )
@@ -185,7 +185,7 @@ def q_rerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY knn_score DESC, chunk_id LIMIT 50
     ),
     rr AS (SELECT *, {_RERANK_SQL} AS rerank_score FROM cand)
-    SELECT chunk_id, title, date, category, url, text, round(rerank_score, 4) AS score
+    SELECT chunk_id, title, date, category, url, text, floor((rerank_score)*10000 + 0.5)/10000.0 AS score
     FROM rr
     WHERE rerank_score >= 0.0
       AND (date IS NULL OR (date >= DATE '2024-02-01' AND date <= DATE '2024-11-30'))
@@ -230,3 +230,8 @@ def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_date="2024-11-30",
         limit=10,
     )
+
+
+# Sub-registries (import side effect: @register entries).  Kept at module
+# end so they can import `register` from this module.
+from . import registry_dedup, registry_text  # noqa: E402, F401

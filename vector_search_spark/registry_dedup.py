@@ -1,0 +1,191 @@
+"""Registry entries: dedup family over `documents`/`embeddings` (north-star).
+
+Oracle SQL is generated from the same hash formulas (md5-derived) and
+shingle definitions the Spark operators use — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .functions.scalar import round4
+from .registry import register
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SHINGLE_N = 3
+
+# --- shared SQL fragments ---------------------------------------------------
+# Distinct word 3-gram shingles per doc (tokens = lower/trim/split on \s+).
+_SQL_SHINGLES = """
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS ord
+  FROM documents),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2)
+"""
+
+
+def _sql_md5hash(seed: int, expr: str) -> str:
+    """SQL twin of operators.dedup._md5_hash64: concat_ws(':', seed, expr)."""
+    return f"(('0x' || substr(md5('{seed}' || ':' || {expr}), 1, 8))::BIGINT)"
+
+
+_SQL_MINHASH_AGGS = ",\n           ".join(
+    f"min({_sql_md5hash(h, 'shingle')}) AS h{h}" for h in range(NUM_HASHES)
+)
+_SQL_SIG = f"sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM sh GROUP BY doc_id)"
+
+# Band keys: md5 of comma-joined (band_index, h_i...) — twin of the Spark side.
+_SQL_BAND_KEYS = ", ".join(
+    "md5(concat_ws(',', '{b}', {cols})) AS band{b}".format(
+        b=b,
+        cols=", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+    )
+    for b in range(BANDS)
+)
+_SQL_CAND = " UNION ".join(
+    f"SELECT x.doc_id AS id_1, y.doc_id AS id_2 FROM banded x "
+    f"JOIN banded y ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id"
+    for b in range(BANDS)
+)
+_SQL_AGREE = " + ".join(
+    f"CASE WHEN s1.h{h} = s2.h{h} THEN 1 ELSE 0 END" for h in range(NUM_HASHES)
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: normalized-content fingerprint groups.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+             AS fingerprint,
+           min(doc_id) AS keeper_id,
+           count(*)::BIGINT AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup_groups(docs)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates (est Jaccard = signature agreement).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND})
+    SELECT c.id_1, c.id_2, floor((({_SQL_AGREE}) / {NUM_HASHES}.0)*10000 + 0.5)/10000.0 AS est_jaccard
+    FROM cand c
+    JOIN sig s1 ON c.id_1 = s1.doc_id
+    JOIN sig s2 ON c.id_2 = s2.doc_id
+    WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = minhash_lsh_pairs(
+        docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS, min_est_jaccard=0.5
+    )
+    return out.select("id_1", "id_2", round4("est_jaccard").alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (the verify stage of the cascade).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*) AS shared
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+    SELECT id_1, id_2,
+           floor((shared * 1.0 / (n1.n_sh + n2.n_sh - shared))*10000 + 0.5)/10000.0 AS jaccard
+    FROM shared
+    JOIN sizes n1 ON id_1 = n1.doc_id
+    JOIN sizes n2 ON id_2 = n2.doc_id
+    WHERE shared * 1.0 / (n1.n_sh + n2.n_sh - shared) >= 0.05
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, n=SHINGLE_N, threshold=0.05)
+    return out.select("id_1", "id_2", round4("jaccard").alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs by Hamming distance.
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 60  # 15 md5 hex chars (twin of operators.dedup.SIMHASH_BITS)
+
+_SQL_BIT_SUMS = ",\n           ".join(
+    f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SQL_SIMHASH = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END" for b in range(SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    th AS (SELECT doc_id,
+                  ('0x' || substr(md5('0' || ':' || shingle), 1, 15))::BIGINT AS th
+           FROM sh),
+    sums AS (SELECT doc_id, {_SQL_BIT_SUMS} FROM th GROUP BY doc_id),
+    sig AS (SELECT doc_id, ({_SQL_SIMHASH}) AS simhash FROM sums)
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, max_hamming=8, shingle_n=SHINGLE_N)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine nearest pairs (vector near-dup mining).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+           floor((list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))*10000 + 0.5)/10000.0 AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+             a.vec_id, b.vec_id
+    LIMIT 50
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_neardup_pairs(emb, top_m=50)
+    return out.select("id_1", "id_2", round4("cosine").alias("cosine"))
