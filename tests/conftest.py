@@ -66,7 +66,11 @@ def compare_with_oracle(spark_df, oracle_sql: str, sf_dir: str):
 
     s_order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
     o_order = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
-    s_set = sorted(tuple(_norm_cell(r[i]) for i in s_order) for r in s_rows)
-    o_set = sorted(tuple(_norm_cell(r[i]) for i in o_order) for r in o_rows)
+
+    def _key(row):  # None-safe total ordering (rollup rows contain NULLs)
+        return tuple((v is None, str(v)) for v in row)
+
+    s_set = sorted((tuple(_norm_cell(r[i]) for i in s_order) for r in s_rows), key=_key)
+    o_set = sorted((tuple(_norm_cell(r[i]) for i in o_order) for r in o_rows), key=_key)
     mismatches = [(a, b) for a, b in zip(s_set, o_set) if a != b]
     assert not mismatches, f"value mismatch ({len(mismatches)} rows), first: {mismatches[:3]}"

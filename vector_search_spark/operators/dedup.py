@@ -61,6 +61,9 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
 def _md5_hash64(s: Column, seed: int | Column, hex_chars: int = 8) -> Column:
     """Deterministic md5-derived hash (hex_chars*4 bits) — portable across
     engines.  8 hex chars → 32-bit range; 15 → 60-bit (safe in BIGINT)."""
@@ -87,10 +90,19 @@ def minhash_signatures(
         df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
         .distinct()
     )
+    # One md5 per shingle; the H functions come from the 2-universal family
+    # h_i = (h1 + i*h2) mod p  (h1/h2 = two 32-bit halves of the md5).
+    md5c = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long")
+    hashed = shingled.select(
+        F.col(id_col), h1.alias("__h1"), h2.alias("__h2")
+    )
     aggs = [
-        F.min(_md5_hash64(F.col("shingle"), h)).alias(f"h{h}") for h in range(num_hashes)
+        F.min((F.col("__h1") + F.lit(h) * F.col("__h2")) % F.lit(MINHASH_PRIME)).alias(f"h{h}")
+        for h in range(num_hashes)
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -113,25 +125,34 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
 
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(b),
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+    # Long-form banding: one explode + ONE self-join on (band, key) — not a
+    # union of per-band joins (4× the stages and scans at scale).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.lit(b),
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                ).alias("key"),
             )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    # bucket self-join per band; union distinct candidate id pairs
-    cand = None
-    for b in range(bands):
-        left = banded.select(F.col(id_col).alias("id_1"), F.col(f"band{b}").alias("bk"))
-        right = banded.select(F.col(id_col).alias("id_2"), F.col(f"band{b}").alias("bk"))
-        pairs_b = left.join(right, "bk").filter(F.col("id_1") < F.col("id_2")).select("id_1", "id_2")
-        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
-    cand = cand.distinct()
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = banded.select(F.col(id_col).alias("id_1"), "band", "key")
+    right = banded.select(F.col(id_col).alias("id_2"), "band", "key")
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
 
     s1 = sig.select(F.col(id_col).alias("id_1"), *[F.col(f"h{h}").alias(f"a{h}") for h in range(num_hashes)])
     s2 = sig.select(F.col(id_col).alias("id_2"), *[F.col(f"h{h}").alias(f"b{h}") for h in range(num_hashes)])
@@ -263,7 +284,8 @@ def simhash_pairs(
     All-pairs comparison here (fine ≤ ~10⁵ docs); at 100 TB block by
     rotated-prefix bucketing before the join (standard SimHash sharding).
     """
-    sig = simhash(df, id_col, text_col, shingle_n)
+    # cache: both join sides reference the signature table (|docs| longs).
+    sig = simhash(df, id_col, text_col, shingle_n).cache()
     a = sig.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("sh1"))
     b = sig.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("sh2"))
     return (
@@ -286,21 +308,58 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Top-m most-similar vector pairs by dot product (unit vectors ⇒ cosine).
 
-    All-pairs scored scan + TakeOrderedAndProject (vectors dropped before
-    the ordered merge).  At 100 TB swap the crossJoin for the IVF-bucketed
-    ANN join (operators/ann.py) — same output contract.
+    Two-stage exact search:
+    1. **Candidates** via Arrow-batched ``mapInPandas`` + a broadcast matrix:
+       each worker BLAS-multiplies its batch against the full matrix and
+       keeps its local top-(2m) — higher-order-function folds are NOT
+       whole-stage-codegen'd in Spark, so pure-DataFrame all-pairs scoring
+       is interpreted and ~20× slower than this.
+    2. **Exact rescore** of the ≤ 2m·partitions candidates with the
+       deterministic sequential ``dot_product`` fold, so final values and
+       ordering are bit-identical to the DuckDB oracle (BLAS changes
+       summation order; the fold decides).
+
+    The broadcast matrix bounds this at ~10⁷ vectors per block; at 100 TB
+    shard the broadcast side (IVF cells / LSH buckets) with the same
+    candidate→rescore contract.
     """
+    import numpy as np
+    import pandas as pd
+
     from ..functions.vector import dot_product
 
-    a = emb.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1"))
-    b = emb.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("id_1") < F.col("id_2"))
-        .withColumn("cosine", dot_product("v1", "v2"))
-    )
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()  # index side; see docstring
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    k_local = 2 * top_m
+
+    def block_topk(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            scores = bmat @ all_mat.T  # (batch, N)
+            # keep ordered pairs only: id_1 < id_2
+            mask = bids[:, None] < all_ids[None, :]
+            scores = np.where(mask, scores, -np.inf)
+            flat = scores.ravel()
+            n_keep = min(k_local, flat.size)
+            idx = np.argpartition(flat, -n_keep)[-n_keep:]
+            idx = idx[np.isfinite(flat[idx])]
+            r, c = np.unravel_index(idx, scores.shape)
+            yield pd.DataFrame({"id_1": bids[r], "id_2": all_ids[c]})
+
+    cand = emb.mapInPandas(block_topk, schema="id_1 long, id_2 long")
+    v1 = emb.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1"))
+    v2 = emb.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2"))
     return (
-        pairs.select("id_1", "id_2", "cosine")
+        cand.join(v1, "id_1")
+        .join(v2, "id_2")
+        .withColumn("cosine", dot_product("v1", "v2"))
+        .select("id_1", "id_2", "cosine")
         .orderBy(F.desc("cosine"), F.asc("id_1"), F.asc("id_2"))
         .limit(top_m)
     )

@@ -1,0 +1,187 @@
+"""Relational operators over the TPC-H-style fixture tables.
+
+The reference has no joins/aggregations/windows (SURVEY.md §2.6) — these are
+the engine's relational spine, exercised on the driver's star schema.  Every
+operator is a plain Catalyst plan; the scale notes are in each docstring.
+
+Determinism pattern for money aggregates: ``cents(x) = floor(x*100 + 0.5)``
+per row, then BIGINT sums — integer addition is order-independent, so a
+1000-executor shuffle and a single-threaded oracle agree bit-for-bit
+(double sums would differ in the last ulps by reduction order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cents(x: Column | str) -> Column:
+    """Deterministic money→integer-cents conversion (see module docstring)."""
+    x = F.col(x) if isinstance(x, str) else x
+    return F.floor(x.cast("double") * 100.0 + F.lit(0.5)).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary.
+
+    Scale: partial aggregation (map-side combine) collapses each scan
+    partition to ≤ |flag×status| rows before the shuffle — the exchange is
+    O(groups), not O(rows).  The date predicate pushes to the parquet scan.
+    """
+    li = lineitem.filter(F.col("l_shipdate").cast("date") <= F.lit(cutoff))
+    disc_price = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity")).alias("sum_qty"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_price_cents"),
+            F.sum(cents(disc_price)).alias("sum_disc_price_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Revenue per customer nation (TPC-H Q5 shape, no region cut).
+
+    Scale: orders⋈lineitem is the big shuffle (co-partition on orderkey;
+    with bucketed tables it's shuffle-free); customer is joined on custkey;
+    nation (25 rows) broadcasts — Catalyst picks that automatically, kept
+    explicit here as documentation of intent.
+    """
+    rev = lineitem.select(
+        "l_orderkey", cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("rev_cents")
+    )
+    return (
+        rev.join(orders.select("o_orderkey", "o_custkey"), rev.l_orderkey == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev_cents").alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Per-customer top-k orders by totalprice (window row_number).
+
+    Scale: Spark 4 plans rank-limit as WindowGroupLimit on both sides of
+    the exchange — map-side top-k per customer before the shuffle.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def order_priority_counts(
+    orders: DataFrame, from_date: str = "1996-01-01", to_date: str = "1996-12-31"
+) -> DataFrame:
+    """Order counts per priority in a date range (TPC-H Q4 shape);
+    predicate pushes to the scan, aggregation is partial-combined."""
+    return (
+        orders.filter(
+            (F.col("o_orderdate").cast("date") >= F.lit(from_date))
+            & (F.col("o_orderdate").cast("date") <= F.lit(to_date))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def sales_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP (returnflag, linestatus): subtotals + grand total in one pass."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+def customers_without_recent_orders(
+    customer: DataFrame, orders: DataFrame, since: str = "2001-01-01"
+) -> DataFrame:
+    """Left-anti join (the reference's incremental-download semantics,
+    SURVEY.md S2: 'skip what already exists' = anti join on the key):
+    customers with no order on/after ``since``."""
+    recent = orders.filter(F.col("o_orderdate").cast("date") >= F.lit(since)).select(
+        "o_custkey"
+    )
+    return (
+        customer.join(recent, customer.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def market_segment_stats(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Per-segment stats incl. a distinct-count and a broadcast dim join."""
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents("c_acctbal")).alias("acctbal_cents"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def events_tumbling_counts(events: DataFrame, window_sec: int = 3600) -> DataFrame:
+    """Tumbling-window event aggregate (batch form of the streaming op).
+
+    Window start is emitted as epoch seconds (BIGINT): timestamps round-trip
+    differently across engines/timezones, epochs don't.  Bucketing uses the
+    exact long-nanos column with integer division (no double in the path).
+    """
+    bucket = (
+        F.floor(F.expr("ts_ns DIV 1000000000") / window_sec).cast("long") * window_sec
+    ).alias("window_start")
+    return (
+        events.groupBy(bucket, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def latest_event_per_user_type(events: DataFrame) -> DataFrame:
+    """Streaming-style dedup: keep the latest event per (user, type).
+
+    row_number over a full ordering (ts desc, event_id desc) — deterministic
+    unlike dropDuplicates, and WindowGroupLimit bounds the shuffle.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_ns"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", cents("value").alias("value_cents"))
+    )
+
+
+def purchase_days_without_errors(events: DataFrame) -> DataFrame:
+    """Set op: (user, day) pairs with a purchase EXCEPT pairs with an error
+    event the same day — EXCEPT over a composite key."""
+    day = F.to_date(F.col("ts")).alias("day")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
+    )
+    errors = events.filter(F.col("event_type") == "error").select("user_id", day).distinct()
+    return purchases.exceptAll(errors).orderBy("user_id", "day")

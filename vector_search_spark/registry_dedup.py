@@ -40,15 +40,17 @@ sh AS (
 """
 
 
-def _sql_md5hash(seed: int, expr: str) -> str:
-    """SQL twin of operators.dedup._md5_hash64: concat_ws(':', seed, expr)."""
-    return f"(('0x' || substr(md5('{seed}' || ':' || {expr}), 1, 8))::BIGINT)"
-
+MINHASH_PRIME = 4294967311  # twin of operators.dedup.MINHASH_PRIME
 
 _SQL_MINHASH_AGGS = ",\n           ".join(
-    f"min({_sql_md5hash(h, 'shingle')}) AS h{h}" for h in range(NUM_HASHES)
+    f"min((hh.h1 + {h} * hh.h2) % {MINHASH_PRIME}) AS h{h}" for h in range(NUM_HASHES)
 )
-_SQL_SIG = f"sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM sh GROUP BY doc_id)"
+_SQL_SIG = f"""hh AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM sh),
+    sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM hh GROUP BY doc_id)"""
 
 # Band keys: md5 of comma-joined (band_index, h_i...) — twin of the Spark side.
 _SQL_BAND_KEYS = ", ".join(

@@ -1,0 +1,173 @@
+"""Registry entries: relational spine (joins/aggs/windows/set-ops) on the
+TPC-H-style fixture tables — the §2.6 categories the reference lacks."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import relational as R
+from .registry import register
+from .sources.tables import load_table as _t
+
+
+_CENTS = "floor({x}*100 + 0.5)::BIGINT"
+
+
+def _cents(x: str) -> str:
+    return _CENTS.format(x=x)
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum({_cents('l_extendedprice')}) AS sum_base_price_cents,
+           sum({_cents('l_extendedprice * (1.0 - l_discount)')}) AS sum_disc_price_cents,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate::DATE <= DATE '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           sum({_cents('l_extendedprice * (1.0 - l_discount)')}) AS revenue_cents,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.revenue_by_nation(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rank::INTEGER AS rank FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders)
+    WHERE rank <= 3
+    """,
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_orders_per_customer(_t(spark, sf_dir, "orders"), k=3)
+
+
+@register(
+    "order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE o_orderdate::DATE >= DATE '1996-01-01' AND o_orderdate::DATE <= DATE '1996-12-31'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.order_priority_counts(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "sales_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_items,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.sales_rollup(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "customers_without_recent_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate::DATE >= DATE '2001-01-01')
+    ORDER BY c_custkey
+    """,
+)
+def q_customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customers_without_recent_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "market_segment_stats",
+    oracle=f"""
+    SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+           sum({_cents('c_acctbal')}) AS acctbal_cents,
+           count(DISTINCT n_name)::BIGINT AS n_nations
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_market_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.market_segment_stats(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    )
+
+
+@register(
+    "events_tumbling_counts",
+    oracle=f"""
+    SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
+           event_type,
+           count(*)::BIGINT AS n_events,
+           sum({_cents('value')}) AS value_cents
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.events_tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "latest_event_per_user_type",
+    oracle=f"""
+    SELECT user_id, event_type, event_id, {_cents('value')} AS value_cents FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.latest_event_per_user_type(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "purchase_days_without_errors",
+    oracle="""
+    SELECT DISTINCT user_id, ts::DATE AS day FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT DISTINCT user_id, ts::DATE AS day FROM events WHERE event_type = 'error'
+    ORDER BY user_id, day
+    """,
+)
+def q_purchase_days_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.purchase_days_without_errors(_t(spark, sf_dir, "events"))

@@ -29,7 +29,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table; column pruning/pushdown stays available."""
+    """Read one fixture table; column pruning/pushdown stays available.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects
+    by default — read it as a long (runtime-settable legacy conf, so this
+    works in any caller's session) and expose BOTH ``ts_ns`` (exact long
+    nanos, for ordering/bucketing: a 1.7e18 nanos value is NOT exactly
+    representable as a double) and ``ts`` (micros-precision TIMESTAMP for
+    human-facing use and streaming watermarks).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
