@@ -26,6 +26,8 @@ import hashlib
 import math
 from collections.abc import Iterator
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -60,9 +62,7 @@ class HashEncoder:
         dim, seed = self.dim, self.seed
 
         @F.pandas_udf(T.ArrayType(T.DoubleType()))
-        def encode(batches: Iterator["pd.Series"]) -> Iterator["pd.Series"]:  # noqa: F821
-            import pandas as pd
-
+        def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
             enc = HashEncoder(dim, seed)
             for s in batches:
                 yield pd.Series([enc.encode_one(t if t is not None else "") for t in s])
