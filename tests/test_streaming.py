@@ -1,0 +1,52 @@
+"""Structured Streaming tests: the streaming aggregation must equal the
+batch operator's result once the stream is drained (same logical plan,
+incremental execution)."""
+
+from __future__ import annotations
+
+from vector_search_spark.operators.relational import events_tumbling_counts
+from vector_search_spark.sources.tables import load_table
+from vector_search_spark.streaming.events import (
+    run_stream_to_memory,
+    stream_events_from_parquet,
+    streaming_tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    stream = stream_events_from_parquet(spark, SF)
+    assert stream.isStreaming
+    agg = streaming_tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    run_stream_to_memory(agg, "tumbling_test", mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in events_tumbling_counts(load_table(spark, SF, "events")).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_session_windows(spark):
+    """session_window also runs under streaming (update mode + watermark)."""
+    from vector_search_spark.operators.relational import user_sessions
+
+    stream = stream_events_from_parquet(spark, SF)
+    sess = user_sessions(stream.withWatermark("ts", "2 hours"), gap_minutes=10)
+    run_stream_to_memory(sess, "sessions_test", mode="append")
+    got = spark.sql("SELECT * FROM sessions_test").collect()
+    # with availableNow + append, only watermark-closed sessions emit;
+    # all of them must exist in the batch result with identical aggregates
+    want = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["value_cents"])
+        for r in user_sessions(load_table(spark, SF, "events")).collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        key = (r["user_id"], r["session_start_us"])
+        assert want.get(key) == (r["n_events"], r["value_cents"]), key

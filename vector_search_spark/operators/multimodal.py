@@ -1,0 +1,159 @@
+"""Multimodal column operators (north-star, BASELINE.json): treat
+image/audio/video as opaque ``binary`` columns with typed metadata structs;
+decode/feature-extract runs as Arrow-batched ``mapInPandas``.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
+decode step is STUBBED: ``decode_image_features`` uses a deterministic fake
+(documented below) unless the real libs import; the Spark-side plumbing —
+schema, binary transport through Arrow, batch iteration, partitioning — is
+real and tested.  Frame/segment *sampling* is pure metadata math and stays
+fully native (no UDF).
+
+Scale notes: binary payloads ride the scan only (never shuffled here);
+``mapInPandas`` streams record batches, so executor memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` × mean payload size —
+size that down for 100 KB+ images.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # real decoder path (absent here)
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+FEATURE_DIM = 16
+
+_FEATURES_SCHEMA = (
+    "doc_id long, mime string, n_bytes int, width int, height int, "
+    f"features array<double>"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a deterministic binary payload + metadata struct from text
+    (fixture stand-in for real image bytes): payload = utf-8 bytes, metadata
+    = (mime, n_bytes, fake width/height derived from a content hash)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 6), 16, 10).cast("long")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.octet_length(payload).alias("n_bytes"),
+            (h % 1920 + 1).cast("int").alias("width"),
+            (F.shiftright(h, 11) % 1080 + 1).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake 'decode': dims + features from the byte content.
+
+    STUB for the real ``PIL.Image.open → resize → embed`` path; raises in
+    ``strict`` mode so callers can't mistake it for real pixels.
+    """
+    digest = hashlib.md5(payload).digest()
+    w = digest[0] * 8 + 1
+    h = digest[1] * 8 + 1
+    feats = [(b / 255.0) * 2.0 - 1.0 for b in digest[:FEATURE_DIM]]
+    return w, h, feats
+
+
+def decode_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    id_col: str = "doc_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Decode + feature-extract over binary payloads via ``mapInPandas``.
+
+    ``strict=True`` demands the real decoder (PIL) and raises
+    NotImplementedError per payload otherwise — the contract production
+    code compiles against; the fake path keeps plumbing testable here.
+    """
+    use_real = HAVE_PIL
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col])
+                meta = row[meta_col]
+                if use_real:  # pragma: no cover - PIL absent in container
+                    raise NotImplementedError("real PIL decode not wired yet")
+                if strict:
+                    raise NotImplementedError(
+                        "image decode requires PIL; container has no codecs"
+                    )
+                w, h, feats = _fake_decode(payload)
+                out.append(
+                    {
+                        "doc_id": row[id_col],
+                        "mime": meta["mime"],
+                        "n_bytes": int(meta["n_bytes"]),
+                        "width": w,
+                        "height": h,
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "mime", "n_bytes", "width", "height", "features"],
+            )
+
+    return df.mapInPandas(decode, schema=_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    duration_col: str = "duration_sec",
+    fps_col: str = "fps",
+    every_n: int = 30,
+) -> DataFrame:
+    """Video frame sampling as pure metadata math (NO decode): every
+    ``every_n``-th frame index + its timestamp, exploded to one row per
+    sampled frame.  Fully native (sequence/explode) — the decode of each
+    sampled frame would then be a ``decode_image_features``-shaped pass."""
+    n_frames = (F.col(duration_col) * F.col(fps_col)).cast("long")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    out = df.withColumn("frame_index", F.explode(idx))
+    return out.withColumn(
+        "frame_ts_sec", (F.col("frame_index") / F.col(fps_col)).cast("double")
+    )
+
+
+def segment_audio(
+    df: DataFrame,
+    duration_col: str = "duration_sec",
+    segment_sec: int = 30,
+    overlap_sec: int = 5,
+) -> DataFrame:
+    """Audio chunking as metadata math: overlapping [start, end) segments
+    via sequence/explode; the per-segment decode/transcribe stays a
+    mapInPandas seam exactly like images."""
+    step = segment_sec - overlap_sec
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest((F.col(duration_col) - 1).cast("long"), F.lit(0)),
+        F.lit(step),
+    )
+    out = df.withColumn("seg_start_sec", F.explode(starts))
+    return out.withColumn(
+        "seg_end_sec",
+        F.least(F.col("seg_start_sec") + segment_sec, F.col(duration_col).cast("long")),
+    )

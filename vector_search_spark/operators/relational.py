@@ -176,6 +176,34 @@ def latest_event_per_user_type(events: DataFrame) -> DataFrame:
     )
 
 
+def user_sessions(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
+    """Sessionize events per user with Spark's native ``session_window``
+    (merge events whose gap < ``gap_minutes``; a gap == the threshold starts
+    a NEW session — window end is exclusive).
+
+    Works identically in batch and Structured Streaming (with a watermark).
+    Output: (user_id, session_start_us, n_events, value_cents) where
+    session_start_us is the first event's epoch micros — timestamps are
+    emitted as integers for engine-portable comparison.
+    """
+    gap = f"{gap_minutes} minutes"
+    return (
+        events.groupBy(
+            F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def purchase_days_without_errors(events: DataFrame) -> DataFrame:
     """Set op: (user, day) pairs with a purchase EXCEPT pairs with an error
     event the same day — EXCEPT over a composite key."""

@@ -234,4 +234,9 @@ def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Sub-registries (import side effect: @register entries).  Kept at module
 # end so they can import `register` from this module.
-from . import registry_dedup, registry_relational, registry_text  # noqa: E402, F401
+from . import (  # noqa: E402, F401
+    registry_dedup,
+    registry_extensions,
+    registry_relational,
+    registry_text,
+)

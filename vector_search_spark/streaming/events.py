@@ -1,0 +1,79 @@
+"""Structured Streaming demonstrators over the events table (SURVEY.md §2.6:
+the reference has no streaming; the `events` fixture exists for this).
+
+Design: the streaming queries are the SAME logical aggregations as the
+batch operators in ``operators.relational`` — Structured Streaming's
+incremental execution of an identical plan.  Tests assert exactly that:
+run the stream to completion (availableNow) and diff against the batch
+result.
+
+Scale notes: watermarks bound state (late rows beyond the watermark are
+dropped, state for closed windows is evicted); the shuffle per micro-batch
+carries only partial aggregates (map-side combine applies to streaming
+HashAggregate too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema must be declared for
+    streaming file sources; ts arrives as long nanos — see sources.tables)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")  # file sources need a dir
+        .parquet(sf_dir)
+    )
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+    )
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts — streaming twin of
+    ``relational.events_tumbling_counts`` (same groups, same aggregates).
+
+    The watermark lets Spark drop state for windows older than
+    (max event time − watermark) and discard later-than-watermark rows.
+    """
+    from ..operators.relational import cents
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("w.start"))).cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def run_stream_to_memory(stream: DataFrame, name: str, mode: str = "complete"):
+    """Drain the stream with an availableNow trigger into a memory sink;
+    returns after completion (tests then read ``SELECT * FROM {name}``)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
