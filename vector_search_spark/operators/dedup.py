@@ -11,9 +11,9 @@ first-class 100 TB operators:
   bucket self-join for candidates → exact-Jaccard verification on the
   candidates only.  Never materializes the O(n²) pair space; all hashing
   is md5-based Catalyst expressions so the DuckDB oracle reproduces bits.
-- **SimHash**: 32-bit signature, one groupBy with 32 partial-aggregable
-  sums (map-side combine keeps the shuffle at one row per (doc, nothing)),
-  pairs by Hamming distance.
+- **SimHash**: 60-bit signature over shingle features, one groupBy with
+  60 partial-aggregable bit sums (map-side combine bounds the shuffle at
+  one row per doc), pairs by Hamming distance.
 - **n-gram Jaccard**: exact pairwise Jaccard via shingle-equijoin —
   correct but quadratic in shared-shingle frequency; intended as the
   verify stage after LSH at scale (``neardup_cascade``).
@@ -124,6 +124,8 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
+    sig.count()  # materialize: three downstream branches read it; an
+    # unmaterialized cache can be recomputed by parallel branches
 
     # Long-form banding: one explode + ONE self-join on (band, key) — not a
     # union of per-band joins (4× the stages and scans at scale).
@@ -284,8 +286,9 @@ def simhash_pairs(
     All-pairs comparison here (fine ≤ ~10⁵ docs); at 100 TB block by
     rotated-prefix bucketing before the join (standard SimHash sharding).
     """
-    # cache: both join sides reference the signature table (|docs| longs).
+    # cache + materialize: both join sides reference the signature table.
     sig = simhash(df, id_col, text_col, shingle_n).cache()
+    sig.count()
     a = sig.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("sh1"))
     b = sig.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("sh2"))
     return (
