@@ -176,6 +176,39 @@ def latest_event_per_user_type(events: DataFrame) -> DataFrame:
     )
 
 
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    top_n: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top unshipped-revenue orders for one market segment.
+
+    Scale: the segment predicate prunes customer before the join chain;
+    orders⋈lineitem is the only big shuffle; the final ordered limit is a
+    TakeOrderedAndProject over the aggregated (small) result.
+    """
+    c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.filter(F.col("o_orderdate").cast("date") < F.lit(cutoff)).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.col("l_shipdate").cast("date") > F.lit(cutoff)).select(
+        "l_orderkey",
+        cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("rev_cents"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"), "o_orderpriority")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(top_n)
+        .select("l_orderkey", "revenue_cents", "orderdate", "o_orderpriority")
+    )
+
+
 def user_sessions(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
     """Sessionize events per user with Spark's native ``session_window``
     (merge events whose gap < ``gap_minutes``; a gap == the threshold starts

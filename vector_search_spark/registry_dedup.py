@@ -191,3 +191,47 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = embedding_neardup_pairs(emb, top_m=50)
     return out.select("id_1", "id_2", round4("cosine").alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# The production dedup cascade: LSH candidates → exact-Jaccard verify →
+# drop the higher-id member of each confirmed pair.  This is the operator a
+# training-data pipeline actually runs; never materializes O(n²) pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cascade_keep",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*) AS shared
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT s.id_2
+      FROM shared s
+      JOIN sizes n1 ON s.id_1 = n1.doc_id
+      JOIN sizes n2 ON s.id_2 = n2.doc_id
+      JOIN (SELECT DISTINCT id_1, id_2 FROM cand) c
+        ON c.id_1 = s.id_1 AND c.id_2 = s.id_2
+      WHERE s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_2 FROM verified)
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_cascade_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import neardup_cascade
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = neardup_cascade(
+        docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
+        jaccard_threshold=0.8,
+    )
+    dropped = pairs.select(F.col("id_2").alias("doc_id")).distinct()
+    return (
+        docs.join(dropped, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
+    )

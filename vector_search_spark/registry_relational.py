@@ -196,3 +196,30 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_purchase_days_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.purchase_days_without_errors(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           sum({_cents('l_extendedprice * (1.0 - l_discount)')}) AS revenue_cents,
+           o_orderdate::DATE AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate::DATE < DATE '1998-01-01'
+      AND l_shipdate::DATE > DATE '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate::DATE, o_orderpriority
+    ORDER BY revenue_cents DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (join chain + agg + ordered limit)."""
+    return R.shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
