@@ -50,3 +50,21 @@ def test_streaming_session_windows(spark):
     for r in got:
         key = (r["user_id"], r["session_start_us"])
         assert want.get(key) == (r["n_events"], r["value_cents"]), key
+
+
+def test_streaming_dedup_equals_batch_distinct(spark):
+    """Streaming dropDuplicates (keyed, watermarked) == batch distinct on
+    the same key set — the streaming form of exact dedup."""
+    stream = stream_events_from_parquet(spark, SF)
+    dedup = (
+        stream.withWatermark("ts", "1 day")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    run_stream_to_memory(dedup, "dedup_test", mode="append")
+    got = {(r["user_id"], r["event_type"]) for r in spark.sql("SELECT * FROM dedup_test").collect()}
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, SF, "events").select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want and len(got) > 0

@@ -37,18 +37,22 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic centroid pick: rank ids by md5(id) and take every
-    (n/n_centroids)-th — a seeded sample spread over the corpus."""
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    ranked = emb.select(
-        F.col(id_col), F.col(vec_col), F.row_number().over(w).alias("__r")
-    )
-    n = emb.count()
-    stride = max(n // n_centroids, 1)
+    """Deterministic centroid pick: the ``n_centroids`` rows with the
+    smallest md5(id) — an order-statistics sample (uniform over the corpus
+    because the hash is uniform, reproducible because it's a hash).
+
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject (per-partition
+    top-k + k-row driver merge) — NOT a global window, which would drag
+    the whole corpus into one partition at scale.
+    """
     return (
-        ranked.filter(((F.col("__r") - 1) % stride == 0) & (F.col("__r") <= stride * n_centroids))
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        # the global window here numbers only the n_centroids surviving
+        # rows (tiny) — not the corpus
         .select(
-            ((F.col("__r") - 1) / stride).cast("int").alias("cell"),
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell"),
             F.col(vec_col).alias("centroid"),
         )
     )

@@ -223,3 +223,36 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "lineitem"),
     )
+
+
+@register(
+    "event_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           floor((quantile_cont(value::DOUBLE, 0.25))*10000 + 0.5)/10000.0 AS p25,
+           floor((quantile_cont(value::DOUBLE, 0.5))*10000 + 0.5)/10000.0 AS p50,
+           floor((quantile_cont(value::DOUBLE, 0.75))*10000 + 0.5)/10000.0 AS p75,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (both engines use the same
+    continuous-quantile convention on DOUBLE input)."""
+    from pyspark.sql import functions as F
+    from .functions.scalar import round4
+
+    ev = _t(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("__p25"),
+        F.percentile("value", F.lit(0.5)).alias("__p50"),
+        F.percentile("value", F.lit(0.75)).alias("__p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return pct.select(
+        "event_type",
+        round4("__p25").alias("p25"),
+        round4("__p50").alias("p50"),
+        round4("__p75").alias("p75"),
+        "n",
+    ).orderBy("event_type")
