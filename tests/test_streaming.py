@@ -68,3 +68,40 @@ def test_streaming_dedup_equals_batch_distinct(spark):
         for r in load_table(spark, SF, "events").select("user_id", "event_type").distinct().collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState custom operator: after draining the stream,
+    the LAST emitted totals per user equal the batch aggregates."""
+    from pyspark.sql import functions as F
+    from vector_search_spark.operators.relational import cents
+    from vector_search_spark.streaming.stateful import running_user_totals
+
+    stream = stream_events_from_parquet(spark, SF)
+    totals = running_user_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per touched user per batch; the final row
+    # per user (max last_seen_us, then max n) is the end state
+    emitted = spark.sql("SELECT * FROM running_totals").collect()
+    final = {}
+    for r in emitted:
+        cur = final.get(r["user_id"])
+        if cur is None or (r["n_events"], r["last_seen_us"]) > (cur["n_events"], cur["last_seen_us"]):
+            final[r["user_id"]] = r
+    want = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("cents"))
+        .collect()
+    }
+    assert len(final) == len(want) > 0
+    for uid, row in final.items():
+        assert want[uid] == (row["n_events"], row["value_cents"]), uid

@@ -73,12 +73,24 @@ def _md5_hash64(s: Column, seed: int | Column, hex_chars: int = 8) -> Column:
     ).cast("long")
 
 
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) rows — the shared input of the whole dedup
+    family; compute once and cache when running a cascade."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
+        .distinct()
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(id, h0..h{H-1}): H min-hashes over distinct word n-gram shingles.
 
@@ -86,10 +98,8 @@ def minhash_signatures(
     map-side combine collapses each partition to one row per doc before the
     shuffle, so shuffle volume is |docs| × H longs regardless of text size.
     """
-    shingled = (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
-        .distinct()
-    )
+    if shingled is None:
+        shingled = shingle_table(df, id_col, text_col, shingle_n)
     # One md5 per shingle; the H functions come from the 2-universal family
     # h_i = (h1 + i*h2) mod p  (h1/h2 = two 32-bit halves of the md5).
     md5c = F.md5(F.col("shingle"))
@@ -113,6 +123,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     bands: int = 4,
     min_est_jaccard: float = 0.5,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, scored by signature agreement.
 
@@ -123,7 +134,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).cache()
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, shingled).cache()
     sig.count()  # materialize: three downstream branches read it; an
     # unmaterialized cache can be recomputed by parallel branches
 
@@ -180,6 +191,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     candidates: DataFrame | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-gram shingle sets.
 
@@ -190,21 +202,32 @@ def ngram_jaccard_pairs(
     Returns (id_1, id_2, jaccard) with id_1 < id_2, jaccard ≥ threshold.
     """
     sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("shingle"))
-        .distinct()
+        shingled.select(F.col(id_col).alias("id"), "shingle")
+        if shingled is not None
+        else shingle_table(df, id_col, text_col, n).select(F.col(id_col).alias("id"), "shingle")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("id").alias("id_1"), "shingle")
     b = sh.select(F.col("id").alias("id_2"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
     if candidates is not None:
-        shared = shared.join(candidates.select("id_1", "id_2"), ["id_1", "id_2"], "left_semi")
+        # cascade shape: start FROM the candidate pairs so the shingle
+        # intersection is only computed for |cand| pairs — aggregating the
+        # full shared-shingle pair space first would defeat the LSH prune
+        shared = (
+            candidates.select("id_1", "id_2")
+            .join(a, "id_1")
+            .join(b, ["id_2", "shingle"])
+            .groupBy("id_1", "id_2")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        shared = (
+            a.join(b, "shingle")
+            .filter(F.col("id_1") < F.col("id_2"))
+            .groupBy("id_1", "id_2")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     out = (
         shared.join(sizes.withColumnRenamed("id", "id_1").withColumnRenamed("n_sh", "n1"), "id_1")
         .join(sizes.withColumnRenamed("id", "id_2").withColumnRenamed("n_sh", "n2"), "id_2")
@@ -228,11 +251,15 @@ def neardup_cascade(
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
     """The scale path: LSH candidates → exact Jaccard verify (never O(n²))."""
+    shingled = shingle_table(df, id_col, text_col, shingle_n).cache()
+    shingled.count()  # shared by LSH and the verify stage — compute once
     cand = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes, shingle_n, bands, min_est_jaccard=0.0
+        df, id_col, text_col, num_hashes, shingle_n, bands,
+        min_est_jaccard=0.0, shingled=shingled,
     )
     return ngram_jaccard_pairs(
-        df, id_col, text_col, shingle_n, jaccard_threshold, candidates=cand
+        df, id_col, text_col, shingle_n, jaccard_threshold,
+        candidates=cand, shingled=shingled,
     )
 
 
