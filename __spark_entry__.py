@@ -15,8 +15,10 @@ from vector_search_spark import registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: exact KNN top-20 by dot product at sf0.001."""
-    return registry.QUERIES["knn_topk"](spark, "/root/testdata/sf0.001")
+    """Flagship query: the reference's full MCP query path (exact KNN
+    over-fetch → rerank → min-score + date filters → limit → projection)
+    at sf0.001."""
+    return registry.QUERIES["search_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -37,7 +37,9 @@ def register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from .sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

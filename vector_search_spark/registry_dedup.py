@@ -18,6 +18,7 @@ from .operators.dedup import (
 )
 from .functions.scalar import round4
 from .registry import register
+from .sources.tables import load_table as __load
 
 NUM_HASHES = 16
 BANDS = 4
@@ -84,7 +85,7 @@ _SQL_AGREE = " + ".join(
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = __load(spark, sf_dir, "documents")
     return exact_dedup_groups(docs)
 
 
@@ -106,7 +107,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = __load(spark, sf_dir, "documents")
     out = minhash_lsh_pairs(
         docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS, min_est_jaccard=0.5
     )
@@ -134,7 +135,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = __load(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(docs, n=SHINGLE_N, threshold=0.05)
     return out.select("id_1", "id_2", round4("jaccard").alias("jaccard"))
 
@@ -169,7 +170,7 @@ _SQL_SIMHASH = " + ".join(
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = __load(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=8, shingle_n=SHINGLE_N)
 
 
@@ -188,7 +189,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = __load(spark, sf_dir, "embeddings")
     out = embedding_neardup_pairs(emb, top_m=50)
     return out.select("id_1", "id_2", round4("cosine").alias("cosine"))
 
@@ -226,7 +227,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_cascade_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import neardup_cascade
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = __load(spark, sf_dir, "documents")
     pairs = neardup_cascade(
         docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
         jaccard_threshold=0.8,

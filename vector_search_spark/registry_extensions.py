@@ -12,13 +12,14 @@ from .functions.scalar import round4
 from .operators.ann import ivf_topk
 from .operators.multimodal import attach_binary_payload, decode_image_features
 from .registry import register
+from .sources.tables import load_table as __load
 
 
 @register("multimodal_features")
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct → mapInPandas decode/feature stub
     (deterministic fake decoder; real codecs absent in this container)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = __load(spark, sf_dir, "documents")
     feats = decode_image_features(attach_binary_payload(docs))
     return feats.select(
         "doc_id",
@@ -34,7 +35,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10 for 20 queries (deterministic centroids + Lloyd
     refinement; approximate ⇒ no SQL oracle, recall pinned in pytest)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = __load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

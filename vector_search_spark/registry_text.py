@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from .functions.text import BPE_TOKEN_PATTERN, PUNCT_PATTERN, STOPWORDS
 from .operators.text_analysis import corpus_stats, document_stats, language_id
 from .registry import register
+from .sources.tables import load_table as __load
 
 
 def _sql_ws_tokens(col: str = "text") -> str:
@@ -45,7 +46,7 @@ _SQL_QUALITY = (
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = __load(spark, sf_dir, "documents")
     return document_stats(docs)
 
 
@@ -73,7 +74,7 @@ _SQL_PRED = f"""
 )
 def q_lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit-rate language ID vs. the fixture's ground-truth lang tag."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = __load(spark, sf_dir, "documents")
     pred = language_id(docs).join(docs.select("doc_id", "lang"), "doc_id")
     return (
         pred.groupBy("lang")
@@ -101,5 +102,5 @@ def q_lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = __load(spark, sf_dir, "documents")
     return corpus_stats(docs, "lang")

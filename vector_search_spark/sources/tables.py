@@ -38,6 +38,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     representable as a double) and ``ts`` (micros-precision TIMESTAMP for
     human-facing use and streaming watermarks).
     """
+    # date/timestamp expressions must agree with the (UTC) oracle even when
+    # the caller's session didn't set a timezone (runtime-settable conf)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 
