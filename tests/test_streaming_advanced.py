@@ -1,0 +1,100 @@
+"""Advanced streaming behavior: watermark late-data drop (observable, with
+hand-ordered micro-batches) and the foreachBatch idempotent index sink."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from vector_search_spark.streaming.sink import upsert_index_sink
+
+
+def _write_batch_file(spark, directory, rows, name):
+    """Write one flat parquet FILE into the stream source dir (the file
+    source does not discover arbitrary subdirectories — only files and
+    partition-style key=value dirs)."""
+    import glob
+    import shutil
+    import tempfile
+
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, v double")
+    staging = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = glob.glob(f"{staging}/part-*.parquet")[0]
+    shutil.copy(part, f"{directory}/{name}.parquet")
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Deterministic two-batch run: an availableNow pass over batch 1
+    persists watermark 11:50 in the checkpoint; a second availableNow pass
+    (same checkpoint) then processes batch 2, whose 10:00 row is behind the
+    watermark → DROPPED, while 14:00 advances the watermark and closes the
+    earlier windows."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+
+    captured = []
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, v double")
+            .parquet(str(src))
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.collect_set("event_id").alias("ids"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(lambda df, bid: captured.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_batch_file(spark, str(src), [(1, T(11, 0), 1.0), (2, T(12, 0), 1.0)], "b1")
+    run_pass()  # watermark after: 12:00 - 10min = 11:50 (checkpointed)
+    _write_batch_file(
+        spark, str(src), [(3, T(10, 0), 1.0), (4, T(14, 0), 1.0)], "b2"
+    )  # event 3 is behind the watermark; event 4 closes windows ≤ 13:50
+    run_pass()
+
+    seen = {eid for r in captured for eid in r["ids"]}
+    assert 3 not in seen, captured  # late row discarded by the watermark
+    assert 1 in seen and 2 in seen  # closed windows emitted with on-time rows
+    assert 4 not in seen  # its window (14:00) is still open
+
+
+def test_foreach_batch_upsert_sink_idempotent(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    sink = upsert_index_sink(out, "event_id")
+    b = spark.createDataFrame([(1, "a"), (2, "b")], "event_id long, payload string")
+    sink(b, 0)
+    # replayed batch (at-least-once) + one new row
+    b2 = spark.createDataFrame([(2, "b"), (3, "c")], "event_id long, payload string")
+    sink(b2, 1)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_incremental_index_update(spark, tmp_path):
+    from vector_search_spark.plans.ingest import update_index
+    from vector_search_spark.sources.files import read_markdown_dir
+
+    docs = read_markdown_dir(spark, "/root/reference/data/raw/md").cache()
+    first_half = docs.filter(F.col("date") < "2023-01-01")
+    out = str(tmp_path / "vidx")
+    n1 = update_index(spark, out, first_half)
+    assert n1 > 0
+    # re-running with the same docs appends NOTHING (content-hash ids)
+    assert update_index(spark, out, first_half) == 0
+    # the full corpus appends exactly the remaining chunks
+    n2 = update_index(spark, out, docs)
+    total = spark.read.parquet(out).count()
+    assert n1 + n2 == total == 1944

@@ -84,6 +84,25 @@ def write_index(index: DataFrame, path: str, partition_by: str = "year") -> None
     )
 
 
+def update_index(
+    spark: SparkSession, index_path: str, new_docs: DataFrame
+) -> int:
+    """Incremental index maintenance (reference S2 'skip existing'):
+    chunk+embed ``new_docs`` and append only chunks whose content-hash id
+    isn't already in the index.  Returns the number of appended rows."""
+    import os
+
+    new_index = build_index(new_docs).withColumn("year", F.year(F.to_date("date")))
+    if os.path.exists(index_path):
+        existing = spark.read.parquet(index_path).select("chunk_id")
+        new_index = new_index.join(existing, "chunk_id", "left_anti")
+    new_index = new_index.cache()
+    n = new_index.count()
+    if n:
+        new_index.write.mode("append").partitionBy("year").parquet(index_path)
+    return n
+
+
 def ingest_markdown_dir(
     spark: SparkSession, md_dir: str, out_path: str | None = None
 ) -> DataFrame:
