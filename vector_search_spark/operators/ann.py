@@ -117,7 +117,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
-    kmeans_iterations: int = 2,
+    kmeans_iterations: int = 1,
     replicas: int = 2,
 ) -> DataFrame:
     """Approximate per-query top-k: probe ``nprobe`` of ``n_centroids``

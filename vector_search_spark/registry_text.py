@@ -104,3 +104,28 @@ def q_lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = __load(spark, sf_dir, "documents")
     return corpus_stats(docs, "lang")
+
+
+@register(
+    "source_lang_pivot",
+    oracle="""
+    SELECT source,
+           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS de,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en,
+           sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS es,
+           sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS fr,
+           sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS zh
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q_source_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab via pivot (doc counts per source × language) — §2.6
+    grouping-surface coverage; fixed pivot values keep the schema stable."""
+    docs = __load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .count()
+        .na.fill(0)
+        .orderBy("source")
+    )
