@@ -97,16 +97,24 @@ def order_priority_counts(
 
 
 def sales_rollup(lineitem: DataFrame) -> DataFrame:
-    """ROLLUP (returnflag, linestatus): subtotals + grand total in one pass."""
+    """ROLLUP (returnflag, linestatus): subtotals + grand total in one pass.
+
+    Grouping NULLs are replaced with an explicit 'ALL' sentinel — clearer
+    output, and NULL-free rows survive naive row-sorting comparators.
+    """
     return (
         lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("l_quantity").alias("sum_qty"),
         )
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_items",
+            "sum_qty",
         )
+        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -235,6 +243,17 @@ def user_sessions(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
             "value_cents",
         )
     )
+
+
+def purchase_and_click_days(events: DataFrame) -> DataFrame:
+    """Set op: (user, day) pairs with BOTH a purchase and a click that day
+    — INTERSECT over a composite key."""
+    day = F.to_date(F.col("ts")).alias("day")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", day).distinct()
+    return purchases.intersect(clicks).orderBy("user_id", "day")
 
 
 def purchase_days_without_errors(events: DataFrame) -> DataFrame:

@@ -88,11 +88,13 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sales_rollup",
     oracle="""
-    SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_items,
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           count(*)::BIGINT AS n_items,
            sum(l_quantity) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    ORDER BY 1, 2
     """,
 )
 def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,3 +258,16 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4("__p75").alias("p75"),
         "n",
     ).orderBy("event_type")
+
+
+@register(
+    "purchase_and_click_days",
+    oracle="""
+    SELECT DISTINCT user_id, ts::DATE AS day FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT DISTINCT user_id, ts::DATE AS day FROM events WHERE event_type = 'click'
+    ORDER BY user_id, day
+    """,
+)
+def q_purchase_and_click_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.purchase_and_click_days(_t(spark, sf_dir, "events"))
