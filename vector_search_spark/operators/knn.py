@@ -76,20 +76,22 @@ def _partition_topk_batches(k: int):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         heaps: dict[object, list] = {}
-        n = 0
         for pdf in batches:
             for qid, iid, score in zip(pdf["query_id"], pdf["__id"], pdf["score"]):
                 h = heaps.setdefault(qid, [])
-                item = (score, iid)
+                # negate the id so score ties prefer the SMALLER id — the
+                # same total order the downstream window uses (desc score,
+                # asc id); otherwise a tied smaller-id row can be evicted
+                # here yet win globally
+                item = (score, -iid)
                 if len(h) < k:
                     heapq.heappush(h, item)
                 elif item > h[0]:
                     heapq.heapreplace(h, item)
-                n += 1
         rows = [
-            {"query_id": qid, "__id": iid, "score": s}
+            {"query_id": qid, "__id": -neg_iid, "score": s}
             for qid, h in heaps.items()
-            for (s, iid) in h
+            for (s, neg_iid) in h
         ]
         yield pd.DataFrame(rows, columns=["query_id", "__id", "score"])
 

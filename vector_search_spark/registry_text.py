@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from .functions.text import BPE_TOKEN_PATTERN, PUNCT_PATTERN, STOPWORDS
 from .operators.text_analysis import corpus_stats, document_stats, language_id
+from .functions.scalar import round4
 from .registry import register
 from .sources.tables import load_table as __load
 
@@ -128,4 +129,94 @@ def q_source_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0)
         .orderBy("source")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n)
+    SELECT doc_id, tok, floor((score)*10000 + 0.5)/10000.0 AS score,
+           rank::INTEGER AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, tok) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed idf = ln((N+1)/(df+1)) + 1) with top-3 terms per
+    document — term-level text analysis; the idf table is a broadcastable
+    dim at any scale (|vocabulary| rows)."""
+    from pyspark.sql import Window
+
+    docs = __load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.count()
+    scored = tf.join(F.broadcast(df), "tok").withColumn(
+        "score", F.col("tf") * (F.log((n + 1.0) / (F.col("df") + 1.0)) + 1.0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", round4("score").alias("score"), "rank")
+    )
+
+
+@register(
+    "quality_zscore_by_lang",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, lang, {_SQL_QUALITY} AS quality FROM documents)
+    SELECT doc_id, lang,
+           floor(((quality - avg(quality) OVER (PARTITION BY lang))
+                  / stddev_samp(quality) OVER (PARTITION BY lang))*10000 + 0.5)/10000.0
+             AS zscore
+    FROM q
+    """,
+)
+def q_quality_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization via applyInPandas (grouped-map UDF — the
+    remaining pandas-UDF flavor): z = (quality - mean_g) / std_g with
+    sample std.  The SQL oracle uses window AVG/STDDEV_SAMP; numpy's
+    pairwise summation vs SQL's sequential sum agree well inside 4 dp on
+    group sizes here."""
+    import pandas as pd
+
+    from .functions.text import quality_score
+
+    docs = __load(spark, sf_dir, "documents")
+
+    qual = docs.select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["quality"].mean()
+        std = pdf["quality"].std(ddof=1)
+        z = (pdf["quality"] - mean) / std
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "zscore": np.floor(z * 10000 + 0.5) / 10000.0,
+            }
+        )
+
+    return qual.groupBy("lang").applyInPandas(
+        zscore, schema="doc_id long, lang string, zscore double"
     )
