@@ -30,8 +30,12 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up so q1 doesn't pay session-start costs.
+    # Session-infrastructure warm-up so the first query isn't charged for
+    # one-time costs: scan/codegen paths, and the Python worker pool that
+    # the Arrow-batched (mapInPandas) operators fork on first use.
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    warm = spark.range(0, 1024, 1, cpus)
+    warm.mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):

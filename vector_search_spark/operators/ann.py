@@ -61,19 +61,31 @@ def ivf_centroids(
 def _assign_cells(
     emb: DataFrame, cent_mat: np.ndarray, id_col: str, vec_col: str, replicas: int = 1
 ) -> DataFrame:
-    """Nearest-centroid assignment; ``replicas > 1`` indexes each vector in
-    its top-r cells (IVF replication: r× storage for higher recall —
-    valuable when the corpus is weakly clustered)."""
+    """Nearest-centroid assignment, carrying the vector through so callers
+    need no shuffle join back to the corpus — output is the IVF index table
+    (id, cell, vec) itself.  ``replicas > 1`` indexes each vector in its
+    top-r cells (IVF replication: r× storage for higher recall — valuable
+    when the corpus is weakly clustered)."""
 
     def assign(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
             scores = m @ cent_mat.T
             top = np.argsort(-scores, axis=1)[:, :replicas].astype(np.int32)
-            ids = np.repeat(pdf[id_col].to_numpy(), replicas)
-            yield pd.DataFrame({id_col: ids, "cell": top.ravel()})
+            idx = np.repeat(np.arange(len(pdf)), replicas)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[idx],
+                    "cell": top.ravel(),
+                    vec_col: pdf[vec_col].to_numpy()[idx],
+                }
+            )
 
-    return emb.mapInPandas(assign, schema=f"{id_col} long, cell int")
+    return emb.mapInPandas(
+        assign, schema=f"{id_col} long, cell int, {vec_col} array<float>"
+    )
 
 
 def kmeans_refine(
@@ -83,26 +95,43 @@ def kmeans_refine(
     vec_col: str,
     iterations: int = 5,
 ) -> np.ndarray:
-    """Deterministic Lloyd iterations over the DataFrame (classic Spark
-    k-means shape): Arrow-batched argmax assignment, then per-cell mean via
-    ``aggregate`` of the vector column (partial-aggregated: the shuffle is
-    |cells| × dim, not |corpus|).  Means are re-normalized to the unit
-    sphere (spherical k-means — we rank by dot product).  Empty cells keep
-    their previous centroid.  No randomness anywhere → reproducible."""
-    dim = cent_mat.shape[1]
+    """Deterministic Lloyd iterations, one Spark job each: every Arrow batch
+    partial-aggregates per-cell (vector sum, count) in numpy, so a task
+    emits ≤ |cells| rows and the driver reduce touches |cells| × partitions
+    rows total — no shuffle, no corpus join (treeAggregate shape).  Means
+    are re-normalized to the unit sphere (spherical k-means — we rank by
+    dot product).  Empty cells keep their previous centroid.  No randomness
+    anywhere → reproducible."""
+    n_cells, dim = cent_mat.shape
     for _ in range(iterations):
-        assigned = _assign_cells(emb, cent_mat, id_col, vec_col)
-        joined = emb.join(assigned, id_col)
-        sums = joined.groupBy("cell").agg(
-            F.array(*[F.sum(F.element_at(F.col(vec_col), i + 1)) for i in range(dim)]).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
+
+        def partial(batches, cm=cent_mat):
+            sums = np.zeros((n_cells, dim))
+            counts = np.zeros(n_cells, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.array(list(pdf[vec_col]), dtype=np.float64)
+                cells = np.argmax(m @ cm.T, axis=1)
+                np.add.at(sums, cells, m)
+                counts += np.bincount(cells, minlength=n_cells)
+            nz = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {"cell": nz.astype(np.int32), "s": list(sums[nz]), "n": counts[nz]}
+            )
+
+        rows = emb.mapInPandas(partial, schema="cell int, s array<double>, n long").collect()
+        agg_s = np.zeros((n_cells, dim))
+        agg_n = np.zeros(n_cells, dtype=np.int64)
+        for r in rows:
+            agg_s[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+            agg_n[r["cell"]] += r["n"]
         new = cent_mat.copy()
-        for r in sums.collect():
-            v = np.array(r["s"], dtype=np.float64) / r["n"]
+        for c in np.flatnonzero(agg_n):
+            v = agg_s[c] / agg_n[c]
             norm = np.linalg.norm(v)
             if norm > 0:
-                new[r["cell"]] = v / norm
+                new[c] = v / norm
         cent_mat = new
     return cent_mat
 
@@ -126,17 +155,22 @@ def ivf_topk(
     Returns (query_id, id, score, rank) — same contract as
     ``knn.similarity_join`` so callers can swap exact↔ANN.
     """
+    from ..partitioning import fan_out
+
     cents = ivf_centroids(emb, n_centroids, id_col, vec_col).collect()
     cent_mat = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    # narrow (id, vec) projection fanned out once — refine + assignment are
+    # both Arrow-batched narrow stages that would otherwise inherit the
+    # scan's (possibly single-partition) layout
+    narrow_emb = fan_out(emb.select(id_col, vec_col), id_col)
     if kmeans_iterations > 0:
         cent_mat = kmeans_refine(
-            emb.select(id_col, vec_col), cent_mat, id_col, vec_col, kmeans_iterations
+            narrow_emb, cent_mat, id_col, vec_col, kmeans_iterations
         )
 
-    assigned = _assign_cells(
-        emb.select(id_col, vec_col), cent_mat, id_col, vec_col, replicas=replicas
-    )
-    indexed = emb.join(assigned, id_col)  # (id, vec, cell) — r rows per id
+    # (id, cell, vec) straight out of the assignment stage — r rows per id,
+    # no shuffle join back to the corpus
+    indexed = _assign_cells(narrow_emb, cent_mat, id_col, vec_col, replicas=replicas)
 
     # per-query probe list (queries are small: driver-side numpy is fine and
     # keeps the plan free of a second UDF stage)

@@ -77,9 +77,16 @@ def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
 ) -> DataFrame:
     """Distinct (id, shingle) rows — the shared input of the whole dedup
-    family; compute once and cache when running a cascade."""
+    family; compute once and cache when running a cascade.
+
+    The shingling expression is an interpreted higher-order-function chain
+    (split → transform/slice → concat_ws), the most expensive narrow stage
+    in the family — fan it out over all cores before exploding."""
+    from ..partitioning import fan_out
+
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
         .distinct()
     )
 
@@ -249,10 +256,12 @@ def neardup_cascade(
     shingle_n: int = 3,
     bands: int = 4,
     jaccard_threshold: float = 0.8,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """The scale path: LSH candidates → exact Jaccard verify (never O(n²))."""
-    shingled = shingle_table(df, id_col, text_col, shingle_n).cache()
-    shingled.count()  # shared by LSH and the verify stage — compute once
+    if shingled is None:
+        shingled = shingle_table(df, id_col, text_col, shingle_n).cache()
+        shingled.count()  # shared by LSH and the verify stage — compute once
     cand = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes, shingle_n, bands,
         min_est_jaccard=0.0, shingled=shingled,
@@ -274,6 +283,7 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(id, simhash): 60-bit SimHash over distinct word n-gram shingles.
 
@@ -282,11 +292,9 @@ def simhash(
     Per-bit majority vote expressed as 60 partial-aggregable SUMs in one
     groupBy — map-side combine keeps the shuffle at |docs| rows.
     """
-    feats = (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("f"))
-        .distinct()
-        .withColumn("th", _md5_hash64(F.col("f"), 0, hex_chars=15))
-    )
+    if shingled is None:
+        shingled = shingle_table(df, id_col, text_col, shingle_n)
+    feats = shingled.withColumn("th", _md5_hash64(F.col("shingle"), 0, hex_chars=15))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -307,6 +315,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     shingle_n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming, (id_1 < id_2, hamming).
 
@@ -314,7 +323,7 @@ def simhash_pairs(
     rotated-prefix bucketing before the join (standard SimHash sharding).
     """
     # cache + materialize: both join sides reference the signature table.
-    sig = simhash(df, id_col, text_col, shingle_n).cache()
+    sig = simhash(df, id_col, text_col, shingle_n, shingled=shingled).cache()
     sig.count()
     a = sig.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("sh1"))
     b = sig.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("sh2"))
@@ -382,7 +391,9 @@ def embedding_neardup_pairs(
             r, c = np.unravel_index(idx, scores.shape)
             yield pd.DataFrame({"id_1": bids[r], "id_2": all_ids[c]})
 
-    cand = emb.mapInPandas(block_topk, schema="id_1 long, id_2 long")
+    from ..partitioning import fan_out
+
+    cand = fan_out(emb, id_col).mapInPandas(block_topk, schema="id_1 long, id_2 long")
     v1 = emb.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1"))
     v2 = emb.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2"))
     return (

@@ -57,9 +57,13 @@ def knn_topk(
     semantics push this *before* the scan: Catalyst pushes it to Parquet).
     Ties broken by ``id_col`` for deterministic output.
     """
+    from ..partitioning import fan_out
+
     if where is not None:
         emb = emb.filter(where)
-    scored = score_by_dot(emb, query_vec, vec_col)
+    # the dot-product fold is an interpreted HOF chain — make sure a
+    # single-row-group scan doesn't pin it to one core (no-op at scale)
+    scored = score_by_dot(fan_out(emb, id_col), query_vec, vec_col)
     cols = [id_col, *(payload_cols or []), "score"]
     return (
         scored.select(*cols)  # vectors dropped before the ordered merge
@@ -122,7 +126,11 @@ def similarity_join(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qvec")
         )
     )
-    scored = emb.crossJoin(q).withColumn("score", dot_product(F.col(vec_col), F.col("__qvec")))
+    from ..partitioning import fan_out
+
+    scored = fan_out(emb, id_col).crossJoin(q).withColumn(
+        "score", dot_product(F.col(vec_col), F.col("__qvec"))
+    )
     # Narrow projection BEFORE the exchange: never shuffle vectors.
     narrow = scored.select(F.col("query_id"), F.col(id_col).alias("__id"), F.col("score"))
 

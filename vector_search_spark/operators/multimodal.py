@@ -116,7 +116,9 @@ def decode_image_features(
                 columns=["doc_id", "mime", "n_bytes", "width", "height", "features"],
             )
 
-    return df.mapInPandas(decode, schema=_FEATURES_SCHEMA)
+    from ..partitioning import fan_out
+
+    return fan_out(df, id_col).mapInPandas(decode, schema=_FEATURES_SCHEMA)
 
 
 def sample_frames(

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalar import round4
+from ..partitioning import fan_out
 from ..functions.text import (
     STOPWORDS,
     md5_fingerprint,
@@ -26,7 +27,7 @@ from ..functions.text import (
 def document_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats projection: lengths, token counts, ratios, quality."""
     t = F.col(text_col)
-    return df.select(
+    return fan_out(df, id_col).select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
         token_count_ws(t).alias("n_tokens_ws"),
@@ -63,14 +64,14 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .otherwise(F.lit("de"))
     )
     best = F.greatest(*s.values())
-    return df.select(
+    return fan_out(df, id_col).select(
         F.col(id_col), pred.alias("pred_lang"), round4(best).alias("lang_score")
     )
 
 
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprints: md5 (normalized) + polynomial rolling hash."""
-    return df.select(
+    return fan_out(df, id_col).select(
         F.col(id_col),
         md5_fingerprint(text_col).alias("fingerprint"),
         rolling_hash(text_col).alias("rhash"),
@@ -79,7 +80,11 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 def corpus_stats(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
     """Aggregate corpus statistics per group (lang/source/category):
-    doc count, mean length, mean quality, distinct fingerprints."""
+    doc count, mean length, mean quality, distinct fingerprints.
+
+    No fan_out here: the partial aggregate collapses each input partition
+    to |groups| rows before the exchange, and the per-row expressions are
+    cheap enough that an extra exchange costs more than it buys."""
     t = F.col(text_col)
     return (
         df.groupBy(group_col)
