@@ -39,10 +39,17 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _norm_cell(v):
     if v is None:
         return None
+    # Tag floats so an int64-vs-float64 cross-engine mismatch FAILS here the
+    # way it fails the driver's pandas canonicalizer (Python `int == float`
+    # would otherwise hide it — the round-1 hash_match trap).
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 4)
+        return ("f", round(v, 4))
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     if hasattr(v, "isoformat"):

@@ -90,29 +90,28 @@ def decode_image_features(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col])
-                meta = row[meta_col]
-                if use_real:  # pragma: no cover - PIL absent in container
-                    raise NotImplementedError("real PIL decode not wired yet")
-                if strict:
-                    raise NotImplementedError(
-                        "image decode requires PIL; container has no codecs"
-                    )
-                w, h, feats = _fake_decode(payload)
-                out.append(
-                    {
-                        "doc_id": row[id_col],
-                        "mime": meta["mime"],
-                        "n_bytes": int(meta["n_bytes"]),
-                        "width": w,
-                        "height": h,
-                        "features": feats,
-                    }
+            if use_real:  # pragma: no cover - PIL absent in container
+                raise NotImplementedError("real PIL decode not wired yet")
+            if strict:
+                raise NotImplementedError(
+                    "image decode requires PIL; container has no codecs"
                 )
+            # Column-wise over the Arrow batch (no per-row pandas iteration):
+            # one digest per payload, then vectorized derivations from it.
+            digests = [hashlib.md5(bytes(p)).digest() for p in pdf[payload_col]]
+            metas = list(pdf[meta_col])
             yield pd.DataFrame(
-                out,
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "mime": [m["mime"] for m in metas],
+                    "n_bytes": [int(m["n_bytes"]) for m in metas],
+                    "width": [d[0] * 8 + 1 for d in digests],
+                    "height": [d[1] * 8 + 1 for d in digests],
+                    "features": [
+                        [(b / 255.0) * 2.0 - 1.0 for b in d[:FEATURE_DIM]]
+                        for d in digests
+                    ],
+                },
                 columns=["doc_id", "mime", "n_bytes", "width", "height", "features"],
             )
 

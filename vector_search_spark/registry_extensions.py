@@ -15,20 +15,53 @@ from .registry import register
 from .sources.tables import load_table as __load
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS hx, strlen(text)::INT AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id,
+           'image/fake' AS mime,
+           n_bytes,
+           (('0x' || substr(hx, 1, 2))::INT * 8 + 1)::INT AS width,
+           (('0x' || substr(hx, 3, 2))::INT * 8 + 1)::INT AS height,
+           i::INT AS feat_idx,
+           floor(((('0x' || substr(hx, 2*i + 1, 2))::INT / 255.0) * 2.0 - 1.0)
+                 * 10000 + 0.5) / 10000.0 AS feat_value
+    FROM d CROSS JOIN range(16) t(i)
+    ORDER BY doc_id, feat_idx
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct → mapInPandas decode/feature stub
-    (deterministic fake decoder; real codecs absent in this container)."""
+    (deterministic fake decoder; real codecs absent in this container).
+
+    Features are EXPLODED to scalar ``(feat_idx, feat_value)`` rows so the
+    result is canonicalizable (array cells aren't sortable), and — because
+    the fake decode is pure md5 byte math — the whole pipeline gets a
+    bit-exact DuckDB oracle (hex-parse the digest, same round4 formula).
+    """
     docs = __load(spark, sf_dir, "documents")
     feats = decode_image_features(attach_binary_payload(docs))
-    return feats.select(
+    ex = feats.select(
         "doc_id",
         "mime",
         "n_bytes",
         "width",
         "height",
-        F.transform("features", lambda x: round4(x)).alias("features"),
-    ).orderBy("doc_id")
+        F.posexplode("features").alias("feat_idx", "feat_value"),
+    )
+    return ex.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        "width",
+        "height",
+        "feat_idx",
+        round4("feat_value").alias("feat_value"),
+    ).orderBy("doc_id", "feat_idx")
 
 
 @register("ann_ivf_topk")

@@ -22,8 +22,8 @@ def _cents(x: str) -> str:
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           sum({_cents('l_extendedprice')}) AS sum_base_price_cents,
-           sum({_cents('l_extendedprice * (1.0 - l_discount)')}) AS sum_disc_price_cents,
+           sum({_cents('l_extendedprice')})::BIGINT AS sum_base_price_cents,
+           sum({_cents('l_extendedprice * (1.0 - l_discount)')})::BIGINT AS sum_disc_price_cents,
            count(*)::BIGINT AS count_order
     FROM lineitem
     WHERE l_shipdate::DATE <= DATE '1998-09-01'
@@ -39,7 +39,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle=f"""
     SELECT n_name,
-           sum({_cents('l_extendedprice * (1.0 - l_discount)')}) AS revenue_cents,
+           sum({_cents('l_extendedprice * (1.0 - l_discount)')})::BIGINT AS revenue_cents,
            count(*)::BIGINT AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -121,7 +121,7 @@ def q_customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataF
     "market_segment_stats",
     oracle=f"""
     SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
-           sum({_cents('c_acctbal')}) AS acctbal_cents,
+           sum({_cents('c_acctbal')})::BIGINT AS acctbal_cents,
            count(DISTINCT n_name)::BIGINT AS n_nations
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -139,7 +139,7 @@ def q_market_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
            event_type,
            count(*)::BIGINT AS n_events,
-           sum({_cents('value')}) AS value_cents
+           sum({_cents('value')})::BIGINT AS value_cents
     FROM events
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -176,7 +176,7 @@ def q_latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
                                      ROWS UNBOUNDED PRECEDING) AS sid FROM m)
     SELECT user_id, min(us) AS session_start_us,
-           count(*)::BIGINT AS n_events, sum(vc) AS value_cents
+           count(*)::BIGINT AS n_events, sum(vc)::BIGINT AS value_cents
     FROM s GROUP BY user_id, sid
     """,
 )
@@ -204,7 +204,7 @@ def q_purchase_days_without_errors(spark: SparkSession, sf_dir: str) -> DataFram
     "shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           sum({_cents('l_extendedprice * (1.0 - l_discount)')}) AS revenue_cents,
+           sum({_cents('l_extendedprice * (1.0 - l_discount)')})::BIGINT AS revenue_cents,
            o_orderdate::DATE AS orderdate,
            o_orderpriority
     FROM customer
