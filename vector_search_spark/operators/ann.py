@@ -136,24 +136,21 @@ def kmeans_refine(
     return cent_mat
 
 
-def ivf_topk(
+def ivf_build(
     emb: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_centroids: int = 16,
-    nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "query_vec",
     kmeans_iterations: int = 1,
     replicas: int = 2,
-) -> DataFrame:
-    """Approximate per-query top-k: probe ``nprobe`` of ``n_centroids``
-    cells per query, exact scoring inside the probed cells.
+) -> tuple[np.ndarray, DataFrame]:
+    """Build the IVF index: (centroid matrix, assigned index DataFrame).
 
-    Returns (query_id, id, score, rank) — same contract as
-    ``knn.similarity_join`` so callers can swap exact↔ANN.
+    The index build is the amortizable part of ANN — at 100 TB it runs once
+    and the index persists ``write.partitionBy("cell")`` so queries prune to
+    their probed cells; in-session the caller persists the returned
+    DataFrame (the registry caches it per (session, sf) exactly like the
+    dedup family's shared shingle table).  ``ivf_query`` is then query-only.
     """
     from ..partitioning import fan_out
 
@@ -171,7 +168,22 @@ def ivf_topk(
     # (id, cell, vec) straight out of the assignment stage — r rows per id,
     # no shuffle join back to the corpus
     indexed = _assign_cells(narrow_emb, cent_mat, id_col, vec_col, replicas=replicas)
+    return cent_mat, indexed
 
+
+def ivf_query(
+    indexed: DataFrame,
+    cent_mat: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Query an IVF index built by ``ivf_build``: probe ``nprobe`` cells per
+    query, exact scoring inside the probed cells only."""
     # per-query probe list (queries are small: driver-side numpy is fine and
     # keeps the plan free of a second UDF stage)
     qrows = queries.select(query_id_col, query_vec_col).collect()
@@ -183,7 +195,7 @@ def ivf_topk(
         for c in cells
     ]
     probes_df = F.broadcast(
-        emb.sparkSession.createDataFrame(
+        indexed.sparkSession.createDataFrame(
             probes, f"query_id long, __qvec array<double>, cell int"
         )
     )
@@ -201,4 +213,32 @@ def ivf_topk(
         narrow.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    kmeans_iterations: int = 1,
+    replicas: int = 2,
+) -> DataFrame:
+    """Build + query in one call (convenience; amortize with ``ivf_build``
+    + ``ivf_query`` when the index outlives a single query batch).
+
+    Returns (query_id, id, score, rank) — same contract as
+    ``knn.similarity_join`` so callers can swap exact↔ANN.
+    """
+    cent_mat, indexed = ivf_build(
+        emb, n_centroids, id_col, vec_col, kmeans_iterations, replicas
+    )
+    return ivf_query(
+        indexed, cent_mat, queries, k, nprobe,
+        id_col, vec_col, query_id_col, query_vec_col,
     )

@@ -131,6 +131,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     min_est_jaccard: float = 0.5,
     shingled: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, scored by signature agreement.
 
@@ -138,12 +139,19 @@ def minhash_lsh_pairs(
     a pair is a candidate iff some band matches exactly (classic MMDS
     banding).  Estimated Jaccard = fraction of agreeing minhash components.
     Returns (id_1, id_2, est_jaccard) with id_1 < id_2.
+
+    Pass ``signatures`` (a persisted ``minhash_signatures`` output) to share
+    the signature build across queries — the registry does this so the LSH
+    and cascade entries don't each recompute it.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, shingled).cache()
-    sig.count()  # materialize: three downstream branches read it; an
-    # unmaterialized cache can be recomputed by parallel branches
+    if signatures is not None:
+        sig = signatures  # caller-persisted
+    else:
+        sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, shingled).cache()
+        sig.count()  # materialize: three downstream branches read it; an
+        # unmaterialized cache can be recomputed by parallel branches
 
     # Long-form banding: one explode + ONE self-join on (band, key) — not a
     # union of per-band joins (4× the stages and scans at scale).
@@ -257,14 +265,26 @@ def neardup_cascade(
     bands: int = 4,
     jaccard_threshold: float = 0.8,
     shingled: DataFrame | None = None,
+    signatures: DataFrame | None = None,
+    est_floor: float = 0.5,
 ) -> DataFrame:
-    """The scale path: LSH candidates → exact Jaccard verify (never O(n²))."""
+    """The scale path: LSH candidates → exact Jaccard verify (never O(n²)).
+
+    ``est_floor`` prefilters candidates by minhash signature agreement
+    before the (much costlier) exact-Jaccard verify: a banded false
+    positive usually agrees on few components, so a floor well below the
+    verify threshold (0.5 vs 0.8 here) cuts verify input several-fold while
+    keeping every plausible pair.  The floor is part of the operator's
+    declared semantics — the DuckDB oracle applies the identical filter, so
+    results stay bit-exact (a true pair with freak-low signature agreement
+    is dropped by BOTH engines).
+    """
     if shingled is None:
         shingled = shingle_table(df, id_col, text_col, shingle_n).cache()
         shingled.count()  # shared by LSH and the verify stage — compute once
     cand = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes, shingle_n, bands,
-        min_est_jaccard=0.0, shingled=shingled,
+        min_est_jaccard=est_floor, shingled=shingled, signatures=signatures,
     )
     return ngram_jaccard_pairs(
         df, id_col, text_col, shingle_n, jaccard_threshold,
@@ -316,23 +336,57 @@ def simhash_pairs(
     max_hamming: int = 8,
     shingle_n: int = 3,
     shingled: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming, (id_1 < id_2, hamming).
 
-    All-pairs comparison here (fine ≤ ~10⁵ docs); at 100 TB block by
-    rotated-prefix bucketing before the join (standard SimHash sharding).
+    Pigeonhole bucketing (never all-pairs): the 60-bit signature is split
+    into ``max_hamming + 1`` bit segments; a pair within Hamming ≤
+    max_hamming differs in at most max_hamming segments, so at least one
+    segment matches EXACTLY.  Candidates come from ONE equi-join on
+    (segment_idx, segment_value) — a hash shuffle on narrow keys — then the
+    exact Hamming check removes false positives.  Zero false negatives by
+    the pigeonhole principle ⇒ output is identical to an all-pairs scan,
+    and the DuckDB oracle can stay the straightforward all-pairs SQL.
+
+    At 100 TB the shuffle is |docs| × n_seg rows of (int, long); skew only
+    appears if a segment value is shared by a huge near-dup cluster, which
+    AQE skew-join handles.
     """
-    # cache + materialize: both join sides reference the signature table.
-    sig = simhash(df, id_col, text_col, shingle_n, shingled=shingled).cache()
-    sig.count()
-    a = sig.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("sh1"))
-    b = sig.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("sh2"))
+    if signatures is not None:
+        sig = signatures  # caller-persisted (registry shares it across queries)
+    else:
+        # cache + materialize: both join sides reference the signature table.
+        sig = simhash(df, id_col, text_col, shingle_n, shingled=shingled).cache()
+        sig.count()
+
+    n_seg = max_hamming + 1
+    base, extra = divmod(SIMHASH_BITS, n_seg)
+    seg_structs, offset = [], 0
+    for s in range(n_seg):
+        ln = base + (1 if s < extra else 0)
+        seg_structs.append(
+            F.struct(
+                F.lit(s).alias("seg"),
+                F.shiftright(F.col("simhash"), offset)
+                .bitwiseAND(F.lit((1 << ln) - 1))
+                .alias("val"),
+            )
+        )
+        offset += ln
+
+    segd = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*seg_structs)).alias("sv")
+    ).select(id_col, "simhash", F.col("sv.seg").alias("seg"), F.col("sv.val").alias("val"))
+    a = segd.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("sh1"), "seg", "val")
+    b = segd.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("sh2"), "seg", "val")
     return (
-        a.crossJoin(b)
+        a.join(b, ["seg", "val"])
         .filter(F.col("id_1") < F.col("id_2"))
         .withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
+        .distinct()
     )
 
 
@@ -344,56 +398,81 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     top_m: int = 50,
+    n_buckets: int = 8,
 ) -> DataFrame:
     """Top-m most-similar vector pairs by dot product (unit vectors ⇒ cosine).
 
-    Two-stage exact search:
-    1. **Candidates** via Arrow-batched ``mapInPandas`` + a broadcast matrix:
-       each worker BLAS-multiplies its batch against the full matrix and
-       keeps its local top-(2m) — higher-order-function folds are NOT
-       whole-stage-codegen'd in Spark, so pure-DataFrame all-pairs scoring
-       is interpreted and ~20× slower than this.
-    2. **Exact rescore** of the ≤ 2m·partitions candidates with the
-       deterministic sequential ``dot_product`` fold, so final values and
-       ordering are bit-identical to the DuckDB oracle (BLAS changes
-       summation order; the fold decides).
+    EXACT distributed all-pairs via block-pair sharding — the corpus is
+    never collected to the driver and no full matrix is broadcast:
 
-    The broadcast matrix bounds this at ~10⁷ vectors per block; at 100 TB
-    shard the broadcast side (IVF cells / LSH buckets) with the same
-    candidate→rescore contract.
+    1. **Blocking**: each vector hashes (md5, deterministic) into one of
+       ``n_buckets`` buckets and is replicated to the ``n_buckets`` blocks
+       ``(min(u,v), max(u,v))`` it participates in; every ordered pair
+       (id_1 < id_2) lands in EXACTLY one block, so per-block top-m union ⊇
+       global top-m with no geometric assumptions (unlike IVF-cell
+       blocking, which misses boundary pairs on unclustered data).
+    2. **Per-block top pairs** via ``groupBy(b1,b2).applyInPandas``: each
+       block BLAS-multiplies its two buckets and keeps its local top-(2m)
+       ordered pairs — executor memory is bounded by 2·|corpus|/n_buckets
+       vectors (scale ``n_buckets`` ∝ corpus size; shuffle volume is
+       |corpus| × n_buckets narrow rows).
+    3. **Exact rescore** of the candidate pairs with the deterministic
+       sequential ``dot_product`` fold, so final values and ordering are
+       bit-identical to the DuckDB oracle (BLAS changes summation order;
+       the fold decides).
     """
     import numpy as np
     import pandas as pd
 
     from ..functions.vector import dot_product
 
-    spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()  # index side; see docstring
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    ).cast("int")
+    blocks = F.array(
+        *[
+            F.struct(
+                F.least(F.col("__bk"), F.lit(v)).alias("b1"),
+                F.greatest(F.col("__bk"), F.lit(v)).alias("b2"),
+            )
+            for v in range(n_buckets)
+        ]
+    )
+    replicated = (
+        emb.select(F.col(id_col), F.col(vec_col), bucket.alias("__bk"))
+        .select(id_col, vec_col, "__bk", F.explode(blocks).alias("__blk"))
+        .select(
+            id_col, vec_col, "__bk",
+            F.col("__blk.b1").alias("b1"), F.col("__blk.b2").alias("b2"),
+        )
+    )
     k_local = 2 * top_m
 
-    def block_topk(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
-            bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            scores = bmat @ all_mat.T  # (batch, N)
-            # keep ordered pairs only: id_1 < id_2
-            mask = bids[:, None] < all_ids[None, :]
-            scores = np.where(mask, scores, -np.inf)
-            flat = scores.ravel()
-            n_keep = min(k_local, flat.size)
-            idx = np.argpartition(flat, -n_keep)[-n_keep:]
-            idx = idx[np.isfinite(flat[idx])]
-            r, c = np.unravel_index(idx, scores.shape)
-            yield pd.DataFrame({"id_1": bids[r], "id_2": all_ids[c]})
+    def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_1": [], "id_2": []}, dtype=np.int64)
+        b1, b2 = key
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        bks = pdf["__bk"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf[vec_col]), dtype=np.float64)
+        scores = m @ m.T
+        # ordered pairs only; cross-bucket blocks own ONLY their
+        # cross-bucket pairs (same-bucket pairs belong to the (u,u) block)
+        mask = ids[:, None] < ids[None, :]
+        if b1 != b2:
+            mask &= bks[:, None] != bks[None, :]
+        scores = np.where(mask, scores, -np.inf)
+        flat = scores.ravel()
+        n_keep = min(k_local, flat.size)
+        idx = np.argpartition(flat, -n_keep)[-n_keep:]
+        idx = idx[np.isfinite(flat[idx])]
+        r, c = np.unravel_index(idx, scores.shape)
+        return pd.DataFrame({"id_1": ids[r], "id_2": ids[c]})
 
-    from ..partitioning import fan_out
-
-    cand = fan_out(emb, id_col).mapInPandas(block_topk, schema="id_1 long, id_2 long")
+    cand = replicated.groupBy("b1", "b2").applyInPandas(
+        block_pairs, schema="id_1 long, id_2 long"
+    )
     v1 = emb.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("v1"))
     v2 = emb.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("v2"))
     return (

@@ -10,7 +10,10 @@ Scale design (the part that must survive 100 TB / 1000 executors):
 
 - **Single query** (`knn_topk`): ``orderBy(desc(score)).limit(k)`` compiles
   to ``TakeOrderedAndProject`` — per-partition top-k then a k-row merge on
-  the driver.  No shuffle of the scan.  This is already optimal.
+  the driver.  At scale the scan is never shuffled; on a tiny input the
+  ``fan_out`` guard may first insert one repartition (full rows, vectors
+  included) purely to occupy all cores — that exchange disappears once
+  scan partitions reach cluster parallelism.
 - **Query batch** (`similarity_join`): broadcast the (small) query side,
   score in the scan, then **project the vectors away before any exchange**
   — the per-query top-k shuffle moves only (query_id, id, score) ≈ 24-byte

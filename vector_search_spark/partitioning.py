@@ -20,9 +20,24 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, *cols: str, target: int | None = None) -> DataFrame:
     """Repartition ``df`` to ``target`` (default: cluster parallelism)
-    partitions iff it currently has fewer — hash-partitioned by ``cols``
-    when given (deterministic placement), round-robin otherwise."""
+    partitions iff its input looks narrower than that — hash-partitioned by
+    ``cols`` when given (deterministic placement), round-robin otherwise.
+
+    The guard reads ``inputFiles()`` (analyzed-plan file metadata — does NOT
+    force physical planning or RDD DAG construction the way
+    ``rdd.getNumPartitions()`` does) and only falls back to the RDD count
+    for non-file inputs.  At scale (files ≥ parallelism) this is a pure
+    no-op; when it fires on a small input it does shuffle every selected
+    column (including wide text/vector columns) — acceptable exactly
+    because it fires only when the input is tiny.  Mid-scale inputs with
+    few-but-splittable files may repartition unnecessarily; that one extra
+    exchange is the documented cost of keeping plan construction cheap.
+    """
     n = target or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    files = df.inputFiles()
+    if files:
+        if len(files) >= n:
+            return df
+    elif df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, *cols) if cols else df.repartition(n)

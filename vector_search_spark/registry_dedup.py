@@ -26,23 +26,64 @@ BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 SHINGLE_N = 3
 
-# The whole dedup family reads the same (doc_id, shingle) table; the bench
-# and driver run all four shingle-based queries in one session, so build it
-# once per (session, sf_dir) and persist — like a production pipeline's
-# shared feature table.  Keyed by session so a restarted session rebuilds.
+# The whole dedup family reads the same (doc_id, shingle) table and minhash
+# signature table; the bench and driver run all the shingle-based queries in
+# one session, so build each once per (session, sf_dir) and persist — like a
+# production pipeline's shared feature tables.  Assumes the parquet under
+# sf_dir is immutable for the session (true for the fixture corpus); a
+# replaced entry unpersists the old DataFrame so nothing leaks.
 _SHINGLE_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+_SIG_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _session_cached(cache, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    hit = cache.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    if hit is not None:  # stale session: release the old persisted table
+        try:
+            hit[1].unpersist()
+        except Exception:
+            pass  # old session already stopped — nothing to release
+    df = build().persist()
+    df.count()
+    cache[sf_dir] = (spark, df)
+    return df
 
 
 def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hit = _SHINGLE_CACHE.get(sf_dir)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    sh = shingle_table(
-        __load(spark, sf_dir, "documents"), shingle_n=SHINGLE_N
-    ).persist()
-    sh.count()
-    _SHINGLE_CACHE[sf_dir] = (spark, sh)
-    return sh
+    return _session_cached(
+        _SHINGLE_CACHE, spark, sf_dir,
+        lambda: shingle_table(__load(spark, sf_dir, "documents"), shingle_n=SHINGLE_N),
+    )
+
+
+def _shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signatures
+
+    return _session_cached(
+        _SIG_CACHE, spark, sf_dir,
+        lambda: minhash_signatures(
+            __load(spark, sf_dir, "documents"),
+            num_hashes=NUM_HASHES, shingle_n=SHINGLE_N,
+            shingled=_shared_shingles(spark, sf_dir),
+        ),
+    )
+
+
+_SIMHASH_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _shared_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    return _session_cached(
+        _SIMHASH_CACHE, spark, sf_dir,
+        lambda: simhash(
+            __load(spark, sf_dir, "documents"),
+            shingle_n=SHINGLE_N, shingled=_shared_shingles(spark, sf_dir),
+        ),
+    )
 
 # --- shared SQL fragments ---------------------------------------------------
 # Distinct word 3-gram shingles per doc (tokens = lower/trim/split on \s+).
@@ -130,6 +171,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = minhash_lsh_pairs(
         docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
         min_est_jaccard=0.5, shingled=_shared_shingles(spark, sf_dir),
+        signatures=_shared_signatures(spark, sf_dir),
     )
     return out.select("id_1", "id_2", round4("est_jaccard").alias("est_jaccard"))
 
@@ -197,6 +239,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         docs, max_hamming=8, shingle_n=SHINGLE_N,
         shingled=_shared_shingles(spark, sf_dir),
+        signatures=_shared_simhash_sigs(spark, sf_dir),
     )
 
 
@@ -244,7 +287,10 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes n2 ON s.id_2 = n2.doc_id
       JOIN (SELECT DISTINCT id_1, id_2 FROM cand) c
         ON c.id_1 = s.id_1 AND c.id_2 = s.id_2
-      WHERE s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8)
+      JOIN sig s1 ON c.id_1 = s1.doc_id
+      JOIN sig s2 ON c.id_2 = s2.doc_id
+      WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
+        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8)
     SELECT doc_id FROM documents
     WHERE doc_id NOT IN (SELECT id_2 FROM verified)
     ORDER BY doc_id
@@ -257,6 +303,7 @@ def q_dedup_cascade_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = neardup_cascade(
         docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
         jaccard_threshold=0.8, shingled=_shared_shingles(spark, sf_dir),
+        signatures=_shared_signatures(spark, sf_dir), est_floor=0.5,
     )
     dropped = pairs.select(F.col("id_2").alias("doc_id")).distinct()
     return (

@@ -155,8 +155,9 @@ def q_source_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF (smoothed idf = ln((N+1)/(df+1)) + 1) with top-3 terms per
-    document — term-level text analysis; the idf table is a broadcastable
-    dim at any scale (|vocabulary| rows)."""
+    document — term-level text analysis.  No broadcast hint on the idf
+    join: a web-scale vocabulary can exceed the broadcast limit, and AQE
+    picks broadcast at runtime whenever the built side is actually small."""
     from pyspark.sql import Window
 
     docs = __load(spark, sf_dir, "documents")
@@ -167,7 +168,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.count()
-    scored = tf.join(F.broadcast(df), "tok").withColumn(
+    scored = tf.join(df, "tok").withColumn(
         "score", F.col("tf") * (F.log((n + 1.0) / (F.col("df") + 1.0)) + 1.0)
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
