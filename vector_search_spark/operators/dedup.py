@@ -449,7 +449,8 @@ def embedding_neardup_pairs(
     )
     k_local = 2 * top_m
 
-    def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def block_pairs(key, pdf):  # (key, pdf) grouped-map form; hints omitted
+        # so PySpark infers the eval type from arity, not annotations
         if len(pdf) < 2:
             return pd.DataFrame({"id_1": [], "id_2": []}, dtype=np.int64)
         b1, b2 = key

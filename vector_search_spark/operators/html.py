@@ -62,15 +62,26 @@ _BODY_RE = re.compile(r'<div[^>]+class="[^"]*page__content[^"]*"[^>]*>(.*)', re.
 
 
 def _convert_fallback(html: str) -> tuple[str | None, str | None]:
-    """STUB (bs4/markdownify unavailable): regex tag-strip.  Deterministic
-    and schema-correct, but not markdown-faithful — do not golden-test
+    """STUB (bs4/markdownify unavailable): regex tag-strip + entity decode.
+    TITLE extraction is faithful (golden-tested against all 331 reference
+    md H1 lines — tag-strip + ``html.unescape`` reproduces bs4
+    ``get_text()`` for h1 content); the BODY is deterministic and
+    schema-correct but not markdown-faithful — do not golden-test body
     content through this path."""
+    import html as _htmllib
+
     m_body = _BODY_RE.search(html)
     if not m_body:
         return None, None
     m_title = _H1_RE.search(html)
-    title = _TAG_RE.sub("", m_title.group(1)).strip() if m_title else "Unknown"
-    body = _TAG_RE.sub("", m_body.group(1))
+    # strip tags FIRST, then decode entities (decoding first would let
+    # &lt;...&gt; masquerade as tags and get eaten by the strip)
+    title = (
+        _htmllib.unescape(_TAG_RE.sub("", m_title.group(1))).strip()
+        if m_title
+        else "Unknown"
+    )
+    body = _htmllib.unescape(_TAG_RE.sub("", m_body.group(1)))
     body = re.sub(r"\n{3,}", "\n\n", body).strip()
     return title, f"# {title}\n\n{body}"
 

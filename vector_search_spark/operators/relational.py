@@ -217,6 +217,103 @@ def shipping_priority(
     )
 
 
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier share
+    the nation, restricted to one region.
+
+    Scale: region (5 rows) and nation (25) broadcast and prune BEFORE the
+    fact joins (Catalyst pushes the region filter through to the nation
+    build side); orders⋈lineitem is the one big shuffle; supplier (small)
+    broadcasts.  The c_nationkey = s_nationkey equality rides the supplier
+    join condition — no extra exchange.
+    """
+    n = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("rev_cents"),
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev_cents").alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+def part_type_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 flavor: revenue per part type with each type's share of
+    total revenue.
+
+    Scale: lineitem⋈part shuffles on partkey (or broadcasts part while it
+    fits); the share is a window over the |types|-row aggregate — trivially
+    small after the partial-combined groupBy.
+    """
+    li = lineitem.select(
+        "l_partkey",
+        cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("rev_cents"),
+    )
+    agg = (
+        li.join(part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(F.sum("rev_cents").alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
+    )
+    total = Window.partitionBy()
+    return (
+        agg.withColumn(
+            "revenue_share",
+            (F.col("revenue_cents").cast("double") / F.sum("revenue_cents").over(total)),
+        )
+        .select("p_type", "revenue_cents", "n_items", "revenue_share")
+        .orderBy("p_type")
+    )
+
+
+def brand_supplier_stats(lineitem: DataFrame, part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q16 flavor: distinct suppliers + parts per brand (lineitem as
+    the part↔supplier bridge — the fixture schema has no partsupp table).
+
+    Scale: two countDistincts expand to one extra exchange each; the narrow
+    (brand, suppkey/partkey) projections keep them cheap.
+    """
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(part.select("p_partkey", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def user_sessions(events: DataFrame, gap_minutes: int = 10) -> DataFrame:
     """Sessionize events per user with Spark's native ``session_window``
     (merge events whose gap < ``gap_minutes``; a gap == the threshold starts

@@ -228,6 +228,83 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           sum({_cents('l_extendedprice * (1.0 - l_discount)')})::BIGINT AS revenue_cents,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: the full 6-table join tree incl. region/supplier dims."""
+    return R.local_supplier_volume(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "part_type_revenue",
+    oracle=f"""
+    WITH agg AS (
+      SELECT p_type,
+             sum({_cents('l_extendedprice * (1.0 - l_discount)')})::BIGINT AS revenue_cents,
+             count(*)::BIGINT AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type)
+    SELECT p_type, revenue_cents, n_items,
+           floor((revenue_cents * 1.0 / sum(revenue_cents) OVER ())*10000 + 0.5)/10000.0
+             AS revenue_share
+    FROM agg ORDER BY p_type
+    """,
+)
+def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 flavor: revenue share per part type (window over agg)."""
+    from .functions.scalar import round4
+
+    out = R.part_type_revenue(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+    return out.select(
+        "p_type", "revenue_cents", "n_items",
+        round4("revenue_share").alias("revenue_share"),
+    )
+
+
+@register(
+    "brand_supplier_stats",
+    oracle="""
+    SELECT p_brand,
+           count(DISTINCT s_suppkey)::BIGINT AS n_suppliers,
+           count(DISTINCT p_partkey)::BIGINT AS n_parts,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q_brand_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 flavor: distinct suppliers/parts per brand via the
+    lineitem bridge (fixture schema has no partsupp)."""
+    return R.brand_supplier_stats(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
     "event_value_percentiles",
     oracle="""
     SELECT event_type,

@@ -221,3 +221,29 @@ def q_quality_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qual.groupBy("lang").applyInPandas(
         zscore, schema="doc_id long, lang string, zscore double"
     )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+             AS fingerprint,
+           list_reduce(
+             list_prepend(
+               0::BIGINT,
+               list_transform(
+                 list_filter(string_split_regex(text, ''), c -> c != ''),
+                 c -> ascii(c)::BIGINT)),
+             (acc, x) -> (acc * 131 + x) % 1000000007) AS rhash
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: normalized-md5 + polynomial rolling hash
+    (base 131 mod 1e9+7) — the winnowing/rsync-style primitive; both are
+    native folds, scan-bound at 100 TB.  The DuckDB twin folds the same
+    recurrence with list_reduce over code points."""
+    from .operators.text_analysis import fingerprints
+
+    return fingerprints(__load(spark, sf_dir, "documents")).orderBy("doc_id")
