@@ -188,6 +188,67 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "purchase_asof_click",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+             {_cents('value')} AS value_cents, event_type
+      FROM events),
+    p AS (SELECT event_id, user_id, ts_us, value_cents FROM e
+          WHERE event_type = 'purchase'),
+    c0 AS (SELECT user_id, ts_us, value_cents,
+                  row_number() OVER (PARTITION BY user_id, ts_us
+                                     ORDER BY event_id DESC) AS rn
+           FROM e WHERE event_type = 'click'),
+    c AS (SELECT user_id, ts_us, value_cents FROM c0 WHERE rn = 1)
+    SELECT p.event_id, p.user_id, p.ts_us, p.value_cents,
+           coalesce(c.ts_us, -1) AS asof_click_ts_us,
+           coalesce(c.value_cents, -1) AS asof_click_value_cents
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    ORDER BY p.event_id
+    """,
+)
+def q_purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent click at or
+    before it (point-in-time feature attachment).  Spark side is the
+    union+window merge (operators/asof.py); DuckDB oracle is its native
+    ASOF LEFT JOIN — two entirely different formulations, bit-identical."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.asof import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+        R.cents("value").alias("value_cents"),
+        "event_type",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    clicks_w = Window.partitionBy("user_id", "ts_us").orderBy(F.desc("event_id"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(clicks_w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts_us", "value_cents", F.col("ts_us").alias("click_ts_us"))
+    )
+    out = asof_join_backward(
+        purchases,
+        clicks.select("user_id", "ts_us", "value_cents", "click_ts_us"),
+        key="user_id", ts="ts_us",
+        right_payloads=["click_ts_us", "value_cents"],
+    )
+    # no-match → -1 sentinel (NULL-free numeric outputs survive naive
+    # row-sorting comparators; same convention as the rollup sentinel)
+    return out.select(
+        "event_id", "user_id", "ts_us", "value_cents",
+        F.coalesce("asof_click_ts_us", F.lit(-1)).alias("asof_click_ts_us"),
+        F.coalesce("asof_value_cents", F.lit(-1)).alias("asof_click_value_cents"),
+    ).orderBy("event_id")
+
+
+@register(
     "purchase_days_without_errors",
     oracle="""
     SELECT DISTINCT user_id, ts::DATE AS day FROM events WHERE event_type = 'purchase'
