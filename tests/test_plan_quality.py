@@ -1,0 +1,47 @@
+"""Plan-quality gates: predicates reach the parquet scan (PushedFilters)
+and projection prunes the read schema — the two properties that decide
+whether a 100 TB scan reads terabytes or gigabytes."""
+
+from __future__ import annotations
+
+from conftest import SF_TEST
+from vector_search_spark import registry
+
+
+def _formatted(spark, df) -> str:
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _scan_block(plan: str, table_hint: str) -> str:
+    # the scan node's detail block mentioning the table's column prefix
+    blocks = plan.split("\n\n")
+    hits = [b for b in blocks if "Scan parquet" in b and table_hint in b]
+    assert hits, f"no parquet scan block for {table_hint}: {plan[:800]}"
+    return "\n\n".join(hits)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = registry.QUERIES["pricing_summary"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    scan = _scan_block(plan, "l_shipdate")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan" in scan
+    # 6 needed columns, not the whole lineitem schema
+    assert "l_orderkey" not in scan.split("ReadSchema")[1]
+
+
+def test_order_priority_counts_pushdown(spark):
+    df = registry.QUERIES["order_priority_counts"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    scan = _scan_block(plan, "o_orderdate")
+    assert "GreaterThan" in scan and "LessThan" in scan  # both range bounds pushed
+    read = scan.split("ReadSchema")[1]
+    assert "o_orderpriority" in read and "o_totalprice" not in read
+
+
+def test_text_stats_reads_only_needed_columns(spark):
+    df = registry.QUERIES["text_stats"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    scan = _scan_block(plan, "doc_id")
+    read = scan.split("ReadSchema")[1]
+    assert "text" in read
+    assert "embedding" not in read and "source" not in read and "lang" not in read

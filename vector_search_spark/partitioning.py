@@ -16,6 +16,7 @@ coarse scans).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def fan_out(df: DataFrame, *cols: str, target: int | None = None) -> DataFrame:
@@ -41,3 +42,39 @@ def fan_out(df: DataFrame, *cols: str, target: int | None = None) -> DataFrame:
     elif df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side, replicate the other.
+
+    A hash join on a hot key puts every row of that key in ONE task; AQE's
+    skew-join split handles sort-merge joins, but replicated-salting is the
+    general fix (and the only one for aggregation-feeding joins where a
+    single key exceeds one executor).  Here:
+
+    - the skewed side gets a deterministic per-row salt in [0, buckets)
+      (md5 of the whole row's key + a row discriminator is unnecessary —
+      any distribution works for correctness; we hash the key with
+      ``spark_partition_id`` mixed in so rows of one hot key spread),
+    - the other side is exploded ``buckets``× (its rows are assumed
+      moderate; for two huge skewed sides, salt a bucketed range join),
+    - the join key becomes (key, salt), so the hot key's rows land in
+      ``buckets`` independent tasks.
+
+    Result is row-identical to ``skewed.join(other, key, how)``.
+    """
+    salt = F.pmod(
+        F.crc32(F.concat_ws(":", F.col(key).cast("string"), F.spark_partition_id())),
+        F.lit(buckets),
+    ).cast("int")
+    left = skewed.withColumn("__salt", salt)
+    right = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(b) for b in range(buckets)]))
+    )
+    return left.join(right, [key, "__salt"], how).drop("__salt")

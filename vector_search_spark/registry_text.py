@@ -247,3 +247,45 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import fingerprints
 
     return fingerprints(__load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "train_eval_split",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 100 < 90
+                  THEN 'train' ELSE 'eval' END AS split,
+             length(text) AS n_chars
+      FROM documents)
+    SELECT lang, split, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+    FROM s GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/eval split (the held-out-set
+    assignment a training pipeline bakes into ingestion): md5(salt:id) %
+    100 < 90 → train.  Hash assignment is reproducible across engines,
+    runs, and cluster sizes — never `rand()`.  Aggregated per (lang,
+    split) for a stable, comparable result."""
+    docs = __load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return (
+        docs.select(
+            "lang",
+            F.when(bucket < 90, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
