@@ -56,12 +56,20 @@ def main() -> None:
     setup_sec = round(time.perf_counter() - t0, 3)
     print(f"# setup (shingle/signature/IVF index builds): {setup_sec}s", file=sys.stderr)
 
+    # SPARK_GRAFT_BENCH_REPS > 1 reports the per-query MEDIAN of that many
+    # runs (local[N] run-to-run variance is ~±30%; medians compare cleanly
+    # across rounds).  Default 1 = the driver's single-shot contract.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
         print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -91,10 +91,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10 for 20 queries (deterministic centroids + Lloyd
     refinement; approximate ⇒ no SQL oracle, recall pinned in pytest)."""
-    emb = __load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
     cent_mat, indexed = _shared_ivf_index(spark, sf_dir)
+    # query batch drawn from the persisted index (no parquet re-scan;
+    # replicas deduped) — same vectors as the embeddings table
+    queries = (
+        indexed.filter(F.col("vec_id") < 20)
+        .dropDuplicates(["vec_id"])
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
     out = ivf_query(indexed, cent_mat, queries, k=10, nprobe=8)
     return out.select("query_id", "vec_id", round4("score").alias("score"), "rank")
