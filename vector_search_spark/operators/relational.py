@@ -118,6 +118,50 @@ def sales_rollup(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def sales_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE (returnflag, linestatus): all 2² grouping combinations in one
+    pass (rollup's superset — §2.6 grouping-surface coverage).  Same
+    partial-agg economics as rollup: the expand operator emits 4 grouping
+    copies map-side, each combined before the single exchange.  NULL
+    grouping keys → 'ALL' sentinel, as in sales_rollup."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents("l_extendedprice")).alias("base_price_cents"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_items",
+            "base_price_cents",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def user_running_value(events: DataFrame, mov_n: int = 3) -> DataFrame:
+    """Running + moving window frames per user: cumulative value and a
+    ``mov_n``-event trailing moving sum, ordered by time.
+
+    ROWS-frame windows are single-pass per partition after one exchange on
+    user_id; state is O(frame) — the canonical sessionless feature-
+    engineering shape (lag features for training data).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-(mov_n - 1), Window.currentRow)
+    vc = cents("value")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+        vc.alias("value_cents"),
+        F.sum(vc).over(cum).alias("cum_value_cents"),
+        F.sum(vc).over(mov).alias("mov_value_cents"),
+    )
+
+
 def customers_without_recent_orders(
     customer: DataFrame, orders: DataFrame, since: str = "2001-01-01"
 ) -> DataFrame:

@@ -102,6 +102,41 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sales_cube",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           count(*)::BIGINT AS n_items,
+           sum({_cents('l_extendedprice')})::BIGINT AS base_price_cents
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY 1, 2
+    """,
+)
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.sales_cube(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "user_running_value",
+    oracle=f"""
+    SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+           {_cents('value')} AS value_cents,
+           sum({_cents('value')}) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_value_cents,
+           sum({_cents('value')}) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts), event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS mov_value_cents
+    FROM events
+    """,
+)
+def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running/moving ROWS-frame windows (cumulative + trailing-3 sums)."""
+    return R.user_running_value(_t(spark, sf_dir, "events"), mov_n=3)
+
+
+@register(
     "customers_without_recent_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
