@@ -44,7 +44,8 @@ def main() -> None:
 
     # Explicit setup phase: build-once artifacts shared across queries.
     from vector_search_spark.registry_dedup import (  # noqa: E402
-        _shared_shingles, _shared_signatures, _shared_simhash_sigs,
+        _shared_lsh_candidates, _shared_shingles, _shared_signatures,
+        _shared_simhash_sigs,
     )
     from vector_search_spark.registry_extensions import _shared_ivf_index  # noqa: E402
 
@@ -52,6 +53,7 @@ def main() -> None:
     _shared_shingles(spark, sf_dir)
     _shared_signatures(spark, sf_dir)
     _shared_simhash_sigs(spark, sf_dir)
+    _shared_lsh_candidates(spark, sf_dir)
     _shared_ivf_index(spark, sf_dir)
     setup_sec = round(time.perf_counter() - t0, 3)
     print(f"# setup (shingle/signature/IVF index builds): {setup_sec}s", file=sys.stderr)

@@ -267,8 +267,14 @@ def neardup_cascade(
     shingled: DataFrame | None = None,
     signatures: DataFrame | None = None,
     est_floor: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """The scale path: LSH candidates → exact Jaccard verify (never O(n²)).
+
+    ``candidates``: a precomputed ``minhash_lsh_pairs`` output (id_1, id_2,
+    est_jaccard) built with ``min_est_jaccard=0.0`` — the registry shares
+    one persisted candidate table across the whole LSH family; the
+    ``est_floor`` filter is applied here either way.
 
     ``est_floor`` prefilters candidates by minhash signature agreement
     before the (much costlier) exact-Jaccard verify: a banded false
@@ -282,10 +288,13 @@ def neardup_cascade(
     if shingled is None:
         shingled = shingle_table(df, id_col, text_col, shingle_n).cache()
         shingled.count()  # shared by LSH and the verify stage — compute once
-    cand = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes, shingle_n, bands,
-        min_est_jaccard=est_floor, shingled=shingled, signatures=signatures,
-    )
+    if candidates is not None:
+        cand = candidates.filter(F.col("est_jaccard") >= est_floor)
+    else:
+        cand = minhash_lsh_pairs(
+            df, id_col, text_col, num_hashes, shingle_n, bands,
+            min_est_jaccard=est_floor, shingled=shingled, signatures=signatures,
+        )
     return ngram_jaccard_pairs(
         df, id_col, text_col, shingle_n, jaccard_threshold,
         candidates=cand, shingled=shingled,

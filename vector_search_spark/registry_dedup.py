@@ -72,6 +72,23 @@ def _shared_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+_CAND_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band candidates with est_jaccard, floor 0.0 — the one banded
+    self-join the whole LSH family shares; each query filters its own
+    threshold on top (a narrow filter over the persisted pair table)."""
+    return _session_cached(
+        _CAND_CACHE, spark, sf_dir,
+        lambda: minhash_lsh_pairs(
+            __load(spark, sf_dir, "documents"),
+            num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
+            min_est_jaccard=0.0,
+            shingled=_shared_shingles(spark, sf_dir),
+            signatures=_shared_signatures(spark, sf_dir),
+        ),
+    )
 
 
 def _shared_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,12 +184,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = __load(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(
-        docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
-        min_est_jaccard=0.5, shingled=_shared_shingles(spark, sf_dir),
-        signatures=_shared_signatures(spark, sf_dir),
-    )
+    out = _shared_lsh_candidates(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
     return out.select("id_1", "id_2", round4("est_jaccard").alias("est_jaccard"))
 
 
@@ -207,13 +219,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for small corpora, but is not the registered shape (it is quadratic in
     shingle frequency; judge r1 item 5)."""
     docs = __load(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(
-        docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
-        min_est_jaccard=0.0, shingled=_shared_shingles(spark, sf_dir),
-        signatures=_shared_signatures(spark, sf_dir),
-    )
     out = ngram_jaccard_pairs(
-        docs, n=SHINGLE_N, threshold=0.05, candidates=cand,
+        docs, n=SHINGLE_N, threshold=0.05,
+        candidates=_shared_lsh_candidates(spark, sf_dir),
         shingled=_shared_shingles(spark, sf_dir),
     )
     return out.select("id_1", "id_2", round4("jaccard").alias("jaccard"))
@@ -318,6 +326,7 @@ def q_dedup_cascade_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
         jaccard_threshold=0.8, shingled=_shared_shingles(spark, sf_dir),
         signatures=_shared_signatures(spark, sf_dir), est_floor=0.5,
+        candidates=_shared_lsh_candidates(spark, sf_dir),
     )
     dropped = pairs.select(F.col("id_2").alias("doc_id")).distinct()
     return (
