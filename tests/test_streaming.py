@@ -105,3 +105,31 @@ def test_stateful_running_totals(spark):
     assert len(final) == len(want) > 0
     for uid, row in final.items():
         assert want[uid] == (row["n_events"], row["value_cents"]), uid
+
+
+def test_stateful_per_event_running_value(spark):
+    """Streaming per-event running sums == the batch ROWS-frame cumulative
+    column (user_running_value), row for row, once the stream drains."""
+    from vector_search_spark.operators.relational import user_running_value
+    from vector_search_spark.streaming.stateful import per_event_running_value
+
+    stream = stream_events_from_parquet(spark, SF)
+    out = per_event_running_value(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("per_event_running")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: (r["user_id"], r["ts_us"], r["cum_value_cents"])
+        for r in spark.sql("SELECT * FROM per_event_running").collect()
+    }
+    want = {
+        r["event_id"]: (r["user_id"], r["ts_us"], r["cum_value_cents"])
+        for r in user_running_value(load_table(spark, SF, "events")).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -284,6 +284,71 @@ def q_purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "purchase_attribution_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+             {_cents('value')} AS value_cents, event_type
+      FROM events),
+    p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts_us, value_cents FROM e WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts_us,
+           count(c.ts_us)::BIGINT AS n_clicks,
+           coalesce(sum(c.value_cents), 0)::BIGINT AS click_value_cents
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts_us >= p.ts_us AND c.ts_us <= p.ts_us + 300000000
+    GROUP BY p.event_id, p.user_id, p.ts_us
+    ORDER BY p.event_id
+    """,
+)
+def q_purchase_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window range join: clicks within 5 minutes AFTER each
+    purchase (same user), counted + summed per purchase.  Spark side is the
+    bucketed interval join (operators/rangejoin.py — equi-join on
+    (user, time-bucket), exact BETWEEN filter); the oracle is the naive
+    BETWEEN theta-join DuckDB can afford at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from .operators.rangejoin import interval_join
+
+    window_us = 5 * 60 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+        R.cents("value").alias("value_cents"),
+        "event_type",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id",
+        F.col("ts_us").alias("p_ts_us"),
+        (F.col("ts_us") + window_us).alias("p_end_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "value_cents"
+    )
+    hits = interval_join(
+        clicks, purchases, key="user_id", point_ts="ts_us",
+        start="p_ts_us", end="p_end_us", bucket_width=window_us,
+    )
+    per_purchase = hits.groupBy("p_event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum("value_cents").alias("click_value_cents"),
+    )
+    return (
+        purchases.join(per_purchase, "p_event_id", "left")
+        .select(
+            F.col("p_event_id").alias("event_id"),
+            "user_id",
+            F.col("p_ts_us").alias("ts_us"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("click_value_cents", F.lit(0)).alias("click_value_cents"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "purchase_days_without_errors",
     oracle="""
     SELECT DISTINCT user_id, ts::DATE AS day FROM events WHERE event_type = 'purchase'

@@ -36,6 +36,47 @@ def _update_user(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     )
 
 
+PER_EVENT_SCHEMA = "user_id long, event_id long, ts_us long, cum_value_cents long"
+PER_EVENT_STATE = "cum long"
+
+
+def _update_per_event(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    (cum,) = state.get if state.exists else (0,)
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for eid, ts, v in zip(pdf["event_id"], pdf["ts_us"], pdf["value"]):
+            cum += int(v * 100.0 + 0.5)  # same deterministic cents rule
+            out_rows.append((key[0], int(eid), int(ts), cum))
+    state.update((cum,))
+    yield pd.DataFrame(
+        out_rows, columns=["user_id", "event_id", "ts_us", "cum_value_cents"]
+    )
+
+
+def per_event_running_value(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``user_running_value`` cumulative column:
+    one output row PER EVENT carrying the user's running cents total, state
+    = a single long per user.
+
+    Correct cumulative order requires per-user event-time order across
+    micro-batches (upstream watermark+sort, or source ordering as in the
+    tests); within a batch rows are sorted here.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "user_id", "event_id", "value", F.expr("ts_ns DIV 1000").alias("ts_us")
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _update_per_event,
+        outputStructType=PER_EVENT_SCHEMA,
+        stateStructType=PER_EVENT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Streaming DataFrame (user_id, value, ts_us) → running totals per user.
 
