@@ -79,3 +79,31 @@ def test_ivf_recall_vs_exact(spark):
         key = (r["query_id"], r["vec_id"])
         if key in ex_scores:
             assert abs(ex_scores[key] - r["score"]) < 1e-9
+
+
+def test_srp_recall_vs_exact(spark):
+    """SRP-LSH top-10 recall vs exact brute force, pinned ≥ 0.35.
+
+    The synthetic corpus is ISOTROPIC — near-worst case for angular LSH
+    (top-10 cosine ≈ 0.4 ⇒ bit-agreement 0.63 ⇒ P[some 4-bit band of 4
+    matches] ≈ 0.5, vs ≈ 0.23 for a random pair).  On clustered real
+    embeddings the neighbor/background gap, and hence recall, is far
+    larger.  Correctness of WHAT SRP returns is the bit-exact
+    `ann_srp_topk` oracle; this test only guards against recall
+    regressions (e.g., a band-extraction bug returns ~0.23 random-level)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.ann import srp_topk
+    from vector_search_spark.operators.knn import similarity_join
+    from vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = srp_topk(emb, queries, k=10)
+    exact = similarity_join(emb, queries, k=10)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert len(e) == 100
+    assert len(a & e) / len(e) >= 0.35

@@ -242,3 +242,114 @@ def ivf_topk(
         indexed, cent_mat, queries, k, nprobe,
         id_col, vec_col, query_id_col, query_vec_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (signed random projection) ANN — the LSH-bucketed variant.
+# Unlike IVF (data-dependent centroids → rows-only check), SRP hyperplanes
+# are pure md5-derived constants, so the WHOLE pipeline — signature, band
+# buckets, candidates, rescore, rank — is reproducible in SQL and gets a
+# bit-exact DuckDB oracle.
+# ---------------------------------------------------------------------------
+def srp_planes(dim: int, n_bits: int = 16, seed: str = "srp") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component j of plane b =
+    md5(f"{seed}|{b}|{j}") first 8 hex chars scaled to [-1, 1).  Same
+    constants on any engine — the planes ARE the index definition."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}|{b}|{j}".encode()).hexdigest()[:8], 16)
+            / float(1 << 31)
+            - 1.0
+            for j in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
+def srp_signature(vec_col, planes: list[list[float]]):
+    """n_bits-bit LSH signature: bit b = [dot(vec, plane_b) >= 0].  Native
+    zip_with/aggregate folds — JVM-side, scan-bound, no UDF."""
+    from pyspark.sql import Column
+
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits: list[Column] = []
+    for b, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda a, p: a.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(dot >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for c in bits[1:]:
+        out = out + c
+    return out
+
+
+def srp_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: str = "srp",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate per-query top-k via SRP band buckets + exact rescore.
+
+    Candidates = (query, id) pairs agreeing on ≥1 of ``bands`` signature
+    bands (classic banding; a high-cosine pair agrees on most sign bits so
+    some band matches with high probability).  Candidates are narrow id
+    pairs; vectors are never exploded or shuffled — the rescore joins the
+    (small, broadcastable) candidate set back to the scan.
+    """
+    assert n_bits % bands == 0
+    bits_per_band = n_bits // bands
+    mask = (1 << bits_per_band) - 1
+    planes = srp_planes(dim, n_bits, seed)
+
+    def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        sig = srp_signature(vc, planes).alias("__sig")
+        b = df.select(F.col(idc), sig)
+        bandcols = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("__sig"), i * bits_per_band)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for i in range(bands)
+            ]
+        )
+        return b.select(idc, F.explode(bandcols).alias("bv")).select(
+            idc, F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+        )
+
+    qb = banded(queries, query_id_col, query_vec_col)
+    ib = banded(emb, id_col, vec_col)
+    cand = (
+        qb.join(ib, ["band", "val"])
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    qv = queries.select(query_id_col, F.col(query_vec_col).alias("__qvec"))
+    cand_v = F.broadcast(cand.join(qv, query_id_col))
+    scored = emb.join(cand_v, id_col).withColumn(
+        "score", dot_product(F.col(vec_col), F.col("__qvec"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.select(query_id_col, id_col, "score")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

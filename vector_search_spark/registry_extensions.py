@@ -9,10 +9,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.scalar import round4
-from .operators.ann import ivf_build, ivf_query
+from .operators.ann import ivf_build, ivf_query, srp_planes, srp_topk
 from .operators.multimodal import attach_binary_payload, decode_image_features
 from .registry import register
 from .sources.tables import load_table as __load
+
+# --- SRP-LSH oracle SQL, generated from the SAME md5-derived hyperplane
+# constants the Spark operator uses (repr round-trips doubles exactly) -------
+_SRP_BITS, _SRP_BANDS, _SRP_DIM = 16, 4, 64
+_SRP_MASK = (1 << (_SRP_BITS // _SRP_BANDS)) - 1
+_PLANES = srp_planes(_SRP_DIM, _SRP_BITS)
+
+_SQL_SRP_SIG = " + ".join(
+    "CASE WHEN list_dot_product(embedding::DOUBLE[], [{vals}]) >= 0 "
+    "THEN {w}::BIGINT ELSE 0 END".format(
+        vals=", ".join(repr(x) for x in plane), w=1 << b
+    )
+    for b, plane in enumerate(_PLANES)
+)
+_SQL_SRP_BANDS = ", ".join(
+    f"(sig >> {i * (_SRP_BITS // _SRP_BANDS)}) & {_SRP_MASK} AS b{i}"
+    for i in range(_SRP_BANDS)
+)
+_SQL_SRP_CAND = " UNION ".join(
+    f"SELECT q.query_id, i.vec_id FROM qb q JOIN ib i ON q.b{i} = i.b{i}"
+    for i in range(_SRP_BANDS)
+)
+_SRP_ORACLE = f"""
+    WITH sig AS (
+      SELECT vec_id, ({_SQL_SRP_SIG}) AS sig FROM embeddings),
+    qb AS (SELECT vec_id AS query_id, {_SQL_SRP_BANDS} FROM sig WHERE vec_id < 20),
+    ib AS (SELECT vec_id, {_SQL_SRP_BANDS} FROM sig),
+    cand AS ({_SQL_SRP_CAND}),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS raw
+      FROM cand c
+      JOIN embeddings e ON c.vec_id = e.vec_id
+      JOIN embeddings q ON c.query_id = q.vec_id)
+    SELECT query_id, vec_id,
+           floor((raw)*10000 + 0.5)/10000.0 AS score,
+           rank::INTEGER AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY raw DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """
 
 # IVF index cache per (session, sf_dir): the build (centroid sample + Lloyd
 # refine + assignment) is the amortizable part — at 100 TB it's a persisted
@@ -100,4 +142,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
     out = ivf_query(indexed, cent_mat, queries, k=10, nprobe=8)
+    return out.select("query_id", "vec_id", round4("score").alias("score"), "rank")
+
+
+@register("ann_srp_topk", oracle=_SRP_ORACLE)
+def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN top-10 for 20 queries: signed-random-projection band
+    buckets → exact rescore.  The hyperplanes are md5-derived constants, so
+    unlike IVF the whole approximate pipeline is SQL-expressible and this
+    ANN entry is verified bit-exactly against DuckDB (candidates AND
+    ranks), not just rows-only."""
+    emb = __load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = srp_topk(
+        emb, queries, k=10, n_bits=_SRP_BITS, bands=_SRP_BANDS, dim=_SRP_DIM
+    )
     return out.select("query_id", "vec_id", round4("score").alias("score"), "rank")
