@@ -9,10 +9,65 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.text import BPE_TOKEN_PATTERN, PUNCT_PATTERN, STOPWORDS
-from .operators.text_analysis import corpus_stats, document_stats, language_id
 from .functions.scalar import round4
 from .registry import register
 from .sources.tables import load_table as __load
+
+# ---------------------------------------------------------------------------
+# Shared per-session document-feature table (HANDOFF r2 candidate #3).
+#
+# Five registry queries (text_stats, corpus_stats, lang_id_accuracy,
+# quality_zscore_by_lang, doc_fingerprints) each re-derived the same
+# regex-heavy expressions (BPE count, stopword hits, punct count ×2 inside
+# quality) from raw text — the dominant CPU cost of the text family per the
+# r1 plan audit.  Like the dedup family's shingle/signature tables, the
+# features are now computed ONCE per (session, sf_dir), persisted, and every
+# query derives from the cached columns.
+#
+# Bit-exactness invariant: the cache stores only UNROUNDED components (raw
+# doubles, exact ints, md5 strings).  round4 is applied at emission, and
+# aggregates (avg/countDistinct) consume the identical doubles the inline
+# expressions would produce, so every oracle hash is unchanged.  At 100 TB
+# this is the standard amortized-feature-table model: one scan-bound pass
+# materializes the narrow feature projection, queries never re-touch text.
+# ---------------------------------------------------------------------------
+_FEATURE_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _shared_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_dedup import _session_cached
+    from .functions.text import (
+        md5_fingerprint,
+        punct_ratio,
+        quality_score,
+        rolling_hash,
+        token_count_bpe,
+        token_count_ws,
+        stopword_ratio,
+    )
+    from .operators.text_analysis import _lang_scores
+    from .partitioning import fan_out
+
+    def build() -> DataFrame:
+        docs = __load(spark, sf_dir, "documents")
+        t = F.col("text")
+        s = _lang_scores(t)
+        return fan_out(docs, "doc_id").select(
+            "doc_id",
+            "lang",
+            "source",
+            F.length(t).alias("n_chars"),
+            token_count_ws(t).alias("n_tokens_ws"),
+            token_count_bpe(t).alias("n_tokens_bpe"),
+            punct_ratio(t).alias("punct_raw"),
+            stopword_ratio(t, "en").alias("stop_raw"),
+            quality_score(t, "en").alias("quality_raw"),
+            *[s[lang].alias(f"score_{lang}") for lang in ("en", "es", "fr", "de")],
+            md5_fingerprint(t).alias("fingerprint"),
+            rolling_hash(t).alias("rhash"),
+        )
+
+    return _session_cached(_FEATURE_CACHE, spark, sf_dir, build)
 
 
 def _sql_ws_tokens(col: str = "text") -> str:
@@ -47,8 +102,16 @@ _SQL_QUALITY = (
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = __load(spark, sf_dir, "documents")
-    return document_stats(docs)
+    feats = _shared_doc_features(spark, sf_dir)
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        round4("punct_raw").alias("punct_ratio"),
+        round4("stop_raw").alias("stopword_ratio"),
+        round4("quality_raw").alias("quality"),
+    )
 
 
 def _sql_lang_score(lang: str) -> str:
@@ -74,11 +137,22 @@ _SQL_PRED = f"""
     """,
 )
 def q_lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit-rate language ID vs. the fixture's ground-truth lang tag."""
-    docs = __load(spark, sf_dir, "documents")
-    pred = language_id(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    """Stopword-hit-rate language ID vs. the fixture's ground-truth lang tag.
+
+    Argmax over the cached per-language score columns — identical CASE
+    ladder (tie-break en > es > fr > de) to ``operators.text_analysis.
+    language_id``, evaluated on the same doubles, minus the text re-scan."""
+    feats = _shared_doc_features(spark, sf_dir)
+    s = {lang: F.col(f"score_{lang}") for lang in ("en", "es", "fr", "de")}
+    pred_lang = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]), F.lit("en"))
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), F.lit("es"))
+        .when(s["fr"] >= s["de"], F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
     return (
-        pred.groupBy("lang")
+        feats.select("lang", pred_lang.alias("pred_lang"))
+        .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)).alias(
@@ -103,8 +177,20 @@ def q_lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = __load(spark, sf_dir, "documents")
-    return corpus_stats(docs, "lang")
+    """Per-lang corpus aggregate from the cached features (averages consume
+    the identical unrounded doubles the inline expressions produced)."""
+    feats = _shared_doc_features(spark, sf_dir)
+    return (
+        feats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round4(F.avg("n_chars")).alias("avg_chars"),
+            round4(F.avg(F.col("n_tokens_ws").cast("double"))).alias("avg_tokens"),
+            round4(F.avg("quality_raw")).alias("avg_quality"),
+            F.countDistinct("fingerprint").alias("distinct_texts"),
+        )
+        .orderBy("lang")
+    )
 
 
 @register(
@@ -198,11 +284,8 @@ def q_quality_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     group sizes here."""
     import pandas as pd
 
-    from .functions.text import quality_score
-
-    docs = __load(spark, sf_dir, "documents")
-
-    qual = docs.select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
+    feats = _shared_doc_features(spark, sf_dir)
+    qual = feats.select("doc_id", "lang", F.col("quality_raw").alias("quality"))
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         mean = pdf["quality"].mean()
@@ -244,9 +327,8 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (base 131 mod 1e9+7) — the winnowing/rsync-style primitive; both are
     native folds, scan-bound at 100 TB.  The DuckDB twin folds the same
     recurrence with list_reduce over code points."""
-    from .operators.text_analysis import fingerprints
-
-    return fingerprints(__load(spark, sf_dir, "documents")).orderBy("doc_id")
+    feats = _shared_doc_features(spark, sf_dir)
+    return feats.select("doc_id", "fingerprint", "rhash").orderBy("doc_id")
 
 
 @register(
