@@ -47,7 +47,9 @@ def main() -> None:
         _shared_lsh_candidates, _shared_shingles, _shared_signatures,
         _shared_simhash_sigs,
     )
-    from vector_search_spark.registry_extensions import _shared_ivf_index  # noqa: E402
+    from vector_search_spark.registry_extensions import (  # noqa: E402
+        _shared_ivf_index, _shared_srp_index,
+    )
     from vector_search_spark.registry_text import _shared_doc_features  # noqa: E402
 
     t0 = time.perf_counter()
@@ -56,6 +58,7 @@ def main() -> None:
     _shared_simhash_sigs(spark, sf_dir)
     _shared_lsh_candidates(spark, sf_dir)
     _shared_ivf_index(spark, sf_dir)
+    _shared_srp_index(spark, sf_dir)
     _shared_doc_features(spark, sf_dir)
     setup_sec = round(time.perf_counter() - t0, 3)
     print(f"# setup (shingle/signature/IVF index builds): {setup_sec}s", file=sys.stderr)

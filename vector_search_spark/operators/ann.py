@@ -291,6 +291,56 @@ def srp_signature(vec_col, planes: list[list[float]]):
     return out
 
 
+def srp_band_table(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: str = "srp",
+    dim: int = 64,
+    spread: bool = False,
+) -> DataFrame:
+    """The SRP index: narrow ``(id, band, val)`` band-bucket rows.
+
+    At scale this is a build-once artifact (persisted ``partitionBy(band)``
+    parquet, rebuilt only when the corpus changes); in-session the registry
+    persists it once per (session, sf) like the IVF index, so the
+    registered query times the QUERY path, not an index rebuild.
+
+    ``spread=True`` fans the scan out before the signature projection —
+    the 16 per-plane dot-product folds are the expensive part of the
+    build, and a single-file local scan would otherwise compute them in
+    one task.  (fan_out repartitions vectors, sanctioned for small inputs
+    only; a real multi-file scan already has enough splits and fan_out is
+    a no-op.)
+    """
+    assert n_bits % bands == 0
+    bits_per_band = n_bits // bands
+    mask = (1 << bits_per_band) - 1
+    planes = srp_planes(dim, n_bits, seed)
+    src = df.select(F.col(id_col), F.col(vec_col))
+    if spread:
+        from ..partitioning import fan_out
+
+        src = fan_out(src, id_col)
+    b = src.select(F.col(id_col), srp_signature(vec_col, planes).alias("__sig"))
+    bandcols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("__sig"), i * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return b.select(id_col, F.explode(bandcols).alias("bv")).select(
+        id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+
+
 def srp_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -303,6 +353,7 @@ def srp_topk(
     query_vec_col: str = "query_vec",
     seed: str = "srp",
     dim: int = 64,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate per-query top-k via SRP band buckets + exact rescore.
 
@@ -311,41 +362,37 @@ def srp_topk(
     some band matches with high probability).  Candidates are narrow id
     pairs; vectors are never exploded or shuffled — the rescore joins the
     (small, broadcastable) candidate set back to the scan.
+
+    ``index_bands``: a prebuilt ``srp_band_table`` for the corpus side
+    (the amortized index).  When None, it is derived inline.
     """
-    assert n_bits % bands == 0
-    bits_per_band = n_bits // bands
-    mask = (1 << bits_per_band) - 1
-    planes = srp_planes(dim, n_bits, seed)
-
-    def banded(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        sig = srp_signature(vc, planes).alias("__sig")
-        b = df.select(F.col(idc), sig)
-        bandcols = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftright(F.col("__sig"), i * bits_per_band)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("val"),
-                )
-                for i in range(bands)
-            ]
-        )
-        return b.select(idc, F.explode(bandcols).alias("bv")).select(
-            idc, F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
-        )
-
-    qb = banded(queries, query_id_col, query_vec_col)
-    ib = banded(emb, id_col, vec_col)
+    qb = srp_band_table(queries, query_id_col, query_vec_col, n_bits, bands, seed, dim)
+    ib = (
+        index_bands
+        if index_bands is not None
+        else srp_band_table(emb, id_col, vec_col, n_bits, bands, seed, dim, spread=True)
+    )
     cand = (
         qb.join(ib, ["band", "val"])
         .select(query_id_col, id_col)
         .distinct()
     )
     qv = queries.select(query_id_col, F.col(query_vec_col).alias("__qvec"))
-    cand_v = F.broadcast(cand.join(qv, query_id_col))
-    scored = emb.join(cand_v, id_col).withColumn(
-        "score", dot_product(F.col(vec_col), F.col("__qvec"))
+    # two SEPARATE broadcasts: the narrow (query, id) pair set and the tiny
+    # query-vector table.  Broadcasting their join instead would replicate a
+    # query vector onto every candidate pair — |cand| × dim floats over the
+    # wire for no benefit.
+    # fan the corpus side out before the rescore: a broadcast join preserves
+    # the scan's partitioning, so a single-file local scan would otherwise
+    # evaluate every candidate dot-product fold in one task (same
+    # small-input-only repartition note as srp_band_table)
+    from ..partitioning import fan_out
+
+    scored = (
+        fan_out(emb.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .withColumn("score", dot_product(F.col(vec_col), F.col("__qvec")))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (

@@ -406,3 +406,57 @@ def purchase_days_without_errors(events: DataFrame) -> DataFrame:
     )
     errors = events.filter(F.col("event_type") == "error").select("user_id", day).distinct()
     return purchases.exceptAll(errors).orderBy("user_id", "day")
+
+
+def nation_pair_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    from_date: str = "1995-01-01",
+    to_date: str = "1996-12-31",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume per (supplier nation, customer
+    nation, ship year) for one nation pair, both directions.
+
+    Scale: the two nation lookups broadcast and prune supplier/customer to
+    the pair BEFORE the fact joins, so the big orders⋈lineitem shuffle only
+    carries pair-relevant rows; the shipdate range pushes down to the
+    parquet scan.  The pair disjunction is applied after the per-side
+    nation tags are attached — one filter, no join-condition OR (which
+    would block hash-join planning).
+    """
+    n2 = F.broadcast(
+        nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    supp = F.broadcast(
+        supplier.join(n2, supplier.s_nationkey == n2.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    cust = customer.join(n2, customer.c_nationkey == n2.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    li = lineitem.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit(from_date))
+        & (F.col("l_shipdate").cast("date") <= F.lit(to_date))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("ship_year"),
+        cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("rev_cents"),
+    )
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.sum("rev_cents").alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )

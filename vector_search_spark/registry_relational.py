@@ -443,6 +443,37 @@ def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_pair_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate)::INTEGER AS ship_year,
+           sum({_cents('l_extendedprice * (1.0 - l_discount)')})::BIGINT AS revenue_cents,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name != n2.n_name
+      AND l_shipdate::DATE BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral nation-pair volume by ship year."""
+    return R.nation_pair_volume(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register(
     "brand_supplier_stats",
     oracle="""
     SELECT p_brand,

@@ -332,6 +332,62 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    bi AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(1, len(t)-1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2),
+    c AS (SELECT lang, bigram, count(*)::BIGINT AS n FROM bi GROUP BY 1, 2)
+    SELECT lang, bigram, n, rank::INTEGER AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, bigram) AS rank
+          FROM c)
+    WHERE rank <= 5
+    """,
+)
+def q_bigram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: top-5 word bigrams per language — the
+    token-level sibling of tfidf_top_terms (phrase mining / contamination
+    checks in a training pipeline).
+
+    Scale: bigrams explode to ~|tokens| rows but collapse immediately in a
+    partial-combined count agg (the exchange is O(distinct bigrams), not
+    O(tokens)); the per-lang top-k plans as WindowGroupLimit on both sides
+    of its exchange.  Docs with < 2 tokens are filtered on BOTH sides —
+    Spark's sequence(1, n) flips to a descending range when n < 1, so the
+    guard is a correctness requirement, not just hygiene."""
+    from pyspark.sql import Window
+
+    docs = __load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "bigram", "n", "rank")
+    )
+
+
+@register(
     "train_eval_split",
     oracle="""
     WITH s AS (

@@ -77,6 +77,57 @@ def per_event_running_value(events: DataFrame) -> DataFrame:
     )
 
 
+ASOF_SCHEMA = "user_id long, event_id long, ts_us long, asof_value_cents long"
+ASOF_STATE = "r_ts long, r_cents long"
+
+
+def _update_asof(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    r_ts, r_cents = state.get if state.exists else (-1, -1)
+    out_rows = []
+    for pdf in pdfs:
+        # right-before-left on ts ties (tag 0 < 1) makes the match
+        # INCLUSIVE (right.ts <= left.ts) — same order as the batch window
+        pdf = pdf.sort_values(["ts_us", "tag", "event_id"])
+        for tag, eid, ts, cents in zip(
+            pdf["tag"], pdf["event_id"], pdf["ts_us"], pdf["r_cents"]
+        ):
+            if tag == 0:
+                r_ts, r_cents = int(ts), int(cents)
+            else:
+                out_rows.append((key[0], int(eid), int(ts), r_cents))
+    state.update((r_ts, r_cents))
+    yield pd.DataFrame(
+        out_rows, columns=["user_id", "event_id", "ts_us", "asof_value_cents"]
+    )
+
+
+def streaming_asof_backward(tagged: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.asof.asof_join_backward``: attach to each
+    left row the most recent right-side payload with ``right.ts <= left.ts``
+    for the same key (sentinel -1 before any right row, matching the repo's
+    NULL-free numeric convention).
+
+    Input is the tagged union the batch operator builds internally —
+    columns ``(user_id, event_id, ts_us, tag, r_cents)`` with tag 0 = right
+    rows (r_cents = payload) and tag 1 = left rows — here arriving as a
+    STREAM.  State per key is a single (ts, payload) pair: O(1) memory per
+    key regardless of history length, checkpointed and fault-tolerant.
+
+    Correctness across micro-batches requires per-key event-time order
+    between batches (upstream watermark+sort, or source ordering as in the
+    tests); within a batch rows are sorted here.  At scale this is the
+    standard streaming point-in-time enrichment: the state store shards by
+    key across executors, no shuffle of history, no replay.
+    """
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _update_asof,
+        outputStructType=ASOF_SCHEMA,
+        stateStructType=ASOF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Streaming DataFrame (user_id, value, ts_us) → running totals per user.
 
