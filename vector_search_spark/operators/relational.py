@@ -460,3 +460,200 @@ def nation_pair_volume(
         .agg(F.sum("rev_cents").alias("revenue_cents"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly N orders (N >= 0).
+
+    Scale: the left join and the per-customer count shuffle on the same key
+    (custkey), so the count's partial aggregation runs on the join output
+    without an extra exchange; the distribution agg's exchange is
+    O(distinct counts) — a few hundred rows regardless of corpus size.
+    The left join (not inner) is the point of Q13: zero-order customers
+    must appear in the N=0 bucket.
+    """
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey", "o_orderkey"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))  # count() skips NULLs -> 0
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below 20%
+    of the part's average quantity, per brand.
+
+    Scale: the per-part average is a partial-combined agg to |part| rows,
+    joined back to lineitem on partkey — co-partitioned with the fact
+    scan's natural join key, and AQE broadcasts it when it fits.  The
+    average is computed as exact-integer sum / count (l_quantity is
+    integer-valued): one IEEE division per part, bit-identical across
+    engines and partitionings — never a running-mean accumulator, whose
+    result depends on reduction order.
+    """
+    avg_q = lineitem.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    small = (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return (
+        small.join(
+            part.select("p_partkey", "p_brand"),
+            small.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def large_volume_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: float = 300.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds ``min_qty``,
+    with their customer.
+
+    Scale: the groupBy(orderkey) HAVING filter collapses lineitem to the
+    few hot orders BEFORE any join — the order/customer joins see only the
+    survivors (broadcastable by construction; AQE picks that up).  Sum of
+    integer-valued quantities is exact, so the HAVING threshold cannot
+    flip across engines.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        big.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+            big.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            cents("o_totalprice").alias("total_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_cents"), "orderkey")
+    )
+
+
+def disjunctive_part_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    specs: list[tuple[str, int, int, float, float]] | None = None,
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate over
+    (brand, size range, quantity range), per brand.
+
+    Scale: the classic Q19 trap is writing the disjunction into the join
+    condition, which blocks hash-join planning (only nested-loop can
+    evaluate a disjunctive equi+range mix).  Here the join stays a pure
+    partkey equijoin; the disjunction is a post-join filter, and the
+    implied single-side prefilters (brand IN ..., quantity/size covering
+    ranges) are pushed onto each scan so the join input is already pruned.
+    """
+    if specs is None:
+        specs = [
+            ("Brand#1", 1, 15, 1.0, 20.0),
+            ("Brand#2", 10, 30, 10.0, 30.0),
+            ("Brand#3", 20, 50, 20.0, 40.0),
+        ]
+    brands = [s[0] for s in specs]
+    qmin, qmax = min(s[3] for s in specs), max(s[4] for s in specs)
+    smin, smax = min(s[1] for s in specs), max(s[2] for s in specs)
+    li = lineitem.filter(F.col("l_quantity").between(qmin, qmax)).select(
+        "l_partkey", "l_quantity", cents("l_extendedprice").alias("price_cents")
+    )
+    pt = part.filter(
+        F.col("p_brand").isin(brands) & F.col("p_size").between(smin, smax)
+    ).select("p_partkey", "p_brand", "p_size")
+    disj = None
+    for brand, s_lo, s_hi, q_lo, q_hi in specs:
+        arm = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        disj = arm if disj is None else (disj | arm)
+    return (
+        li.join(pt, li.l_partkey == F.col("p_partkey"))
+        .filter(disj)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("price_cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    since: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average (positive) balance and
+    no recent orders, aggregated per nation.
+
+    Scale: the global average is a 1-row aggregate broadcast back over the
+    scan (no driver collect); the anti-join shuffles on custkey only.  The
+    above-average test uses integer cross-multiplication —
+    ``cents(bal) * n_total > total_cents`` — instead of comparing against
+    a floating-point mean, so the threshold decision is bit-identical on
+    any engine and any partitioning (a double mean differs in the last ulp
+    by reduction order, and one ulp can flip a customer).
+    """
+    pos = customer.filter(F.col("c_acctbal") > 0)
+    tot = pos.agg(
+        F.sum(cents("c_acctbal")).alias("__total_cents"),
+        F.count(F.lit(1)).alias("__n_pos"),
+    )
+    rich = (
+        customer.select("c_custkey", "c_nationkey", cents("c_acctbal").alias("bal_cents"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("bal_cents") * F.col("__n_pos") > F.col("__total_cents"))
+    )
+    recent = orders.filter(F.col("o_orderdate").cast("date") >= F.lit(since)).select(
+        "o_custkey"
+    )
+    idle = rich.join(recent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return (
+        idle.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            idle.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_cents").alias("acctbal_cents"),
+        )
+        .orderBy("n_name")
+    )

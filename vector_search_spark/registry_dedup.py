@@ -332,3 +332,76 @@ def q_dedup_cascade_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(dropped, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval contamination: near-duplicate pairs that CROSS the split.
+# ---------------------------------------------------------------------------
+_SQL_SPLIT = """
+    split AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 100 < 90
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents)
+"""
+
+
+@register(
+    "split_contamination",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS (SELECT DISTINCT id_1, id_2 FROM ({_SQL_CAND})),
+    pairs AS (
+      SELECT c.id_1, c.id_2,
+             floor((({_SQL_AGREE}) / {NUM_HASHES}.0)*10000 + 0.5)/10000.0 AS est_jaccard
+      FROM cand c
+      JOIN sig s1 ON c.id_1 = s1.doc_id
+      JOIN sig s2 ON c.id_2 = s2.doc_id
+      WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5),
+    {_SQL_SPLIT}
+    SELECT CASE WHEN sp1.split = 'eval' THEN p.id_1 ELSE p.id_2 END AS eval_doc_id,
+           CASE WHEN sp1.split = 'eval' THEN p.id_2 ELSE p.id_1 END AS train_doc_id,
+           est_jaccard
+    FROM pairs p
+    JOIN split sp1 ON p.id_1 = sp1.doc_id
+    JOIN split sp2 ON p.id_2 = sp2.doc_id
+    WHERE sp1.split != sp2.split
+    ORDER BY eval_doc_id, train_doc_id
+    """,
+)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan: near-duplicate pairs (LSH candidates
+    with estimated Jaccard >= 0.5) whose members fall on OPPOSITE sides of
+    the deterministic train/eval split — the leakage check a training
+    pipeline runs before publishing a held-out set.
+
+    Scale: reuses the session-shared LSH candidate table (one banded
+    self-join for the whole dedup family) and joins the tiny split
+    assignment — an md5-derived expression, not a table — onto the narrow
+    pair set.  Nothing here rescans the corpus: candidates ARE the work,
+    and they are O(near-dups), not O(n^2).  Split assignment is the same
+    md5(salt:id) bucket as `train_eval_split`, so the contamination report
+    is consistent with the split the pipeline actually ships.
+    """
+    bucket_of = lambda c: (  # noqa: E731 — twin of registry_text split
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col(c).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+    split_of = lambda c: F.when(bucket_of(c) < 90, F.lit("train")).otherwise(  # noqa: E731
+        F.lit("eval")
+    )
+    pairs = _shared_lsh_candidates(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    tagged = pairs.select(
+        "id_1", "id_2", round4("est_jaccard").alias("est_jaccard"),
+        split_of("id_1").alias("__s1"), split_of("id_2").alias("__s2"),
+    ).filter(F.col("__s1") != F.col("__s2"))
+    return tagged.select(
+        F.when(F.col("__s1") == "eval", F.col("id_1")).otherwise(F.col("id_2")).alias("eval_doc_id"),
+        F.when(F.col("__s1") == "eval", F.col("id_2")).otherwise(F.col("id_1")).alias("train_doc_id"),
+        "est_jaccard",
+    ).orderBy("eval_doc_id", "train_doc_id")

@@ -540,3 +540,170 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_purchase_and_click_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.purchase_and_click_days(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, count(*)::BIGINT AS n_customers
+    FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY n_orders ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count."""
+    return R.customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle=f"""
+    WITH avg_q AS (
+      SELECT l_partkey, sum(l_quantity) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT p_brand,
+           sum({_cents('l_extendedprice')})::BIGINT AS revenue_cents,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN avg_q USING (l_partkey)
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity < 0.2 * avg_qty
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity revenue vs per-part average.
+    Oracle mirrors the exact-integer-sum/count average (not avg()) so the
+    threshold decision is reduction-order-independent on both engines."""
+    return R.small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    SELECT c_custkey, c_name, o_orderkey AS orderkey,
+           o_orderdate::DATE AS orderdate,
+           {_cents('o_totalprice')}::BIGINT AS total_cents,
+           sum_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_cents DESC, orderkey
+    """,
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders with total quantity above 300."""
+    return R.large_volume_orders(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
+@register(
+    "disjunctive_part_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           sum({_cents('l_extendedprice')})::BIGINT AS revenue_cents,
+           count(*)::BIGINT AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate kept out of the join condition."""
+    return R.disjunctive_part_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle=f"""
+    WITH tot AS (
+      SELECT sum({_cents('c_acctbal')})::BIGINT AS total_cents,
+             count(*)::BIGINT AS n_pos
+      FROM customer WHERE c_acctbal > 0),
+    rich AS (
+      SELECT c_custkey, c_nationkey, {_cents('c_acctbal')}::BIGINT AS bal_cents
+      FROM customer, tot
+      WHERE {_cents('c_acctbal')}::BIGINT * tot.n_pos > tot.total_cents),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate::DATE >= DATE '2000-01-01')
+    SELECT n_name, count(*)::BIGINT AS n_customers,
+           sum(bal_cents)::BIGINT AS acctbal_cents
+    FROM rich
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average balance, no recent orders, per nation.
+    Above-average test is integer cross-multiplication — see operator."""
+    return R.idle_rich_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "props_json_stats",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(k)::BIGINT AS sum_k, max(k)::BIGINT AS max_k,
+           floor((sum(k) * 1.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_k
+    FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column and
+    aggregate the numeric field per event type.
+
+    Scale: ``get_json_object`` is a JVM-side expression inside whole-stage
+    codegen (no Python in the path); the aggregate is partial-combined so
+    the exchange is O(event types).  The mean is emitted as
+    round4(integer_sum / count) — one division after exact BIGINT sums, so
+    it cannot drift with partitioning.
+    """
+    from pyspark.sql import functions as F
+
+    from .functions.scalar import round4
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_k",
+            "max_k",
+            round4(F.col("sum_k") / F.col("n_events")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

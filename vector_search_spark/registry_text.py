@@ -427,3 +427,53 @@ def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+@register(
+    "token_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE trim(text) != '')
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(len(toks))::BIGINT AS total_tokens,
+           sum(len(list_distinct(toks)))::BIGINT AS distinct_tokens,
+           floor((sum(len(list_distinct(toks))) * 1.0 / sum(len(toks)))
+                 * 10000 + 0.5) / 10000.0 AS diversity
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token repetition per language — the repetition/
+    diversity signal a training pipeline uses to drop degenerate
+    (copy-paste, template, keyboard-mash) documents.
+
+    Scale: per-doc distinct counts are array expressions inside codegen
+    (no explode — the tokens never become rows); the per-lang aggregate
+    sums exact BIGINTs, and the diversity ratio is one division after the
+    aggregate, so the result is partitioning-independent.  Empty docs are
+    excluded on both sides (a 0-token doc would divide by zero).
+    """
+    docs = __load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    per_doc = docs.filter(F.trim(F.col("text")) != "").select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_distinct").alias("distinct_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "distinct_tokens",
+            round4(F.col("distinct_tokens") / F.col("total_tokens")).alias("diversity"),
+        )
+        .orderBy("lang")
+    )
