@@ -41,25 +41,18 @@ def test_st_encoder_real_path(spark):  # pragma: no cover - lib absent here
 
 
 @pytest.mark.skipif(not HAVE_HTML_LIBS, reason="bs4/markdownify not installed")
-def test_real_html_markdown_path(spark):  # pragma: no cover - lib absent here
+def test_bs4_path_cross_checks_stdlib_converter():  # pragma: no cover - lib absent
+    """When the real libraries ARE installed, the original bs4+markdownify
+    path must agree byte-for-byte with the stdlib converter on the full
+    corpus (the stdlib path is separately golden-tested against the
+    reference md files in test_html_md_golden.py)."""
     import pathlib
 
-    from pyspark.sql import functions as F
+    from vector_search_spark.operators.html import _convert_bs4, _convert_stdlib
 
-    from vector_search_spark.operators.html import html_docs_to_markdown
-    from vector_search_spark.sources.files import read_html_dir
-
-    html_dir = "/root/reference/data/raw/html"
-    md_dir = pathlib.Path("/root/reference/data/raw/md")
-    if not pathlib.Path(html_dir).is_dir():
+    html_dir = pathlib.Path("/root/reference/data/raw/html")
+    if not html_dir.is_dir():
         pytest.skip("reference corpus absent")
-    html = read_html_dir(spark, html_dir).select(
-        "path", F.decode(F.col("content"), "utf-8").alias("html")
-    )
-    out = html_docs_to_markdown(html, html_col="html")
-    # with real markdownify the BODY is reproducible too: spot-check that
-    # every markdown starts with the H1 title line exactly like the corpus
-    rows = out.select("title", "markdown").collect()
-    assert len(rows) == 331
-    for r in rows:
-        assert r["markdown"].startswith(f"# {r['title']}\n")
+    for f in sorted(html_dir.glob("*.html")):
+        html = f.read_text(encoding="utf-8")
+        assert _convert_bs4(html) == _convert_stdlib(html), f.name

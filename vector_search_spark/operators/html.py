@@ -2,19 +2,23 @@
 `pipeline/markdown_assets.py:66-91`).
 
 HTML parsing has no native Spark expression, so this is one of the
-engine's three sanctioned pandas-UDF seams (SURVEY.md §2.6).  The
-production path mirrors the reference exactly — BeautifulSoup select
-``.page__header h1`` for the title, ``div.page__content`` for the body,
-``markdownify(heading_style="ATX")``, title prepended as an H1 — and loads
-its imports once per Python worker.  When bs4/markdownify are not
-installed (this container), a clearly-marked deterministic regex fallback
-keeps the Spark plumbing (schema, batching, distribution) real and
-testable; it is NOT a faithful markdown converter.
+engine's three sanctioned pandas-UDF seams (SURVEY.md §2.6).  Two
+equivalent implementations sit behind the seam:
+
+- the stdlib converter (`operators/md_convert.py`) — golden-verified
+  byte-identical to the reference's bs4+markdownify output on ALL 331
+  bundled pages (titles AND full markdown bodies,
+  `tests/test_html_md_golden.py`); this is the default and needs no
+  third-party libraries;
+- the original bs4+markdownify path, used only when those libraries are
+  installed AND ``SPARK_GRAFT_USE_BS4=1``, kept as a cross-check hook.
+
+Imports resolve once per Python worker; batches move over Arrow.
 """
 
 from __future__ import annotations
 
-import re
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -23,12 +27,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # production path
+from .md_convert import html_page_to_markdown
+
+try:  # optional cross-check path (not installed in this container)
     import bs4  # noqa: F401
     import markdownify  # noqa: F401
 
     HAVE_HTML_LIBS = True
-except ImportError:  # deterministic fallback (this container)
+except ImportError:
     HAVE_HTML_LIBS = False
 
 _OUT_SCHEMA = T.StructType(
@@ -39,8 +45,11 @@ _OUT_SCHEMA = T.StructType(
 )
 
 
-def _convert_real(html: str) -> tuple[str | None, str | None]:
-    """Reference semantics (`markdown_assets.py:66-89`)."""
+def _convert_bs4(html: str) -> tuple[str | None, str | None]:
+    """Reference semantics via the actual libraries
+    (`markdown_assets.py:66-89`); only reachable when bs4/markdownify are
+    installed.  Exists so environments WITH the libraries can cross-check
+    the stdlib converter against the original implementation."""
     from bs4 import BeautifulSoup
     from markdownify import markdownify as md
 
@@ -49,47 +58,22 @@ def _convert_real(html: str) -> tuple[str | None, str | None]:
     content_el = soup.select_one("div.page__content")
     if content_el is None:
         return None, None
-    title = title_el.get_text().strip() if title_el else "Unknown"
+    title = title_el.get_text(strip=True) if title_el else "Unknown"
     body_md = md(str(content_el), heading_style="ATX")
     return title, f"# {title}\n\n{body_md}"
 
 
-_TAG_RE = re.compile(r"<[^>]+>")
-_H1_RE = re.compile(
-    r'class="page__header"[^>]*>.*?<h1[^>]*>(.*?)</h1>', re.DOTALL | re.IGNORECASE
-)
-_BODY_RE = re.compile(r'<div[^>]+class="[^"]*page__content[^"]*"[^>]*>(.*)', re.DOTALL)
-
-
-def _convert_fallback(html: str) -> tuple[str | None, str | None]:
-    """STUB (bs4/markdownify unavailable): regex tag-strip + entity decode.
-    TITLE extraction is faithful (golden-tested against all 331 reference
-    md H1 lines — tag-strip + ``html.unescape`` reproduces bs4
-    ``get_text()`` for h1 content); the BODY is deterministic and
-    schema-correct but not markdown-faithful — do not golden-test body
-    content through this path."""
-    import html as _htmllib
-
-    m_body = _BODY_RE.search(html)
-    if not m_body:
-        return None, None
-    m_title = _H1_RE.search(html)
-    # strip tags FIRST, then decode entities (decoding first would let
-    # &lt;...&gt; masquerade as tags and get eaten by the strip)
-    title = (
-        _htmllib.unescape(_TAG_RE.sub("", m_title.group(1))).strip()
-        if m_title
-        else "Unknown"
-    )
-    body = _htmllib.unescape(_TAG_RE.sub("", m_body.group(1)))
-    body = re.sub(r"\n{3,}", "\n\n", body).strip()
-    return title, f"# {title}\n\n{body}"
+def _convert_stdlib(html: str) -> tuple[str | None, str | None]:
+    """Default path: pure-stdlib reimplementation, golden-verified
+    byte-identical to `_convert_bs4` on the full reference corpus."""
+    return html_page_to_markdown(html)
 
 
 def html_to_markdown_udf():
     """pandas UDF: html string → struct(title, markdown); imports resolved
     once per worker, Arrow-batched."""
-    convert = _convert_real if HAVE_HTML_LIBS else _convert_fallback
+    use_bs4 = HAVE_HTML_LIBS and os.environ.get("SPARK_GRAFT_USE_BS4") == "1"
+    convert = _convert_bs4 if use_bs4 else _convert_stdlib
 
     @F.pandas_udf(_OUT_SCHEMA)
     def conv(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
