@@ -240,5 +240,6 @@ from . import (  # noqa: E402, F401
     registry_dedup,
     registry_extensions,
     registry_relational,
+    registry_search,
     registry_text,
 )
