@@ -493,3 +493,66 @@ def embedding_neardup_pairs(
         .orderBy(F.desc("cosine"), F.asc("id_1"), F.asc("id_2"))
         .limit(top_m)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_1: str = "id_1",
+    id_2: str = "id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster labels via iterative min-label propagation.
+
+    Pair-wise dedup (LSH verify, SimHash, cosine) emits EDGES; dropping
+    "the higher id of each pair" under-deletes when duplicates chain
+    (a~b, b~c but not a~c).  The fix is the transitive closure: label
+    every node with the minimum doc_id reachable from it, then keep one
+    doc per cluster.  Returns ``(node, label)`` — one row per distinct
+    endpoint of ``pairs``.
+
+    Each iteration is one equi-join (neighbor labels) + one min-aggregate
+    (both partial-combined, shuffling only (node, label) longs — never
+    text or vectors) and converges in O(cluster diameter) rounds;
+    near-dup clusters are shallow (dozens of hops at the extreme), so
+    this is bounded by ``max_iter`` long before web scale hurts.  For
+    adversarially deep graphs the same loop accepts the large-star/
+    small-star rewrite (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — the operator's contract (min reachable id)
+    is unchanged.  Deterministic: ``min`` is ordering- and
+    partitioning-independent, and the loop exits only at a fixpoint, so
+    extra iterations can never change the result.
+    """
+    e = pairs.select(F.col(id_1).alias("a"), F.col(id_2).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), "label")
+        new_labels = (
+            labels.select("node", "label")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

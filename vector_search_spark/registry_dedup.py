@@ -405,3 +405,77 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("__s1") == "eval", F.col("id_2")).otherwise(F.col("id_1")).alias("train_doc_id"),
         "est_jaccard",
     ).orderBy("eval_doc_id", "train_doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: transitive closure of the verified near-dup pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*) AS shared
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT s.id_1, s.id_2
+      FROM shared s
+      JOIN sizes n1 ON s.id_1 = n1.doc_id
+      JOIN sizes n2 ON s.id_2 = n2.doc_id
+      JOIN (SELECT DISTINCT id_1, id_2 FROM cand) c
+        ON c.id_1 = s.id_1 AND c.id_2 = s.id_2
+      JOIN sig s1 ON c.id_1 = s1.doc_id
+      JOIN sig s2 ON c.id_2 = s2.doc_id
+      WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
+        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+    edges AS (SELECT id_1 AS a, id_2 AS b FROM verified
+              UNION SELECT id_2, id_1 FROM verified),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach(doc_id, root) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc_id),
+    clusters AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id),
+    csize AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+              FROM clusters GROUP BY 1)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM clusters c JOIN csize s USING (cluster_id)
+    ORDER BY c.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS (connected components over the cascade's
+    verified pairs), not just pairs: pair-wise "drop the higher id"
+    under-deletes when duplicates chain (a~b~c).  The cluster id is the
+    minimum member doc_id — the canonical keeper a dedup pipeline retains.
+
+    Scale: the iterative min-label propagation runs on the VERIFIED pair
+    set (O(near-dups) rows of two longs), never the corpus; the DuckDB
+    twin computes the same closure with a recursive CTE.  See
+    `operators.dedup.connected_components` for the convergence contract.
+    """
+    from .operators.dedup import connected_components, neardup_cascade
+
+    docs = __load(spark, sf_dir, "documents")
+    pairs = neardup_cascade(
+        docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
+        jaccard_threshold=0.8, shingled=_shared_shingles(spark, sf_dir),
+        signatures=_shared_signatures(spark, sf_dir), est_floor=0.5,
+        candidates=_shared_lsh_candidates(spark, sf_dir),
+    )
+    cc = connected_components(pairs)
+    csize = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(csize, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
