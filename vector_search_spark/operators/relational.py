@@ -657,3 +657,109 @@ def idle_rich_customers(
         )
         .orderBy("n_name")
     )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    year_start: str = "1997-01-01",
+    year_end: str = "1998-01-01",
+    min_discount: float = 0.05,
+    max_discount: float = 0.07,
+    max_quantity: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase if small-quantity discounts were
+    dropped — sum(extendedprice·discount) over a narrow predicate.
+
+    Scale: the whole query is one scan with every predicate pushed to
+    parquet (date, discount range, quantity — all scan-level filters) and
+    a single partial-combined global sum: the exchange carries exactly one
+    row per scan partition.  The discount bounds compare the SAME double
+    literals on both engines, so the boundary rows are decided
+    identically."""
+    sd = F.col("l_shipdate").cast("date")
+    li = lineitem.filter(
+        (sd >= F.lit(year_start))
+        & (sd < F.lit(year_end))
+        & (F.col("l_discount") >= min_discount)
+        & (F.col("l_discount") <= max_discount)
+        & (F.col("l_quantity") < max_quantity)
+    )
+    return li.agg(
+        F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "revenue_increase_cents"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def returned_items_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    from_date: str = "1996-01-01",
+    to_date: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top customers by revenue lost to returned items in
+    one quarter.
+
+    Scale: the returnflag + order-date predicates prune both fact inputs
+    before the orderkey shuffle join; the per-customer aggregate is
+    partial-combined (exchange = O(customers with returns)); nation (25
+    rows) broadcasts; the final top-k is TakeOrderedAndProject on integer
+    cents — no global sort, ties broken by custkey."""
+    od = F.col("o_orderdate").cast("date")
+    o = orders.filter((od >= F.lit(from_date)) & (od < F.lit(to_date))).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("rev_cents"),
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+    )
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue_cents")
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def top_supplier_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    from_date: str = "1996-01-01",
+    to_date: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum revenue in a
+    quarter (ties all returned, ordered by suppkey).
+
+    Scale: per-supplier revenue is one partial-combined aggregate over the
+    pruned scan; the max is a 1-row aggregate of that small result,
+    re-joined by cross-broadcast — the pattern that replaces TPC-H's
+    correlated view without recomputing revenue.  All comparisons are on
+    exact integer cents."""
+    sd = F.col("l_shipdate").cast("date")
+    rev = (
+        lineitem.filter((sd >= F.lit(from_date)) & (sd < F.lit(to_date)))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+            ).alias("total_cents")
+        )
+    )
+    best = rev.agg(F.max("total_cents").alias("__max_cents"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_cents") == F.col("__max_cents"))
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )

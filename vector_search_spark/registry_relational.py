@@ -707,3 +707,71 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT sum({_cents('l_extendedprice * l_discount')})::BIGINT AS revenue_increase_cents,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    WHERE l_shipdate::DATE >= DATE '1997-01-01' AND l_shipdate::DATE < DATE '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-scan predicate-pushdown aggregate."""
+    return R.forecast_revenue_change(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "returned_items_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name, revenue_cents
+    FROM (
+      SELECT o_custkey, sum({_cents('l_extendedprice * (1.0 - l_discount)')})::BIGINT
+               AS revenue_cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate::DATE >= DATE '1996-01-01'
+        AND o_orderdate::DATE < DATE '1996-04-01'
+      GROUP BY o_custkey)
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, quarterly."""
+    return R.returned_items_revenue(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, sum({_cents('l_extendedprice * (1.0 - l_discount)')})::BIGINT
+               AS total_cents
+      FROM lineitem
+      WHERE l_shipdate::DATE >= DATE '1996-01-01'
+        AND l_shipdate::DATE < DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_cents
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_cents = (SELECT max(total_cents) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-revenue supplier(s) via 1-row max re-join."""
+    return R.top_supplier_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
