@@ -479,3 +479,66 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-grams: shingles shared by many documents (template/nav text).
+# ---------------------------------------------------------------------------
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    per_doc AS (
+      SELECT sh.doc_id, count(*)::BIGINT AS n_sh,
+             sum(CASE WHEN dfq.df >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_boiler
+      FROM sh JOIN dfq USING (shingle) GROUP BY 1)
+    SELECT d.source, count(*)::BIGINT AS n_docs,
+           sum(p.n_sh)::BIGINT AS total_shingles,
+           sum(p.n_boiler)::BIGINT AS boiler_shingles,
+           floor((sum(p.n_boiler)*1.0/sum(p.n_sh))*10000 + 0.5)/10000.0 AS boiler_frac
+    FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: word 3-gram shingles appearing in ≥ 5
+    documents are "boilerplate" (template/navigation text at web scale);
+    reported as the per-source fraction of shingles that are boilerplate —
+    the signal CCNet/C4-style cleaners use to strip repeated page chrome.
+
+    Scale: reuses the session-shared distinct-shingle table (no re-scan);
+    document frequency is one partial-combined count; the per-doc join is
+    shingle-keyed (skew-bounded: a shingle's posting list is its df); the
+    emitted fraction is ratio-of-integer-sums (micro average), so it is
+    reduction-order-independent — never an avg() of per-doc doubles."""
+    sh = _shared_shingles(spark, sf_dir)
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("df") >= 5, 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    docs = __load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").alias("total_shingles"),
+            F.sum("n_boiler").alias("boiler_shingles"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_shingles",
+            "boiler_shingles",
+            round4(F.col("boiler_shingles") * F.lit(1.0) / F.col("total_shingles")).alias(
+                "boiler_frac"
+            ),
+        )
+        .orderBy("source")
+    )

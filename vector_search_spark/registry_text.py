@@ -58,6 +58,10 @@ def _shared_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.length(t).alias("n_chars"),
             token_count_ws(t).alias("n_tokens_ws"),
+            F.when(F.trim(t) == "", F.lit(0))
+            .otherwise(F.size(F.array_distinct(F.split(F.trim(F.lower(t)), r"\s+"))))
+            .cast("int")
+            .alias("n_tokens_distinct"),
             token_count_bpe(t).alias("n_tokens_bpe"),
             punct_ratio(t).alias("punct_raw"),
             stopword_ratio(t, "en").alias("stop_raw"),
@@ -476,4 +480,256 @@ def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.col("distinct_tokens") / F.col("total_tokens")).alias("diversity"),
         )
         .orderBy("lang")
+    )
+
+
+_SQL_ND = "len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))"
+_SQL_NT = _sql_ws_tokens()
+
+# Funnel flags — identical decision expressions on both engines.  Every
+# comparison is on exact ints or on doubles proven bit-identical by the
+# text_stats oracle (stopword ratio, quality score); mean word length is a
+# single int/int division.
+_SQL_FLAGS = f"""
+    flags AS (
+      SELECT CASE WHEN {_SQL_NT} >= 30 THEN 1 ELSE 0 END AS f1,
+             CASE WHEN {_SQL_NT} > 0
+                       AND length(text)*1.0/{_SQL_NT} >= 3.0
+                       AND length(text)*1.0/{_SQL_NT} <= 12.0 THEN 1 ELSE 0 END AS f2,
+             CASE WHEN {_SQL_SR} >= 0.05 THEN 1 ELSE 0 END AS f3,
+             CASE WHEN {_SQL_NT} > 0
+                       AND {_SQL_ND}*1.0/{_SQL_NT} >= 0.45 THEN 1 ELSE 0 END AS f4,
+             CASE WHEN {_SQL_QUALITY} >= 0.4 THEN 1 ELSE 0 END AS f5
+      FROM documents)
+"""
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH {_SQL_FLAGS},
+    a AS (
+      SELECT count(*)::BIGINT AS n0,
+             sum(f1)::BIGINT AS n1,
+             sum(f1*f2)::BIGINT AS n2,
+             sum(f1*f2*f3)::BIGINT AS n3,
+             sum(f1*f2*f3*f4)::BIGINT AS n4,
+             sum(f1*f2*f3*f4*f5)::BIGINT AS n5
+      FROM flags)
+    SELECT * FROM (
+      SELECT 1 AS stage, 'min_tokens' AS rule, n0 AS n_in, n0-n1 AS n_dropped, n1 AS n_out FROM a
+      UNION ALL SELECT 2, 'mean_word_len', n1, n1-n2, n2 FROM a
+      UNION ALL SELECT 3, 'stopword_ratio', n2, n2-n3, n3 FROM a
+      UNION ALL SELECT 4, 'token_diversity', n3, n3-n4, n4 FROM a
+      UNION ALL SELECT 5, 'quality_score', n4, n4-n5, n5 FROM a)
+    ORDER BY stage
+    """,
+)
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style sequential quality-filter funnel: how many documents
+    survive each rule, applied in order (min tokens → mean word length →
+    stopword ratio → token diversity → quality score).  This is the
+    ingestion-gate report a training-data pipeline publishes with every
+    corpus build.
+
+    Scale: ONE pass over the cached feature table (no text re-scan), five
+    boolean flags folded into six exact BIGINT sums in a single
+    partial-combined aggregate — the exchange is one row per partition;
+    the 5-row funnel is reshaped from the aggregate row with an explode,
+    never a driver loop."""
+    feats = _shared_doc_features(spark, sf_dir)
+    nt = F.col("n_tokens_ws")
+    mwl = F.col("n_chars") * F.lit(1.0) / nt
+    f1 = (nt >= 30).cast("int")
+    f2 = ((nt > 0) & (mwl >= 3.0) & (mwl <= 12.0)).cast("int")
+    f3 = (F.col("stop_raw") >= 0.05).cast("int")
+    f4 = (
+        (nt > 0) & (F.col("n_tokens_distinct") * F.lit(1.0) / nt >= 0.45)
+    ).cast("int")
+    f5 = (F.col("quality_raw") >= 0.4).cast("int")
+    a = feats.select(
+        f1.alias("f1"), f2.alias("f2"), f3.alias("f3"), f4.alias("f4"), f5.alias("f5")
+    ).agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("f1").alias("n1"),
+        F.sum(F.col("f1") * F.col("f2")).alias("n2"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3")).alias("n3"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4")).alias("n4"),
+        F.sum(
+            F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4") * F.col("f5")
+        ).alias("n5"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(rule).alias("rule"),
+                F.col(f"n{i}").alias("n_in"),
+                (F.col(f"n{i}") - F.col(f"n{i+1}")).alias("n_dropped"),
+                F.col(f"n{i+1}").alias("n_out"),
+            )
+            for i, rule in enumerate(
+                ["min_tokens", "mean_word_len", "stopword_ratio",
+                 "token_diversity", "quality_score"]
+            )
+        ]
+    )
+    return (
+        a.select(F.explode(stages).alias("s"))
+        .select("s.stage", "s.rule", "s.n_in", "s.n_dropped", "s.n_out")
+        .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction accounting.  The fixture corpus is synthetic and
+# PII-free, so both engines INJECT deterministic PII (derived from doc_id)
+# before scanning — the detection/redaction logic is the operator under
+# test, and the injection is the shared fixture.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b555-\d{4}\b"
+
+_SQL_INJECTED = """
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 1
+            THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                 || (doc_id % 100)::VARCHAR ELSE '' END
+    || CASE WHEN doc_id % 11 = 3
+            THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+"""
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH inj AS (SELECT doc_id, source, ({_SQL_INJECTED}) AS itext FROM documents),
+    det AS (
+      SELECT source,
+             len(regexp_extract_all(itext, '{_PII_EMAIL}')) AS emails,
+             len(regexp_extract_all(itext, '{_PII_IP}')) AS ips,
+             len(regexp_extract_all(itext, '{_PII_PHONE}')) AS phones,
+             length(itext) - length(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(itext, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g')) AS delta
+      FROM inj)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN emails + ips + phones > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS docs_with_pii,
+           sum(emails)::BIGINT AS emails, sum(ips)::BIGINT AS ips,
+           sum(phones)::BIGINT AS phones,
+           sum(delta)::BIGINT AS redacted_delta_chars
+    FROM det GROUP BY source ORDER BY source
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: detect emails / IPv4s / phone-shaped strings and
+    account for what redaction removed, per source.
+
+    Scale: pure codegen'd regexp expressions over one scan (the injection
+    concat is part of the shared fixture, not the operator); counts and
+    length deltas are exact ints, so the per-source sums are
+    partitioning-independent.  Redaction applies the three replaces in a
+    fixed order on both engines."""
+    docs = __load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 1,
+            F.concat(
+                F.lit(" from 10.0."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                (d % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 3,
+            F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    itext = F.col("itext")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(itext, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    det = docs.select("source", injected.alias("itext")).select(
+        "source",
+        F.regexp_count(itext, F.lit(_PII_EMAIL)).alias("emails"),
+        F.regexp_count(itext, F.lit(_PII_IP)).alias("ips"),
+        F.regexp_count(itext, F.lit(_PII_PHONE)).alias("phones"),
+        (F.length(itext) - F.length(redacted)).alias("delta"),
+    )
+    return (
+        det.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("emails") + F.col("ips") + F.col("phones") > 0, 1).otherwise(0)
+            ).alias("docs_with_pii"),
+            F.sum("emails").alias("emails"),
+            F.sum("ips").alias("ips"),
+            F.sum("phones").alias("phones"),
+            F.sum("delta").alias("redacted_delta_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT min(n)::BIGINT AS target FROM c),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('samp:' || doc_id::VARCHAR), doc_id) AS samp_rank
+      FROM documents)
+    SELECT doc_id, lang, samp_rank::INTEGER AS samp_rank
+    FROM r CROSS JOIN t
+    WHERE samp_rank <= target
+    ORDER BY lang, samp_rank
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (class-balanced) sampling: every language
+    downsampled to the size of the smallest language, choosing docs by
+    md5(salt:id) order — reproducible across engines, runs, and cluster
+    sizes, never rand().
+
+    Scale: per-stratum counts are one partial-combined aggregate; the
+    target (min stratum size) is a 1-row broadcast; selection is one
+    row_number window per stratum, which AQE executes as a skew-safe sort
+    within each lang partition — no driver-side sampling state."""
+    from pyspark.sql import Window
+
+    docs = __load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    target = counts.agg(F.min("n").alias("target"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("samp_rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(target))
+        .filter(F.col("samp_rank") <= F.col("target"))
+        .select("doc_id", "lang", "samp_rank")
+        .orderBy("lang", "samp_rank")
     )
