@@ -98,3 +98,46 @@ def test_incremental_index_update(spark, tmp_path):
     n2 = update_index(spark, out, docs)
     total = spark.read.parquet(out).count()
     assert n1 + n2 == total == 1944
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark):
+    """Stream-stream time-bounded join drained over the fixture ==
+    the batch bucketed interval join's (purchase, click) pair set."""
+    from vector_search_spark.operators.rangejoin import interval_join
+    from vector_search_spark.sources.tables import load_table
+    from vector_search_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events_from_parquet,
+        stream_stream_attribution_join,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    stream = stream_events_from_parquet(spark, SF)
+    joined = stream_stream_attribution_join(stream)
+    run_stream_to_memory(joined, "ssjoin_test", mode="append")
+    got = {
+        (r["p_event_id"], r["c_event_id"])
+        for r in spark.sql("SELECT * FROM ssjoin_test").collect()
+    }
+
+    window_us = 5 * 60 * 1_000_000
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", F.expr("ts_ns DIV 1000").alias("ts_us"), "event_type"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id",
+        F.col("ts_us").alias("p_ts_us"),
+        (F.col("ts_us") + window_us).alias("p_end_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), "user_id",
+        F.col("ts_us").alias("ts_us"),
+    )
+    hits = interval_join(
+        clicks, purchases, key="user_id", point_ts="ts_us",
+        start="p_ts_us", end="p_end_us", bucket_width=window_us,
+    )
+    want = {
+        (r["p_event_id"], r["c_event_id"]) for r in hits.collect()
+    }
+    assert got == want and len(got) > 0

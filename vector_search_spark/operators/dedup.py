@@ -511,17 +511,17 @@ def connected_components(
     doc per cluster.  Returns ``(node, label)`` — one row per distinct
     endpoint of ``pairs``.
 
-    Each iteration is one equi-join (neighbor labels) + one min-aggregate
-    (both partial-combined, shuffling only (node, label) longs — never
-    text or vectors) and converges in O(cluster diameter) rounds;
-    near-dup clusters are shallow (dozens of hops at the extreme), so
-    this is bounded by ``max_iter`` long before web scale hurts.  For
-    adversarially deep graphs the same loop accepts the large-star/
-    small-star rewrite (Kiveris et al., "Connected Components in
-    MapReduce and Beyond") — the operator's contract (min reachable id)
-    is unchanged.  Deterministic: ``min`` is ordering- and
-    partitioning-independent, and the loop exits only at a fixpoint, so
-    extra iterations can never change the result.
+    Each iteration is a neighbor-min step (equi-join + min-aggregate over
+    (node, label) longs — never text or vectors) followed by a POINTER
+    JUMP (label[v] ← label[label[v]], a self-join on the label table):
+    the Shiloach-Vishkin-style doubling that makes convergence
+    O(log diameter) instead of O(diameter) — a 1000-link duplication
+    chain resolves in ~10 rounds, not 1000.  Convergence is detected by
+    the label SUM: labels are min-monotone (never increase), so an
+    unchanged sum ⇔ an unchanged labeling — one cheap action per round
+    instead of a change-count join.  Deterministic: ``min`` is ordering-
+    and partitioning-independent, and the loop exits only at a fixpoint,
+    so extra iterations can never change the result.
     """
     e = pairs.select(F.col(id_1).alias("a"), F.col(id_2).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
@@ -532,27 +532,32 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .persist()
     )
-    labels.count()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         msgs = sym.join(
             labels.withColumnRenamed("node", "a"), "a"
         ).select(F.col("b").alias("node"), "label")
-        new_labels = (
+        l1 = (
             labels.select("node", "label")
             .union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: adopt the label's own label (always ≤, since every
+        # label is a node id and labels are min-monotone)
+        parent = l1.select(
+            F.col("node").alias("label"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            l1.join(parent, "label")
+            .select("node", F.least("label", "plabel").alias("label"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels

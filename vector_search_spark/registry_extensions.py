@@ -187,3 +187,71 @@ def q_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_bands=_shared_srp_index(spark, sf_dir),
     )
     return out.select("query_id", "vec_id", round4("score").alias("score"), "rank")
+
+
+@register(
+    "media_sampling_plan",
+    oracle="""
+    WITH m AS (SELECT doc_id, (doc_id % 120 + 1)::BIGINT AS dur FROM documents),
+    fr AS (SELECT doc_id, unnest(range(0, dur*30, 30)) AS fi FROM m),
+    fra AS (
+      SELECT doc_id, count(*)::BIGINT AS n_frames,
+             max(fi)::BIGINT AS last_frame_index,
+             floor((max(fi)/30.0)*10000 + 0.5)/10000.0 AS last_frame_ts
+      FROM fr GROUP BY doc_id),
+    sg AS (SELECT doc_id, dur, unnest(range(0, dur, 25)) AS ss FROM m),
+    sga AS (
+      SELECT doc_id, count(*)::BIGINT AS n_segments,
+             max(least(ss + 30, dur))::BIGINT AS last_seg_end
+      FROM sg GROUP BY doc_id)
+    SELECT m.doc_id, m.dur AS duration_sec,
+           fra.n_frames, fra.last_frame_index, fra.last_frame_ts,
+           sga.n_segments, sga.last_seg_end
+    FROM m JOIN fra USING (doc_id) JOIN sga USING (doc_id)
+    ORDER BY m.doc_id
+    """,
+)
+def q_media_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling + audio segmentation PLAN (metadata math, no
+    decode): every 30th frame at 30 fps and 30 s segments with 5 s overlap
+    over a per-doc synthetic duration (doc_id % 120 + 1 s, shared with the
+    oracle).  This is the scheduling half of a multimodal pipeline — the
+    rows it emits are exactly the decode tasks a `decode_image_features`-
+    shaped pass would fan out over.
+
+    Scale: `sequence`/`explode` are native (rows never leave the JVM);
+    the per-doc aggregates collapse the explosion back map-side, so the
+    exchange is O(docs).  The decode itself stays the Arrow-batched
+    mapInPandas seam (`multimodal_features`); sampling cost is metadata-
+    only regardless of payload size."""
+    from .operators.multimodal import sample_frames, segment_audio
+
+    docs = __load(spark, sf_dir, "documents")
+    meta = docs.select(
+        "doc_id",
+        ((F.col("doc_id") % 120) + 1).cast("double").alias("duration_sec"),
+        F.lit(30.0).alias("fps"),
+    )
+    fr = (
+        sample_frames(meta, every_n=30)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_index").alias("last_frame_index"),
+            round4(F.max("frame_ts_sec")).alias("last_frame_ts"),
+        )
+    )
+    sg = (
+        segment_audio(meta, segment_sec=30, overlap_sec=5)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.max("seg_end_sec").alias("last_seg_end"),
+        )
+    )
+    return (
+        meta.select("doc_id", F.col("duration_sec").cast("long").alias("duration_sec"))
+        .join(fr, "doc_id")
+        .join(sg, "doc_id")
+        .orderBy("doc_id")
+    )

@@ -77,3 +77,42 @@ def run_stream_to_memory(stream: DataFrame, name: str, mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+def stream_stream_attribution_join(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    purchase joined to the same user's clicks within ``window`` AFTER it —
+    the streaming twin of the batch bucketed interval join
+    (``operators.rangejoin.interval_join`` / `purchase_attribution_window`).
+
+    Both sides carry watermarks and the join predicate bounds click time
+    relative to purchase time, so Spark can evict join state: a buffered
+    purchase is droppable once the click watermark passes its window end,
+    and vice versa — state is O(events inside the watermark horizon), not
+    O(stream).  This is the canonical Structured Streaming stream-stream
+    join recipe (time-bounded condition + watermarks on both inputs).
+    """
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = F.expr(
+        f"p_user_id = c_user_id AND c_ts >= p_ts AND c_ts <= p_ts + interval {window}"
+    )
+    return p.join(c, cond, "inner").select("p_event_id", "c_event_id")
