@@ -522,15 +522,29 @@ def connected_components(
     instead of a change-count join.  Deterministic: ``min`` is ordering-
     and partitioning-independent, and the loop exits only at a fixpoint,
     so extra iterations can never change the result.
+
+    Lineage control: the pointer-jump self-join references the round's
+    label table TWICE, so without truncation the logical plan DOUBLES
+    every round — Catalyst re-analysis goes exponential (measured: 48 s
+    by round 4, then driver OOM printing the tree).  ``persist()`` caches
+    data but keeps the plan, so each round ends in an eager
+    ``localCheckpoint`` instead: the label table is O(pairs) rows of two
+    longs, trivially held by executors.  On a real cluster use reliable
+    ``checkpoint()`` (same call shape) if executor loss during the loop
+    must be survivable; old rounds' checkpoint blocks are dropped by the
+    ContextCleaner once unreferenced.
     """
     e = pairs.select(F.col(id_1).alias("a"), F.col(id_2).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.persist()
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
@@ -548,16 +562,13 @@ def connected_components(
         parent = l1.select(
             F.col("node").alias("label"), F.col("label").alias("plabel")
         )
-        new_labels = (
+        labels = (
             l1.join(parent, "label")
             .select("node", F.least("label", "plabel").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
-        labels = new_labels
+        new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    sym.unpersist()
     return labels
