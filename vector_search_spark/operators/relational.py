@@ -763,3 +763,200 @@ def top_supplier_revenue(
         .select("s_suppkey", "s_name", "total_cents")
         .orderBy("s_suppkey")
     )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target supplier-nation's share of one region's
+    revenue for one part type, per order year.
+
+    Scale: part-type and region predicates prune via broadcast dim joins
+    BEFORE the orderkey shuffle, so the lineitem⋈orders exchange carries
+    only region+type-relevant rows; both numerator and denominator come
+    from ONE aggregate (conditional sum), not two scans.  Share division
+    happens once per year-group on exact integer cents."""
+    p = F.broadcast(part.filter(F.col("p_type") == part_type).select("p_partkey"))
+    rnat = F.broadcast(
+        nation.join(
+            region.filter(F.col("r_name") == region_name),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey")
+    )
+    cust = customer.join(rnat, customer.c_nationkey == rnat.n_nationkey).select(
+        "c_custkey"
+    )
+    snat = F.broadcast(
+        supplier.join(
+            nation.filter(F.col("n_name") == target_nation).select("n_nationkey"),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    li = (
+        lineitem.join(p, lineitem.l_partkey == p.p_partkey)
+        .join(snat, lineitem.l_suppkey == snat.s_suppkey, "left")
+        .select(
+            "l_orderkey",
+            cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+                "rev_cents"
+            ),
+            snat.s_suppkey.isNotNull().alias("is_target"),
+        )
+    )
+    o = orders.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        cust, o.o_custkey == cust.c_custkey
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(F.when(F.col("is_target"), F.col("rev_cents")).otherwise(F.lit(0))).alias(
+            "target_cents"
+        ),
+        F.sum("rev_cents").alias("total_cents"),
+    )
+    share = F.floor(
+        (F.col("target_cents") / F.col("total_cents")) * 10000.0 + F.lit(0.5)
+    ) / F.lit(10000.0)
+    return agg.select(
+        "o_year", "target_cents", "total_cents", share.alias("mkt_share")
+    ).orderBy("o_year")
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_like: str = "widget",
+    cost_factor: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9 shape, adapted: profit per (supplier nation, order year)
+    for parts whose name contains ``name_like``.  The fixture has no
+    partsupp/supplycost, so unit cost is modeled as
+    ``cost_factor × p_retailprice`` — the join tree and aggregation
+    (the part Q9 actually stresses) are unchanged.
+
+    Scale: the name filter prunes part before broadcast; per-row profit is
+    floored to integer cents ONCE (sum of exact longs is reduction-order-
+    independent); the only big shuffle is lineitem⋈orders on orderkey,
+    and the nation dim broadcasts onto the small per-group result."""
+    p = F.broadcast(
+        part.filter(F.col("p_name").contains(name_like)).select(
+            "p_partkey", "p_retailprice"
+        )
+    )
+    s = F.broadcast(
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    li = (
+        lineitem.join(p, lineitem.l_partkey == p.p_partkey)
+        .join(s, lineitem.l_suppkey == s.s_suppkey)
+        .select(
+            "l_orderkey",
+            "supp_nation",
+            cents(
+                F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+                - F.lit(cost_factor) * F.col("p_retailprice") * F.col("l_quantity")
+            ).alias("profit_cents"),
+        )
+    )
+    o = orders.select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("supp_nation", "o_year")
+        .agg(
+            F.sum("profit_cents").alias("profit_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "o_year")
+    )
+
+
+def late_shipment_priority(
+    lineitem: DataFrame, orders: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q12 shape, adapted: the fixture lacks shipmode/commit/receipt
+    dates, so "late" = shipped more than ``late_days`` after the order
+    date, grouped by ship year; the CASE-bucketed high/low priority
+    counts are Q12's aggregation verbatim.
+
+    Scale: one orderkey shuffle join, then a partial-combined aggregate of
+    two conditional counts — the exchange after the join is O(years)."""
+    li = lineitem.select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    o = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_d"),
+        "o_orderpriority",
+    )
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.datediff("ship_d", "order_d") > late_days
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy(F.year("ship_d").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def bottleneck_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H Q21 shape, adapted: suppliers who were the SOLE latest shipper
+    of a multi-supplier order (every other supplier finished earlier) —
+    the reference query's exists/not-exists pair re-expressed as one
+    grouped pass + a window, with "late" = latest ship date (the fixture
+    lacks commit/receipt dates).
+
+    Scale: per-(order, supplier) max collapses line items map-side before
+    the one orderkey-partitioned window computes order-level max, supplier
+    count, and at-max count in a single exchange — no self-joins, no
+    EXISTS subquery re-scans.  Top-k is TakeOrderedAndProject."""
+    per_supp = (
+        lineitem.select(
+            "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("ship_d")
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("ship_d").alias("supp_last"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_last",
+        F.max("supp_last").over(w).alias("order_last"),
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+    ).withColumn(
+        "n_at_max",
+        F.sum(F.when(F.col("supp_last") == F.col("order_last"), 1).otherwise(0)).over(w),
+    )
+    waiting = flagged.filter(
+        (F.col("n_supp") >= 2)
+        & (F.col("n_at_max") == 1)
+        & (F.col("supp_last") == F.col("order_last"))
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(k)
+    )

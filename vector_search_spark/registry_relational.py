@@ -775,3 +775,113 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.top_supplier_revenue(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
     )
+
+
+@register(
+    "market_share",
+    oracle=f"""
+    WITH j AS (
+      SELECT year(o_orderdate)::INTEGER AS o_year,
+             {_cents('l_extendedprice * (1.0 - l_discount)')} AS rev_cents,
+             (sn.n_name = 'NATION_3') AS is_target
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey)
+    SELECT o_year,
+           sum(CASE WHEN is_target THEN rev_cents ELSE 0 END)::BIGINT AS target_cents,
+           sum(rev_cents)::BIGINT AS total_cents,
+           floor((sum(CASE WHEN is_target THEN rev_cents ELSE 0 END) * 1.0
+                  / sum(rev_cents)) * 10000 + 0.5) / 10000.0 AS mkt_share
+    FROM j GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share in a region, per year."""
+    return R.market_share(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "product_profit",
+    oracle=f"""
+    SELECT n_name AS supp_nation, year(o_orderdate)::INTEGER AS o_year,
+           sum({_cents('(l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity)')})::BIGINT
+             AS profit_cents,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (cost modeled from p_retailprice; no partsupp)."""
+    return R.product_profit(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT year(l_shipdate)::INTEGER AS ship_year,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE date_diff('day', o_orderdate::DATE, l_shipdate::DATE) > 60
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (late = shipped >60 d after order; no shipmode col)."""
+    return R.late_shipment_priority(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "bottleneck_suppliers",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate::DATE) AS supp_last
+      FROM lineitem GROUP BY 1, 2),
+    flagged AS (
+      SELECT l_orderkey, l_suppkey, supp_last,
+             max(supp_last) OVER (PARTITION BY l_orderkey) AS order_last,
+             count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+      FROM per_supp),
+    flagged2 AS (
+      SELECT *, sum(CASE WHEN supp_last = order_last THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY l_orderkey) AS n_at_max
+      FROM flagged)
+    SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+    FROM flagged2 JOIN supplier ON l_suppkey = s_suppkey
+    WHERE n_supp >= 2 AND n_at_max = 1 AND supp_last = order_last
+    GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20
+    """,
+)
+def q_bottleneck_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: sole latest shipper of multi-supplier orders."""
+    return R.bottleneck_suppliers(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )

@@ -733,3 +733,91 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "samp_rank")
         .orderBy("lang", "samp_rank")
     )
+
+
+@register(
+    "repetition_signals",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    big AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM toks, unnest(range(1, len(t))) AS r(i)),
+    bigc AS (SELECT doc_id, gram, count(*) AS c FROM big GROUP BY 1, 2),
+    biga AS (
+      SELECT doc_id, max(c) AS top_c, sum(c) AS total_c
+      FROM bigc GROUP BY doc_id),
+    tri AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, unnest(range(1, len(t)-1)) AS r(i)),
+    tric AS (SELECT doc_id, gram, count(*) AS c FROM tri GROUP BY 1, 2),
+    tria AS (
+      SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c,
+             sum(c) AS total_c
+      FROM tric GROUP BY doc_id)
+    SELECT b.doc_id,
+           b.total_c::BIGINT AS n_bigrams,
+           floor((b.top_c * 1.0 / b.total_c) * 10000 + 0.5) / 10000.0
+             AS top_bigram_frac,
+           floor((t.dup_c * 1.0 / t.total_c) * 10000 + 0.5) / 10000.0
+             AS dup_trigram_frac
+    FROM biga b JOIN tria t USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    bigram occurrences claimed by the single most frequent bigram, and
+    the fraction of trigram occurrences whose trigram repeats — the two
+    filters that catch boilerplate loops and degenerate generations that
+    plain length/quality scores miss (Rae et al. 2021, "Scaling Language
+    Models", repetition heuristics).
+
+    Scale: n-grams are built NATIVELY from the token array (one
+    ``transform`` over an index ``sequence`` — no self-join, no Python),
+    then one (doc_id, gram) partial-combined count and one per-doc
+    aggregate: two exchanges total, each O(distinct grams), and the text
+    column never shuffles.  Fractions divide exact integer counts once,
+    then round — bit-stable under any partitioning."""
+    docs = __load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+
+    def grams(n: int):
+        idx = F.sequence(F.lit(0), F.size("t") - n)
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("t", (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+
+    bigc = (
+        toks.select("doc_id", F.explode(grams(2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    biga = bigc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams")
+    )
+    tric = (
+        toks.select("doc_id", F.explode(grams(3)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tria = tric.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_c"),
+        F.sum("c").alias("total_c"),
+    )
+    return (
+        biga.join(tria, "doc_id")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            round4(F.col("top_c") / F.col("n_bigrams")).alias("top_bigram_frac"),
+            round4(F.col("dup_c") / F.col("total_c")).alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
