@@ -107,3 +107,35 @@ def test_srp_recall_vs_exact(spark):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     assert len(e) == 100
     assert len(a & e) / len(e) >= 0.35
+
+
+def test_sq_recall_and_compression(spark):
+    """Int8 SQ: codes land in [0, 255]; top-10 after exact rescore of the
+    top-40 dequantized candidates recalls >= 0.9 of exact brute force,
+    and every returned score IS the exact dot product (the rescore stage
+    guarantees approximation error only affects candidate choice)."""
+    from vector_search_spark.operators.ann import sq_code_table, sq_stats, sq_topk
+    from vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    mins, scales = sq_stats(emb)
+    assert len(mins) == 64 and all(s >= 0 for s in scales)
+    codes = sq_code_table(emb, mins, scales)
+    bounds = codes.select(
+        F.min(F.array_min("codes")).alias("lo"), F.max(F.array_max("codes")).alias("hi")
+    ).first()
+    assert bounds["lo"] >= 0 and bounds["hi"] <= 255
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = sq_topk(codes, emb, queries, mins, scales, k=10, rescore=40)
+    exact = similarity_join(emb, queries, k=10)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert len(e) == 100
+    assert len(a & e) / len(e) >= 0.9
+    ex_scores = {(r["query_id"], r["vec_id"]): r["score"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in ex_scores:
+            assert abs(ex_scores[key] - r["score"]) < 1e-9

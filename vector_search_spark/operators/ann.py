@@ -400,3 +400,128 @@ def srp_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def sq_stats(emb: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:
+    """Per-dimension (min, scale) for int8 scalar quantization, where
+    ``scale = (max - min) / 255`` (0.0 for constant dimensions).
+
+    One posexplode + partial-combined min/max aggregate — the exchange is
+    O(dims) rows, and only O(dims) scalars ever reach the driver (same
+    bounded-collect contract as IVF centroids).  min/max are exact under
+    any reduction order, so the constants — and everything derived from
+    them — are reproducible bit-for-bit by the DuckDB oracle."""
+    rows = (
+        emb.select(F.posexplode(vec_col).alias("j", "x"))
+        .groupBy("j")
+        .agg(F.min(F.col("x").cast("double")).alias("mn"),
+             F.max(F.col("x").cast("double")).alias("mx"))
+        .collect()
+    )
+    by_j = {r["j"]: (r["mn"], r["mx"]) for r in rows}
+    mins = [by_j[j][0] for j in range(len(by_j))]
+    scales = [(by_j[j][1] - by_j[j][0]) / 255.0 for j in range(len(by_j))]
+    return mins, scales
+
+
+def sq_code_table(
+    emb: DataFrame,
+    mins: list,
+    scales: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each vector to int8 codes: ``floor((x-min)/scale + 0.5)``
+    clamped to [0, 255] (constant dims → 0).  This is the 4-8× memory
+    compression leg of a vector index — at 100 TB the code table is what
+    stays resident (packed bytes in parquet) while float vectors are only
+    fetched for the final rescore.  Pure ``transform`` expressions: the
+    whole encode runs in whole-stage codegen, embarrassingly parallel."""
+    code = F.transform(
+        F.col(vec_col),
+        lambda x, j: F.when(
+            F.element_at(F.array(*[F.lit(s) for s in scales]), (j + 1).cast("int"))
+            == 0.0,
+            F.lit(0).cast("long"),
+        ).otherwise(
+            F.least(
+                F.lit(255).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(
+                        (
+                            x.cast("double")
+                            - F.element_at(
+                                F.array(*[F.lit(m) for m in mins]), (j + 1).cast("int")
+                            )
+                        )
+                        / F.element_at(
+                            F.array(*[F.lit(s) for s in scales]), (j + 1).cast("int")
+                        )
+                        + F.lit(0.5)
+                    ),
+                ),
+            )
+        ),
+    )
+    return emb.select(F.col(id_col), code.alias("codes"))
+
+
+def sq_topk(
+    codes: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    mins: list,
+    scales: list,
+    k: int = 10,
+    rescore: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantization ANN: score DEQUANTIZED codes against the query
+    (4-8× less data scanned than float vectors), keep the top ``rescore``
+    candidates per query, exact-rescore only those against the float
+    vectors, return the exact top ``k``.
+
+    Scale: the approximate pass is a broadcast-queries × codes scan with a
+    WindowGroupLimit top-``rescore`` — no shuffle of codes or vectors; the
+    exact pass joins O(queries × rescore) ids back to the float table.
+    Both passes use the same ordered fold as exact KNN, so every score is
+    reproducible bit-for-bit (ties broken by id)."""
+    dq = F.transform(
+        F.col("codes"),
+        lambda c, j: F.element_at(F.array(*[F.lit(m) for m in mins]), (j + 1).cast("int"))
+        + c.cast("double")
+        * F.element_at(F.array(*[F.lit(s) for s in scales]), (j + 1).cast("int")),
+    )
+    approx = (
+        codes.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            F.col(id_col),
+            dot_product(dq, F.col("query_vec")).alias("approx_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc(id_col)
+    )
+    cand = (
+        approx.withColumn("cand_rank", F.row_number().over(w))
+        .filter(F.col("cand_rank") <= rescore)
+        .select("query_id", id_col)
+    )
+    exact = (
+        cand.join(emb.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            dot_product(F.col(vec_col), F.col("query_vec")).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )

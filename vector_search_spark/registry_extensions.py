@@ -255,3 +255,88 @@ def q_media_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sg, "doc_id")
         .orderBy("doc_id")
     )
+
+
+# SQ code-table cache per (session, sf_dir) — same amortized-index model:
+# quantization constants + int8 codes are the build (a packed-bytes parquet
+# at scale); the registered query times approximate scan + exact rescore.
+_SQ_CACHE: dict[str, tuple] = {}
+
+
+def _shared_sq_index(spark: SparkSession, sf_dir: str):
+    hit = _SQ_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1], hit[2], hit[3]
+    if hit is not None:
+        try:
+            hit[3].unpersist()
+        except Exception:
+            pass  # old session already stopped
+    from .operators.ann import sq_code_table, sq_stats
+
+    emb = __load(spark, sf_dir, "embeddings")
+    mins, scales = sq_stats(emb)
+    codes = sq_code_table(emb, mins, scales).persist()
+    codes.count()
+    _SQ_CACHE[sf_dir] = (spark, mins, scales, codes)
+    return mins, scales, codes
+
+
+_SQ_ORACLE = """
+    WITH dims AS (SELECT unnest(range(1, 65)) AS j),
+    st AS (
+      SELECT j, min(embedding[j]::DOUBLE) AS mn, max(embedding[j]::DOUBLE) AS mx
+      FROM embeddings, dims GROUP BY j),
+    sc AS (SELECT j, mn, (mx - mn) / 255.0 AS s FROM st),
+    cd AS (
+      SELECT vec_id, j, mn, s,
+             CASE WHEN s = 0.0 THEN 0.0
+                  ELSE least(255, greatest(0,
+                         floor((embedding[j]::DOUBLE - mn) / s + 0.5))) END AS c
+      FROM embeddings, sc),
+    dql AS (SELECT vec_id, list(mn + c * s ORDER BY j) AS dq FROM cd GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20),
+    ap AS (
+      SELECT q.query_id, d.vec_id,
+             list_dot_product(d.dq, q.embedding::DOUBLE[]) AS approx_score
+      FROM dql d CROSS JOIN q),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_score DESC, vec_id) AS cr
+        FROM ap)
+      WHERE cr <= 40),
+    ex AS (
+      SELECT c.query_id, c.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q2.embedding::DOUBLE[]) AS raw
+      FROM cand c
+      JOIN embeddings e ON c.vec_id = e.vec_id
+      JOIN embeddings q2 ON c.query_id = q2.vec_id)
+    SELECT query_id, vec_id,
+           floor(raw * 10000 + 0.5) / 10000.0 AS score,
+           rank::INTEGER AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY raw DESC, vec_id) AS rank
+          FROM ex)
+    WHERE rank <= 10
+    """
+
+
+@register("ann_sq_topk", oracle=_SQ_ORACLE)
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization ANN top-10 for 20 queries: per-dimension
+    (min, scale) constants → int8 codes → dequantized approximate scan →
+    exact rescore of the top 40.  The compression pipeline is pure
+    min/max + floor math, so — like SRP and unlike IVF — the whole
+    approximate path has a bit-exact DuckDB oracle (candidates AND ranks).
+    The code table comes from the session-shared SQ index (amortized
+    build; packed-bytes parquet at scale)."""
+    from .operators.ann import sq_topk
+
+    emb = __load(spark, sf_dir, "embeddings")
+    mins, scales, codes = _shared_sq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sq_topk(codes, emb, queries, mins, scales, k=10, rescore=40)
+    return out.select("query_id", "vec_id", round4("score").alias("score"), "rank")
