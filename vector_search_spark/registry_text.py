@@ -821,3 +821,104 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "packing_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))::BIGINT AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM t)
+    SELECT doc_id, n_tok,
+           (prior // 2048)::BIGINT AS bin_id,
+           (prior % 2048)::BIGINT AS bin_offset
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan for LLM pretraining: concatenate documents in
+    deterministic doc_id order and cut fixed 2048-token context windows —
+    each doc gets the bin it STARTS in and its token offset there (docs
+    straddle boundaries, as packed pretraining does).  This is the
+    scheduling metadata a packing writer needs, computed without touching
+    text bytes beyond the token count.
+
+    Scale: one window cumsum ordered by doc_id — Spark executes it
+    range-partitioned (each partition sums its range after a one-pass
+    partial), so there's no single-node bottleneck; per-shard packing
+    (independent bins per partition, ``bin = (shard, local_bin)``) is the
+    shuffle-free variant when global bin numbering isn't required.
+    Token counts come from the shared per-session feature table."""
+    feats = _shared_doc_features(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        feats.select("doc_id", F.col("n_tokens_bpe").cast("long").alias("n_tok"))
+        .withColumn("prior", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("prior") / F.lit(2048)).cast("long").alias("bin_id"),
+            (F.col("prior") % F.lit(2048)).alias("bin_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "quality_deciles",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))::BIGINT AS n_tok,
+             floor(({_SQL_QUALITY})*10000 + 0.5)/10000.0 AS quality
+      FROM documents),
+    d AS (
+      SELECT *, ntile(10) OVER (ORDER BY quality, doc_id) AS decile
+      FROM q)
+    SELECT decile::INTEGER AS decile,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS total_tokens,
+           min(quality) AS min_quality,
+           max(quality) AS max_quality
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile curriculum binning: rank the corpus by quality score
+    and cut equal-population deciles — the selection table behind
+    quality-threshold ablations and curriculum data ordering.  The sort
+    key is the ROUNDED score (ties broken by doc_id) so the decile
+    boundary is reproducible across engines — ordering by raw doubles
+    would let last-ulp drift move boundary docs between bins.
+
+    Scale: ntile is one range-partitioned global sort of (4-dp score, id)
+    pairs — O(corpus) but narrow; the per-decile aggregate is partial-
+    combined.  Token totals come from the shared feature table."""
+    feats = _shared_doc_features(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("quality"), F.col("doc_id"))
+    return (
+        feats.select(
+            "doc_id",
+            F.col("n_tokens_bpe").cast("long").alias("n_tok"),
+            round4("quality_raw").alias("quality"),
+        )
+        .withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .orderBy("decile")
+    )
