@@ -28,13 +28,27 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def events_ts_is_nanos(sf_dir: str) -> bool:
+    """True when the events fixture stores ``ts`` as parquet TIMESTAMP(NANOS)
+    (read by Spark as long nanos under the legacy conf); False for the
+    TIMESTAMP(MICROS) variant.  Probes the parquet footer only — cheap, no
+    Spark job — so both the batch and streaming loaders can adapt to either
+    fixture generation without a schema-inference pass.
+    """
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type) == (
+        "timestamp[ns]"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; column pruning/pushdown stays available.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects
-    by default — read it as a long (runtime-settable legacy conf, so this
-    works in any caller's session) and expose BOTH ``ts_ns`` (exact long
-    nanos, for ordering/bucketing: a 1.7e18 nanos value is NOT exactly
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) parquet (which
+    Spark's reader rejects by default — read as long under the legacy
+    conf) and TIMESTAMP(MICROS).  Either way expose BOTH ``ts_ns`` (exact
+    long nanos, for ordering/bucketing: a 1.7e18 nanos value is NOT exactly
     representable as a double) and ``ts`` (micros-precision TIMESTAMP for
     human-facing use and streaming watermarks).
     """
@@ -44,10 +58,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if events_ts_is_nanos(sf_dir):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+                "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+            )
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+        # micros fixture arrives as TIMESTAMP_NTZ (UTC wall clock); pin to
+        # session-UTC TIMESTAMP so downstream window/date math matches the
+        # oracle, and derive the exact long nanos the operators key on
+        return raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000).cast("long")
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -21,10 +21,15 @@ from pyspark.sql import functions as F
 
 def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (schema must be declared for
-    streaming file sources; ts arrives as long nanos — see sources.tables)."""
+    streaming file sources; ts has shipped as either long nanos or
+    TIMESTAMP(MICROS) — see sources.tables.events_ts_is_nanos)."""
+    from vector_search_spark.sources.tables import events_ts_is_nanos
+
+    nanos = events_ts_is_nanos(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_ddl = "ts long" if nanos else "ts timestamp_ntz"
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
+        f"event_id long, {ts_ddl}, user_id long, event_type string, "
         "value double, props string"
     )
     raw = (
@@ -33,8 +38,12 @@ def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")  # file sources need a dir
         .parquet(sf_dir)
     )
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+    if nanos:
+        return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000).cast("long")
     )
 
 
