@@ -1,0 +1,105 @@
+"""Invariant tests for the analytics registry (oracle parity is covered by
+test_registry's parametrized sweep; these pin semantic properties)."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_error_bound(spark):
+    """HLL with m=512 has ~4.6% std error; assert a generous 15% envelope
+    against the exact distinct count (deterministic: same data, same hash)."""
+    from vector_search_spark.registry import QUERIES
+
+    rows = QUERIES["hll_distinct_users"](spark, SF).collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert r.exact_distinct > 0
+        rel = abs(r.hll_est - r.exact_distinct) / r.exact_distinct
+        assert rel < 0.15, f"{r.event_type}: est {r.hll_est} vs {r.exact_distinct}"
+
+
+def test_hll_shuffle_is_register_bounded(spark):
+    """The register table is at most groups × 512 rows — the property that
+    makes the sketch O(1)-shuffle at 100 TB."""
+    from vector_search_spark.operators.sketches import HLL_M, hll_registers
+    from vector_search_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select("event_type", "user_id")
+    regs = hll_registers(ev, "event_type", "user_id")
+    n_types = ev.select("event_type").distinct().count()
+    assert regs.count() <= n_types * HLL_M
+
+
+def test_funnel_stage_monotonicity(spark):
+    from vector_search_spark.registry import QUERIES
+
+    row = QUERIES["event_funnel"](spark, SF).collect()[0]
+    assert (
+        row.n_sessions >= row.n_view >= row.n_view_click >= row.n_full_funnel >= 0
+    )
+    assert 0.0 <= row.click_through <= 1.0
+    assert 0.0 <= row.purchase_through <= 1.0
+
+
+def test_cohort_ltv_marginals(spark):
+    """Cohort matrix marginals must reproduce the plain totals: every order
+    lands in exactly one (cohort, month) cell, and no order precedes its
+    customer's cohort month."""
+    from vector_search_spark.registry import QUERIES
+    from vector_search_spark.sources.tables import load_table
+
+    cells = QUERIES["cohort_ltv"](spark, SF).collect()
+    n_orders = load_table(spark, SF, "orders").count()
+    assert sum(c.n_orders for c in cells) == n_orders
+    assert all(c.order_month >= c.cohort_month for c in cells)
+
+
+def test_transitions_are_n_minus_groups(spark):
+    """lag drops exactly one row per customer: Σ transitions = orders − customers."""
+    from vector_search_spark.registry import QUERIES
+    from vector_search_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    rows = QUERIES["order_status_transitions"](spark, SF).collect()
+    orders = load_table(spark, SF, "orders")
+    n = orders.count()
+    k = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n - k
+
+
+def test_centroid_outliers_shape(spark):
+    """Top-3 per label, distances non-negative and non-increasing per label."""
+    from vector_search_spark.registry import QUERIES
+
+    rows = QUERIES["label_centroid_outliers"](spark, SF).collect()
+    by_label: dict[int, list[float]] = {}
+    for r in rows:
+        assert r.dist2 >= 0.0
+        by_label.setdefault(r.label, []).append(r.dist2)
+    for label, ds in by_label.items():
+        assert 1 <= len(ds) <= 3
+        assert ds == sorted(ds, reverse=True), f"label {label} not ranked"
+
+
+def test_maxsim_upper_bound(spark):
+    """MaxSim over unit-norm-ish vectors: each of the 4 query terms
+    contributes at most max|q||v| ≈ its own self-dot; the label containing
+    the query vectors must score at least the sum of self-similarities of
+    its own members that are queries (self-match is always available)."""
+    from vector_search_spark.registry import QUERIES
+    from vector_search_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+    from vector_search_spark.functions.vector import dot_product
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        "label", "vec_id", dot_product("embedding", "embedding").alias("selfdot")
+    )
+    rows = {r.label: r.maxsim for r in QUERIES["maxsim_multivector"](spark, SF).collect()}
+    for r in q.collect():
+        # the label that owns query vector r gets at least r's self-dot from
+        # that query term (floor-rounded), so maxsim >= selfdot - 4*1e-4
+        assert rows[r.label] >= r.selfdot - 4e-4

@@ -1,0 +1,124 @@
+"""Sketch-based approximate aggregation (north-star: 100 TB cardinality).
+
+HyperLogLog distinct-count built from pure Catalyst expressions and an
+md5-derived hash, so the whole sketch is (a) deterministic across engines,
+runs and cluster sizes, and (b) bit-reproducible by an ANSI-SQL oracle —
+unlike ``approx_count_distinct`` whose HLL++ registers are opaque.
+
+Scale shape: one scan → partial ``max`` per (group, bucket) register
+(map-side combined, at most ``groups × m`` rows ever shuffled — for
+m = 512 that is KBs per group regardless of input size) → one tiny
+per-group fold.  This is exactly how a 100 TB distinct-count should run:
+the shuffle is O(groups × m), not O(distinct values).
+
+Determinism notes (see also registry docstrings):
+- the register harmonic sum is computed in SCALED INTEGERS
+  (``2^(52 - M_j)`` per bucket, BIGINT) so addition order cannot change
+  the result; exactly one float division happens at the end;
+- ``length(bin(x))`` is ``floor(log2(x)) + 1`` computed exactly on
+  integers — no float log in the rho (leading-zero) path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# p = 9 → m = 512 registers; relative error ≈ 1.04/sqrt(512) ≈ 4.6 %.
+HLL_P = 9
+HLL_M = 1 << HLL_P
+_REST_BITS = 60 - HLL_P  # md5-derived hash is truncated to 60 bits
+# alpha_m * m^2 * 2^_REST_BITS, written as the same literal arithmetic the
+# SQL oracle uses so both engines run identical double ops.
+_ALPHA_EXPR = f"(0.7213/(1.0 + 1.079/{HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0"
+
+
+def hll_registers(df: DataFrame, group: str, value: Column | str) -> DataFrame:
+    """Per (group, bucket) HLL register table: M = max leading-zero rank.
+
+    The 60-bit hash comes from md5("hll:" || value): top ``HLL_P`` bits
+    pick the register, the remaining 51 bits feed the rank.  All integer
+    expressions — whole-stage codegen, partial-aggregated ``max``.
+    """
+    value = F.col(value) if isinstance(value, str) else value
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), value.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.shiftright(h, _REST_BITS)
+    rest = h.bitwiseAND(F.lit((1 << _REST_BITS) - 1))
+    # leading zeros of a REST_BITS-wide field + 1; length(bin(x)) is exact
+    rho = F.when(rest == 0, F.lit(_REST_BITS + 1)).otherwise(
+        F.lit(_REST_BITS + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.select(F.col(group), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(group, "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group: str) -> DataFrame:
+    """Fold registers into the HLL estimate (with small-range correction).
+
+    Harmonic sum in scaled integers: term_j = 2^(REST_BITS+1 - M_j) (so an
+    empty register contributes 2^(REST_BITS+1)), summed as BIGINT —
+    order-free.  One double division + the standard linear-counting branch.
+    """
+    scale_pow = _REST_BITS + 1  # 52
+    term = F.pow(F.lit(2.0), F.lit(scale_pow) - F.col("m_reg")).cast("long")
+    per_group = registers.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(term).alias("harm_scaled"),
+    )
+    empty_term = 1 << scale_pow
+    total = (
+        F.col("harm_scaled")
+        + (F.lit(HLL_M) - F.col("n_seen")).cast("long") * F.lit(empty_term)
+    )
+    raw = F.expr(_ALPHA_EXPR) * F.lit(float(empty_term)) / total.cast("double")
+    v_zero = (F.lit(HLL_M) - F.col("n_seen")).cast("long")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(F.col(group), est.alias("hll_raw"))
+
+
+def hll_distinct(df: DataFrame, group: str, value: Column | str) -> DataFrame:
+    """End-to-end sketch distinct-count per group (un-rounded estimate)."""
+    return hll_estimate(hll_registers(df, group, value), group)
+
+
+def hll_oracle_sql(source_sql: str, group: str, value_expr: str) -> str:
+    """ANSI-SQL twin of the sketch for DuckDB — same hash, same integer
+    register math, same fold, so the estimate hash-matches bit for bit."""
+    rest_mask = (1 << _REST_BITS) - 1
+    scale_pow = _REST_BITS + 1
+    empty_term = 1 << scale_pow
+    return f"""
+    WITH hashed AS (
+      SELECT {group},
+             ('0x' || substr(md5('hll:' || ({value_expr})::VARCHAR), 1, 15))::BIGINT AS h
+      FROM ({source_sql})),
+    regs AS (
+      SELECT {group}, h >> {_REST_BITS} AS bucket,
+             max(CASE WHEN (h & {rest_mask}) = 0 THEN {_REST_BITS + 1}
+                      ELSE {_REST_BITS + 1} - length(bin(h & {rest_mask})) END) AS m_reg
+      FROM hashed GROUP BY {group}, bucket),
+    folded AS (
+      SELECT {group}, count(*) AS n_seen,
+             sum((2.0 ** ({scale_pow} - m_reg))::BIGINT)::BIGINT AS harm_scaled
+      FROM regs GROUP BY {group})
+    SELECT {group},
+           CASE WHEN ({_ALPHA_EXPR} * {empty_term}.0
+                      / (harm_scaled + ({HLL_M} - n_seen) * {empty_term})::DOUBLE)
+                     <= {2.5 * HLL_M}
+                 AND ({HLL_M} - n_seen) > 0
+                THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_seen)::DOUBLE)
+                ELSE {_ALPHA_EXPR} * {empty_term}.0
+                     / (harm_scaled + ({HLL_M} - n_seen) * {empty_term})::DOUBLE
+           END AS hll_raw
+    FROM folded
+    """

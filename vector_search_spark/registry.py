@@ -237,6 +237,7 @@ def q_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sub-registries (import side effect: @register entries).  Kept at module
 # end so they can import `register` from this module.
 from . import (  # noqa: E402, F401
+    registry_analytics,
     registry_dedup,
     registry_extensions,
     registry_relational,

@@ -1,0 +1,394 @@
+"""Registry entries: product/behavioral analytics + vector-quality ops.
+
+Six capabilities a training-data/analytics platform runs at 100 TB that the
+earlier registries don't cover: sketch-based distinct counting (HLL),
+ordered conversion funnels over sessions, cohort revenue (LTV) matrices,
+Markov-style status-transition counts, per-group embedding centroids with
+outlier distances, and multi-vector MaxSim (ColBERT-style late
+interaction) retrieval.  Every query has a bit-exact DuckDB oracle.
+
+Determinism rules follow memory/HANDOFF invariants: integer sums (cents /
+scaled register terms / 1e4-scaled scores), round4 only at the end, dot
+products via the proven fold idiom (Spark ``aggregate``+``zip_with`` ≡
+DuckDB ``list_dot_product``), ties broken on id columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import round4
+from .functions.vector import dot_product
+from .operators import relational as R
+from .operators.sketches import hll_distinct, hll_oracle_sql
+from .registry import register
+from .sources.tables import load_table as _t
+
+_CENTS = "floor({x}*100 + 0.5)::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Sketch distinct: HLL distinct users per event type.
+# At 100 TB the shuffle is O(groups × 512) register rows — constant-size
+# regardless of row count; exact countDistinct is included for reference
+# (it shuffles O(distinct) and is the thing the sketch replaces at scale).
+# ---------------------------------------------------------------------------
+@register(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH est AS (
+      {hll_oracle_sql("SELECT event_type, user_id FROM events",
+                      "event_type", "user_id")}
+    ),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM events GROUP BY event_type)
+    SELECT ex.event_type, ex.exact_distinct,
+           floor(est.hll_raw*10000 + 0.5)/10000.0 AS hll_est
+    FROM ex JOIN est ON ex.event_type = est.event_type
+    ORDER BY ex.event_type
+    """,
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type, cross-engine-exact (the
+    whole sketch is md5 + integer register math — see operators/sketches)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    est = hll_distinct(ev, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "exact_distinct", round4("hll_raw").alias("hll_est"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel over 10-minute sessions:
+# view → first click strictly after the first view → first purchase
+# strictly after that click.  One exchange on user_id serves both the
+# session assignment (lag + running sum) and the three window mins.
+# ---------------------------------------------------------------------------
+@register(
+    "event_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+      FROM events),
+    m AS (
+      SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                             ORDER BY us, event_id)
+                          >= 600000000 THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+    v1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                  OVER (PARTITION BY user_id, sid) AS v_us
+      FROM s),
+    v2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND us > v_us THEN us END)
+                  OVER (PARTITION BY user_id, sid) AS c_us
+      FROM v1),
+    v3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND us > c_us THEN us END)
+                  OVER (PARTITION BY user_id, sid) AS p_us
+      FROM v2),
+    sess AS (
+      SELECT user_id, sid, max(v_us) AS v, max(c_us) AS c, max(p_us) AS p
+      FROM v3 GROUP BY user_id, sid)
+    SELECT count(*)::BIGINT AS n_sessions,
+           count(v)::BIGINT AS n_view,
+           count(c)::BIGINT AS n_view_click,
+           count(p)::BIGINT AS n_full_funnel,
+           floor((count(c)::DOUBLE / count(v)::DOUBLE)*10000 + 0.5)/10000.0
+             AS click_through,
+           floor((count(p)::DOUBLE / count(c)::DOUBLE)*10000 + 0.5)/10000.0
+             AS purchase_through
+    FROM sess
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order session funnel.  Gaps-and-islands sessionization (same
+    10-min rule as ``user_sessions``) and the three stage timestamps are all
+    windows over the SAME (user_id[, sid]) partitioning — Catalyst plans one
+    Exchange + one sort, then chained Window operators; the final global
+    fold aggregates ~sessions rows.  No joins, no second scan."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns DIV 1000").alias("us"), "event_type"
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = 600_000_000
+    new_s = F.when(
+        (F.col("us") - F.lag("us").over(wo)) >= gap_us, F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "sid", F.sum("new_s").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    staged = (
+        sess.withColumn(
+            "v_us",
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(ws),
+        )
+        .withColumn(
+            "c_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("us") > F.col("v_us")),
+                    F.col("us"),
+                )
+            ).over(ws),
+        )
+        .withColumn(
+            "p_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("c_us")),
+                    F.col("us"),
+                )
+            ).over(ws),
+        )
+    )
+    per_session = staged.groupBy("user_id", "sid").agg(
+        F.max("v_us").alias("v"), F.max("c_us").alias("c"), F.max("p_us").alias("p")
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("v").alias("n_view"),
+        F.count("c").alias("n_view_click"),
+        F.count("p").alias("n_full_funnel"),
+        round4(
+            F.count("c").cast("double") / F.count("v").cast("double")
+        ).alias("click_through"),
+        round4(
+            F.count("p").cast("double") / F.count("c").cast("double")
+        ).alias("purchase_through"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV: customers bucketed by first-order month; revenue per
+# (cohort month, order month).  The first-order derivation and the re-join
+# share the o_custkey hash partitioning (one shuffle reused), then one
+# partial-agg'd group on the (small) month pair.
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_ltv",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT o_custkey, strftime(min(o_orderdate), '%Y-%m') AS cohort_month
+      FROM orders GROUP BY o_custkey)
+    SELECT f.cohort_month, strftime(o.o_orderdate, '%Y-%m') AS order_month,
+           count(DISTINCT o.o_custkey)::BIGINT AS n_customers,
+           count(*)::BIGINT AS n_orders,
+           sum({_CENTS.format(x='o.o_totalprice')})::BIGINT AS revenue_cents
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY f.cohort_month, order_month
+    ORDER BY f.cohort_month, order_month
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-revenue matrix (customer lifetime value by acquisition
+    month) — the retention/LTV query every events warehouse runs."""
+    orders = _t(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_format(F.min(F.col("o_orderdate").cast("timestamp")), "yyyy-MM").alias(
+            "cohort_month"
+        )
+    )
+    return (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyy-MM").alias(
+                "order_month"
+            ),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(R.cents("o_totalprice")).alias("revenue_cents"),
+        )
+        .orderBy("cohort_month", "order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Status-transition counts (Markov chain over each customer's order
+# history): lag over one exchange on o_custkey, then a tiny group.
+# ---------------------------------------------------------------------------
+@register(
+    "order_status_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus AS status,
+             lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+               AS prev_status
+      FROM orders)
+    SELECT prev_status, status, count(*)::BIGINT AS n_transitions
+    FROM seq WHERE prev_status IS NOT NULL
+    GROUP BY prev_status, status
+    ORDER BY prev_status, status
+    """,
+)
+def q_order_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status transition matrix per customer timeline (lag + count):
+    the state-machine audit a pipeline runs to find anomalous flows."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.lag("o_orderstatus").over(w).alias("prev_status"),
+        )
+        .filter(F.col("prev_status").isNotNull())
+        .groupBy("prev_status", "status")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_status", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding QC: per-label centroid, then each vector's squared L2 distance
+# to its own centroid; top-3 outliers per label.  Centroid components are
+# aggregated as SCALED INTEGERS (1e6) so the sum is order-free; distances
+# use the proven dot-product fold (dist² = x·x − 2·x·c + c·c).
+# ---------------------------------------------------------------------------
+@register(
+    "label_centroid_outliers",
+    oracle="""
+    WITH expl AS (
+      SELECT label, vec_id, u.val, u.pos
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding::DOUBLE[]) AS val,
+                           generate_subscripts(embedding, 1) AS pos) u),
+    comp AS (
+      SELECT label, pos,
+             sum(floor(val*1000000 + 0.5)::BIGINT)::BIGINT AS sq,
+             count(*)::BIGINT AS n
+      FROM expl GROUP BY label, pos),
+    cent AS (
+      SELECT label,
+             list(sq::DOUBLE / (1000000.0 * n) ORDER BY pos) AS centroid
+      FROM comp GROUP BY label),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+               - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.centroid)
+               + list_dot_product(c.centroid, c.centroid) AS d2
+      FROM embeddings e JOIN cent c ON e.label = c.label),
+    ranked AS (
+      SELECT label, vec_id, d2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY d2 DESC, vec_id) AS rn
+      FROM scored)
+    SELECT label, vec_id, floor(d2*10000 + 0.5)/10000.0 AS dist2
+    FROM ranked WHERE rn <= 3
+    ORDER BY label, dist2 DESC, vec_id
+    """,
+)
+def q_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + farthest-member outliers (embedding-space QC:
+    mislabeled or corrupt vectors surface as centroid outliers).
+
+    Scale shape: posexplode → partial-agg'd integer component sums (shuffle
+    is O(labels × dim), not O(rows × dim)); the centroid table (labels
+    rows) broadcasts back; distance is a codegen'd fold per row; top-3 via
+    WindowGroupLimit.  Vectors themselves never enter an Exchange."""
+    emb = _t(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", F.col("pos"), F.col("col").alias("val"))
+    comp = expl.groupBy("label", "pos").agg(
+        F.sum(F.floor(F.col("val") * 1_000_000 + F.lit(0.5)).cast("long")).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = (
+        comp.select(
+            "label",
+            F.struct(
+                "pos",
+                (F.col("sq").cast("double") / (F.lit(1_000_000.0) * F.col("n"))).alias(
+                    "c"
+                ),
+            ).alias("pc"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(F.array_sort(F.collect_list("pc")), lambda s: s.c).alias(
+                "centroid"
+            )
+        )
+    )
+    x = F.col("embedding").cast("array<double>")
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        (
+            dot_product(x, x)
+            - F.lit(2.0) * dot_product(x, F.col("centroid"))
+            + dot_product("centroid", "centroid")
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", round4("d2").alias("dist2"))
+        .orderBy("label", F.desc("dist2"), "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-vector MaxSim (ColBERT-style late interaction): queries = the
+# 4 vectors vec_id < 4; documents = label groups.  score(doc) =
+# Σ_q max_{v∈doc} q·v, summed as 1e4-scaled integers (order-free).
+# ---------------------------------------------------------------------------
+@register(
+    "maxsim_multivector",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 4),
+    m AS (
+      SELECT e.label, q.qid,
+             max(list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])) AS md
+      FROM embeddings e CROSS JOIN q
+      GROUP BY e.label, q.qid)
+    SELECT label,
+           (sum(floor(md*10000 + 0.5)::BIGINT)::BIGINT)::DOUBLE / 10000.0
+             AS maxsim
+    FROM m GROUP BY label
+    ORDER BY maxsim DESC, label
+    """,
+)
+def q_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval: each document is a BAG of vectors (label
+    groups stand in for token embeddings); score = sum over query vectors
+    of the best-matching document vector.
+
+    Scale shape: the query bag broadcasts; document vectors are scanned
+    once with a codegen'd dot per (vector, query); ``max`` partial-aggs
+    map-side so the shuffle carries O(docs × |Q|) rows, never vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    per_q = (
+        emb.join(F.broadcast(q))
+        .select(
+            "label", "qid", dot_product("embedding", "qe").alias("s")
+        )
+        .groupBy("label", "qid")
+        .agg(F.max("s").alias("md"))
+    )
+    scaled = F.floor(F.col("md") * 10_000 + F.lit(0.5)).cast("long")
+    return (
+        per_q.groupBy("label")
+        .agg((F.sum(scaled).cast("double") / 10_000.0).alias("maxsim"))
+        .orderBy(F.desc("maxsim"), "label")
+    )
