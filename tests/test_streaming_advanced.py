@@ -141,3 +141,45 @@ def test_stream_stream_join_equals_batch_interval_join(spark):
         (r["p_event_id"], r["c_event_id"]) for r in hits.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_hll_equals_batch_sketch(spark):
+    """Drained streaming HLL == batch sketch registers AND estimate, per
+    event type (register merge is commutative, so micro-batch order is
+    irrelevant)."""
+    from vector_search_spark.operators.sketches import hll_registers
+    from vector_search_spark.registry import QUERIES
+    from vector_search_spark.sources.tables import load_table
+    from vector_search_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events_from_parquet,
+    )
+    from vector_search_spark.streaming.stateful import streaming_hll_distinct
+
+    SF = "/root/testdata/sf0.001"
+    stream = stream_events_from_parquet(spark, SF)
+    run_stream_to_memory(streaming_hll_distinct(stream), "hll_test", mode="update")
+    # update mode: last emission per key is the drained state
+    got = {
+        r["event_type"]: (r["n_seen"], r["harm_scaled"], round(r["hll_est"], 4))
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY event_type
+                                              ORDER BY n_seen DESC, harm_scaled) rn
+                 FROM hll_test) WHERE rn = 1"""
+        ).collect()
+    }
+
+    batch = QUERIES["hll_distinct_users"](spark, SF).collect()
+    ev = load_table(spark, SF, "events").select("event_type", "user_id")
+    regs = (
+        hll_registers(ev, "event_type", "user_id")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    n_seen_batch = {r["event_type"]: r["count"] for r in regs}
+    for row in batch:
+        g = got[row.event_type]
+        assert g[0] == n_seen_batch[row.event_type]
+        assert g[2] == round(row.hll_est, 4)

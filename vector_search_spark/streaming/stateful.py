@@ -146,3 +146,72 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_SCHEMA = "event_type string, n_seen long, harm_scaled long, hll_est double"
+HLL_STATE = "regs array<long>"
+
+
+def _update_hll(key, pdfs, state: GroupState):
+    """Fold each micro-batch's rows into the key's 512 HLL registers and
+    emit the refreshed estimate.  The hash/register/fold math mirrors
+    ``operators.sketches`` exactly (same md5 salt, same scaled-integer
+    harmonic sum), so the drained stream reproduces the batch estimate."""
+    import hashlib
+    import math
+
+    from vector_search_spark.operators.sketches import HLL_M, HLL_P
+
+    rest_bits = 60 - HLL_P
+    rest_mask = (1 << rest_bits) - 1
+    regs = list(state.get[0]) if state.exists else [0] * HLL_M
+    for pdf in pdfs:
+        for uid in pdf["user_id"]:
+            h = int(
+                hashlib.md5(f"hll:{int(uid)}".encode()).hexdigest()[:15], 16
+            )
+            bucket, rest = h >> rest_bits, h & rest_mask
+            rho = rest_bits + 1 if rest == 0 else rest_bits + 1 - rest.bit_length()
+            if rho > regs[bucket]:
+                regs[bucket] = rho
+    state.update((regs,))
+    scale = 1 << (rest_bits + 1)
+    n_seen = sum(1 for m in regs if m > 0)
+    harm_scaled = sum(1 << (rest_bits + 1 - m) for m in regs if m > 0)
+    total = harm_scaled + (HLL_M - n_seen) * scale
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
+    raw = alpha * float(scale) / float(total)
+    v = HLL_M - n_seen
+    est = HLL_M * math.log(HLL_M / v) if (raw <= 2.5 * HLL_M and v > 0) else raw
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": key[0],
+                "n_seen": n_seen,
+                "harm_scaled": harm_scaled,
+                "hll_est": est,
+            }
+        ]
+    )
+
+
+def streaming_hll_distinct(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch HLL sketch (``hll_distinct_users``):
+    per-event-type distinct-user estimate maintained incrementally.
+
+    State per key is the fixed 512-register array — O(1) memory per group
+    forever, the property that makes sketch cardinality THE streaming
+    distinct-count at scale (exact distinct state grows with cardinality).
+    Update mode: each micro-batch emits the refreshed estimate per touched
+    group; the final emission equals the batch sketch over the same rows
+    (register merge is idempotent/commutative, so late or reordered rows
+    cannot change the drained result).
+    """
+    keyed = events.select("event_type", "user_id").groupBy("event_type")
+    return keyed.applyInPandasWithState(
+        _update_hll,
+        outputStructType=HLL_SCHEMA,
+        stateStructType=HLL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
