@@ -392,3 +392,112 @@ def q_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(scaled).cast("double") / 10_000.0).alias("maxsim"))
         .orderBy(F.desc("maxsim"), "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocab build: top-1000 whitespace tokens with cumulative corpus
+# coverage.  Token counts partial-agg map-side (shuffle is O(distinct
+# tokens)); the coverage cumsum runs over the already-top-1000 rows only,
+# so the unpartitioned window is bounded, never corpus-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    c AS (SELECT token, count(*)::BIGINT AS n FROM toks
+          WHERE token <> '' GROUP BY token),
+    tot AS (SELECT sum(n)::BIGINT AS total FROM c),
+    top AS (
+      SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM c ORDER BY n DESC, token LIMIT 1000)
+    SELECT rank::INTEGER AS rank, token, n,
+           floor((sum(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)::DOUBLE
+                  / total::DOUBLE)*10000 + 0.5)/10000.0 AS cum_coverage
+    FROM top, tot
+    ORDER BY rank
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction (the BPE-precursor step): most frequent
+    tokens and the cumulative fraction of the corpus they cover — the curve
+    a tokenizer team reads to pick vocab size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    top = (
+        counts.orderBy(F.desc("n"), "token")
+        .limit(1000)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n"), "token")).cast("int"),
+        )
+    )
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "n",
+            round4(
+                F.sum("n").over(cum).cast("double") / F.col("total").cast("double")
+            ).alias("cum_coverage"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping context-window chunking: 512-token windows, stride 448
+# (64-token overlap) — the pre-training text → sample mapping.  Pure
+# sequence/explode arithmetic; positive-operand integer division only, so
+# Spark DIV (truncate) and DuckDB // (floor) agree.
+# ---------------------------------------------------------------------------
+@register(
+    "token_window_chunks",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             END AS n
+      FROM documents),
+    b AS (
+      SELECT doc_id, n,
+             CASE WHEN n <= 512 THEN 0 ELSE (n - 512 + 447) // 448 END AS i_max
+      FROM d WHERE n > 0)
+    SELECT doc_id, u.i::INTEGER AS chunk_idx, (u.i * 448)::BIGINT AS start_tok,
+           least(512, n - u.i * 448)::BIGINT AS n_chunk_tokens
+    FROM b, LATERAL (SELECT unnest(generate_series(0, i_max)) AS i) u
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk plan per document (512-token windows, 64-token
+    overlap): which (doc, offset) slices become training samples.  The
+    sibling of ``packing_plan`` for architectures that want overlap instead
+    of packing."""
+    from .functions.text import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    i_max = F.when(F.col("n") <= 512, F.lit(0).cast("long")).otherwise(
+        F.expr("(n - 512 + 447) DIV 448")
+    )
+    return (
+        docs.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), i_max)))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * 448).cast("long").alias("start_tok"),
+            F.least(F.lit(512).cast("long"), F.col("n") - F.col("chunk_idx") * 448)
+            .alias("n_chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
