@@ -501,3 +501,135 @@ def q_token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill (LOCF): complete daily grid per user over the span
+# of their purchase days, forward-filled from the last actual day — the
+# feature-table densification step before windowed model features.
+# Spark side reuses the as-of backward join (one exchange on user_id,
+# no range explosion); the oracle is DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+@register(
+    "daily_value_gap_fill",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             sum({_CENTS.format(x='value')})::BIGINT AS vc
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, day),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM p GROUP BY user_id),
+    grid AS (
+      SELECT span.user_id, u.day
+      FROM span, LATERAL (SELECT unnest(generate_series(d0, d1)) AS day) u)
+    SELECT g.user_id, g.day, p.vc AS value_cents,
+           (CASE WHEN p.day = g.day THEN 1 ELSE 0 END)::INTEGER AS is_actual
+    FROM grid g ASOF LEFT JOIN p
+      ON g.user_id = p.user_id AND g.day >= p.day
+    ORDER BY g.user_id, g.day
+    """,
+)
+def q_daily_value_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase-value series per user on a gap-free grid with
+    last-observation-carried-forward fill."""
+    from .operators.asof import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(F.sum(R.cents("value")).alias("vc"))
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    filled = asof_join_backward(
+        grid,
+        daily.select("user_id", "day", "vc", F.col("day").alias("src_day")),
+        key="user_id",
+        ts="day",
+        right_payloads=["vc", "src_day"],
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.col("asof_vc").alias("value_cents"),
+        (F.col("asof_src_day") == F.col("day")).cast("int").alias("is_actual"),
+    ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# Rolling anomaly detection: per event type, daily counts vs the trailing
+# 7-observation mean/std, z-scored.  All window inputs are INTEGER sums
+# (n, n², count), so the mean/var/σ floats are a fixed scalar expression on
+# exact ints — identical across engines; one round4 at the end.
+# ---------------------------------------------------------------------------
+@register(
+    "daily_count_anomalies",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY event_type, day),
+    w AS (
+      SELECT event_type, day, n,
+             sum(n)   OVER tw AS s1,
+             sum(n*n) OVER tw AS s2,
+             count(*) OVER tw AS cnt
+      FROM c
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    z AS (
+      SELECT event_type, day, n,
+             CASE WHEN ((s2::DOUBLE - s1::DOUBLE*s1::DOUBLE/cnt::DOUBLE)/cnt::DOUBLE) < 0.0
+                  THEN 0.0
+                  ELSE sqrt((s2::DOUBLE - s1::DOUBLE*s1::DOUBLE/cnt::DOUBLE)/cnt::DOUBLE)
+             END AS sd,
+             s1::DOUBLE/cnt::DOUBLE AS mean
+      FROM w)
+    SELECT event_type, day, n,
+           floor((CASE WHEN sd = 0.0 THEN 0.0
+                       ELSE (n::DOUBLE - mean)/sd END)*10000 + 0.5)/10000.0 AS zscore,
+           (CASE WHEN sd <> 0.0
+                  AND abs((n::DOUBLE - mean)/sd) >= 2.0 THEN 1 ELSE 0 END)::INTEGER
+             AS is_anomaly
+    FROM z ORDER BY event_type, day
+    """,
+)
+def q_daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags on daily event counts (the
+    volume-drop/spike monitor every ingestion pipeline runs)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tw = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    w = c.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(tw).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(tw).alias("s2"),
+        F.count(F.lit(1)).over(tw).alias("cnt"),
+    )
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+        / F.col("cnt").cast("double")
+    ) / F.col("cnt").cast("double")
+    sd = F.when(var < 0.0, F.lit(0.0)).otherwise(F.sqrt(var))
+    mean = F.col("s1").cast("double") / F.col("cnt").cast("double")
+    z = F.when(sd == 0.0, F.lit(0.0)).otherwise(
+        (F.col("n").cast("double") - mean) / sd
+    )
+    return w.select(
+        "event_type",
+        "day",
+        "n",
+        round4(z).alias("zscore"),
+        ((sd != 0.0) & (F.abs((F.col("n").cast("double") - mean) / sd) >= 2.0))
+        .cast("int")
+        .alias("is_anomaly"),
+    ).orderBy("event_type", "day")
