@@ -633,3 +633,105 @@ def q_daily_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Full outer join (the one join type the relational spine lacked): daily
+# purchase vs click value per (user, day), -1 sentinels for absent sides
+# (NULL-free numeric outputs per the driver-contract convention).
+# ---------------------------------------------------------------------------
+@register(
+    "purchase_click_daily_outer",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             sum({_CENTS.format(x='value')})::BIGINT AS pc
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, day),
+    c AS (
+      SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             sum({_CENTS.format(x='value')})::BIGINT AS cc
+      FROM events WHERE event_type = 'click' GROUP BY user_id, day)
+    SELECT coalesce(p.user_id, c.user_id) AS user_id,
+           coalesce(p.day, c.day) AS day,
+           coalesce(p.pc, -1) AS purchase_cents,
+           coalesce(c.cc, -1) AS click_cents
+    FROM p FULL OUTER JOIN c ON p.user_id = c.user_id AND p.day = c.day
+    ORDER BY user_id, day
+    """,
+)
+def q_purchase_click_daily_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase/click value alignment via FULL OUTER join — both
+    pre-aggregated sides arrive hash-partitioned on the same key, so the
+    join reuses the aggregation exchange (no extra shuffle at scale)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns DIV 86400000000000").alias("day"),
+        "event_type",
+        R.cents("value").alias("vc"),
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(F.sum("vc").alias("pc"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "day")
+        .agg(F.sum("vc").alias("cc"))
+    )
+    return (
+        p.join(c, ["user_id", "day"], "full")  # join-on-list coalesces keys
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("pc", F.lit(-1)).alias("purchase_cents"),
+            F.coalesce("cc", F.lit(-1)).alias("click_cents"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long): per-language corpus metrics melted to
+# (lang, metric, value) rows — the normalization step before generic
+# metric stores.  Integer-valued metrics only; Spark's native unpivot
+# (stack) ≡ SQL UNION ALL.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_metrics_long",
+    oracle="""
+    WITH m AS (
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             sum(length(text))::BIGINT AS total_chars,
+             sum(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END)::BIGINT AS total_tokens
+      FROM documents GROUP BY lang)
+    SELECT lang, metric, value FROM (
+      SELECT lang, 'n_docs' AS metric, n_docs AS value FROM m
+      UNION ALL SELECT lang, 'total_chars', total_chars FROM m
+      UNION ALL SELECT lang, 'total_tokens', total_tokens FROM m)
+    ORDER BY lang, metric
+    """,
+)
+def q_corpus_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of per-language corpus metrics (stack — the
+    inverse of source_lang_pivot's pivot)."""
+    from .functions.text import token_count_ws
+
+    m = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(token_count_ws("text").cast("long")).alias("total_tokens"),
+        )
+    )
+    return m.select(
+        "lang",
+        F.expr(
+            "stack(3, 'n_docs', n_docs, 'total_chars', total_chars,"
+            " 'total_tokens', total_tokens) AS (metric, value)"
+        ),
+    ).orderBy("lang", "metric")
