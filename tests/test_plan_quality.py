@@ -50,3 +50,33 @@ def test_text_stats_reads_only_needed_columns(spark):
     read = scan.split("ReadSchema")[1]
     assert "text" in read
     assert "n_chars" not in read
+
+
+def test_event_funnel_single_data_exchange(spark):
+    """Sessionization + all three stage windows + the session group must
+    share ONE hashpartitioning(user_id) exchange (plus the final
+    single-partition fold) — the property that keeps the funnel a
+    one-shuffle query at 100 TB."""
+    df = registry.QUERIES["event_funnel"](spark, SF_TEST)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_outer_join_reuses_agg_partitioning(spark):
+    """Both pre-aggregated sides are hash-partitioned on (user_id, day) by
+    their groupBys; the FULL OUTER join must not add a third exchange."""
+    df = registry.QUERIES["purchase_click_daily_outer"](spark, SF_TEST)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # two agg exchanges + the final orderBy range exchange, nothing more
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_maxsim_no_vectors_in_shuffle(spark):
+    """The MaxSim shuffle carries (label, qid, score) partial-max rows only
+    — embedding arrays must never appear in an Exchange."""
+    df = registry.QUERIES["maxsim_multivector"](spark, SF_TEST)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Exchange hashpartitioning"):
+            assert "embedding" not in line and "qe" not in line, line
