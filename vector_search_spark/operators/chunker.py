@@ -38,7 +38,7 @@ IDEA_PREFIX = "Idea from James Clear: "
 
 
 def py_strip(c: Column) -> Column:
-    """Python ``str.strip()`` (all whitespace) — Spark's ``trim`` only
+    r"""Python ``str.strip()`` (all whitespace) — Spark's ``trim`` only
     removes spaces.  (?U) because Python's \s is Unicode (matches \xa0)
     while Java's default is ASCII-only; the corpus contains nbsp."""
     return F.regexp_replace(F.regexp_replace(c, r"(?U)^\s+", ""), r"(?U)\s+$", "")

@@ -542,3 +542,180 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram decontamination: the GPT-3/PaLM-style eval-leakage scan
+# (13-gram overlap in the papers; this corpus's shingle_n, same machinery).
+# ---------------------------------------------------------------------------
+@register(
+    "eval_ngram_contamination",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SPLIT},
+    tagged AS (
+      SELECT sh.doc_id, sh.shingle, sp.split
+      FROM sh JOIN split sp USING (doc_id)),
+    train_sh AS (SELECT DISTINCT shingle FROM tagged WHERE split = 'train'),
+    ev AS (SELECT doc_id, shingle FROM tagged WHERE split = 'eval'),
+    tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM ev GROUP BY 1),
+    hit AS (
+      SELECT doc_id, count(*)::BIGINT AS n_contaminated
+      FROM ev WHERE shingle IN (SELECT shingle FROM train_sh) GROUP BY 1)
+    SELECT t.doc_id, t.n_shingles,
+           coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+           floor((coalesce(h.n_contaminated, 0) * 1.0 / t.n_shingles)
+                 * 10000 + 0.5) / 10000.0 AS contamination_frac
+    FROM tot t LEFT JOIN hit h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_eval_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-overlap decontamination of the held-out split: for each
+    EVAL document, the fraction of its distinct token n-grams that also
+    occur anywhere in the TRAIN split (GPT-3 appendix C / PaLM use 13-gram
+    exact overlap; same machinery at this corpus's shingle_n).  Complements
+    `split_contamination`, which only flags NEAR-duplicate doc pairs — a
+    few verbatim-copied sentences inside an otherwise-novel eval doc slip
+    past LSH but light up here.
+
+    Scale: reuses the session-shared (doc_id, shingle) table — no rescan
+    of the corpus.  The left-semi join partitions by the shingle hash:
+    the eval side is ~10% of docs and the train shingle set streams
+    through the shuffle once; at 100 TB the standard upgrade is a bloom
+    filter on train shingles (semi-join pushdown gives a coarse version
+    for free), which changes nothing semantically.  All counts are exact
+    BIGINTs; the one float ratio is computed once per output row.
+    """
+    bucket_of = lambda c: (  # noqa: E731 — twin of registry_text split
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col(c).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+    sh = _shared_shingles(spark, sf_dir).withColumn(
+        "__split",
+        F.when(bucket_of("doc_id") < 90, F.lit("train")).otherwise(F.lit("eval")),
+    )
+    train_sh = sh.filter(F.col("__split") == "train").select("shingle").distinct()
+    ev = sh.filter(F.col("__split") == "eval").select("doc_id", "shingle")
+    tot = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        ev.join(train_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            round4(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) * 1.0 / F.col("n_shingles")
+            ).alias("contamination_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: per-document sampling weights from duplicate-cluster sizes.
+# ---------------------------------------------------------------------------
+@register(
+    "dup_sampling_weights",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*) AS shared
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT s.id_1, s.id_2
+      FROM shared s
+      JOIN sizes n1 ON s.id_1 = n1.doc_id
+      JOIN sizes n2 ON s.id_2 = n2.doc_id
+      JOIN (SELECT DISTINCT id_1, id_2 FROM cand) c
+        ON c.id_1 = s.id_1 AND c.id_2 = s.id_2
+      JOIN sig s1 ON c.id_1 = s1.doc_id
+      JOIN sig s2 ON c.id_2 = s2.doc_id
+      WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
+        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+    edges AS (SELECT id_1 AS a, id_2 AS b FROM verified
+              UNION SELECT id_2, id_1 FROM verified),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach(doc_id, root) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc_id),
+    clusters AS (SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id),
+    csize AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+              FROM clusters GROUP BY 1),
+    perdoc AS (
+      SELECT d.doc_id,
+             coalesce(s.cluster_size, 1)::BIGINT AS cluster_size
+      FROM documents d
+      LEFT JOIN clusters c ON d.doc_id = c.doc_id
+      LEFT JOIN csize s ON c.cluster_id = s.cluster_id)
+    SELECT cluster_size,
+           count(*)::BIGINT AS n_docs,
+           floor((1.0 / cluster_size) * 10000 + 0.5) / 10000.0 AS weight,
+           floor((count(*) * 1.0 / cluster_size) * 10000 + 0.5) / 10000.0
+             AS expected_kept
+    FROM perdoc
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def q_dup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of dropping near-duplicates, weight each
+    document by 1/cluster_size so every duplicate CLUSTER contributes one
+    expected copy to the training mix (the "soft dedup" used when exact
+    provenance should survive; sum of weights == number of unique docs).
+    Reported as the cluster-size histogram with per-doc weight and
+    expected kept mass per size.
+
+    Scale: cluster labels come from the same O(near-dups) connected-
+    components closure as `dedup_clusters`; the corpus-wide left join adds
+    exactly one shuffle on doc_id, and singleton docs never appear in the
+    label table (coalesce to size 1) so the join's build side is only the
+    duplicated minority.  All counts exact BIGINTs; weights are one float
+    expression per output row.
+    """
+    from .operators.dedup import connected_components, neardup_cascade
+
+    docs = __load(spark, sf_dir, "documents")
+    pairs = neardup_cascade(
+        docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
+        jaccard_threshold=0.8, shingled=_shared_shingles(spark, sf_dir),
+        signatures=_shared_signatures(spark, sf_dir), est_floor=0.5,
+        candidates=_shared_lsh_candidates(spark, sf_dir),
+    )
+    cc = connected_components(pairs)
+    csize = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    labeled = cc.join(csize, "label").select(
+        F.col("node").alias("doc_id"), "cluster_size"
+    )
+    perdoc = (
+        docs.select("doc_id")
+        .join(labeled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long").alias("cluster_size"),
+        )
+    )
+    return (
+        perdoc.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "cluster_size",
+            "n_docs",
+            round4(1.0 / F.col("cluster_size")).alias("weight"),
+            round4(F.col("n_docs") * 1.0 / F.col("cluster_size")).alias("expected_kept"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -922,3 +922,76 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring: the CCNet/KenLM-style perplexity proxy for quality
+# filtering, reduced to a unigram model so it is fully SQL-expressible.
+# ---------------------------------------------------------------------------
+@register(
+    "unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE trim(text) != ''),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+    vocab AS (SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+    term AS (SELECT tok, floor(ln(cnt)*1000000 + 0.5)::BIGINT AS lsc FROM vocab)
+    SELECT tf.doc_id,
+           sum(tf.tf)::BIGINT AS n_tokens,
+           floor((((sum(tf.tf * term.lsc)::BIGINT) / 1000000.0) / (sum(tf.tf)::BIGINT)
+                  - ln((SELECT total FROM tot))) * 10000 + 0.5) / 10000.0 AS avg_logprob
+    FROM tf JOIN term USING (tok)
+    GROUP BY tf.doc_id ORDER BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under a corpus-fit LM —
+    the perplexity-proxy quality signal (CCNet trains KenLM; the unigram
+    reduction keeps the whole model inside the engine).  Low avg_logprob
+    = rare-token-heavy (noise, mashed keys); implausibly high = degenerate
+    repetition of frequent tokens.  Training pipelines threshold both tails.
+
+    Scale: the LM "training" is one partial-agg token count (vocab is tiny
+    vs the corpus — Zipf); scoring is a (doc_id, tok, tf) aggregate joined
+    to the vocab on the token key.  Determinism: each token's ln(count) is
+    quantized to integer micro-nats ONCE, per-doc scores are exact BIGINT
+    sums of tf x micro-nats (addition-order-free, unlike a float sum over
+    tokens), and exactly one float expression per output row at the end.
+    The corpus-total row rides in on a 1-row cross join (AQE broadcasts
+    it) — no driver-side count() scan.
+    """
+    docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    term = vocab.select(
+        "tok",
+        F.floor(F.log("cnt") * 1000000 + 0.5).cast("long").alias("lsc"),
+    )
+    total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    per_doc = (
+        tf.join(term, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lsc")).cast("long").alias("s_micro"),
+        )
+    )
+    return (
+        per_doc.crossJoin(total)
+        .select(
+            "doc_id",
+            "n_tokens",
+            round4(
+                (F.col("s_micro") / 1000000.0) / F.col("n_tokens")
+                - F.log(F.col("total"))
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
