@@ -103,3 +103,42 @@ def test_maxsim_upper_bound(spark):
         # the label that owns query vector r gets at least r's self-dot from
         # that query term (floor-rounded), so maxsim >= selfdot - 4*1e-4
         assert rows[r.label] >= r.selfdot - 4e-4
+
+
+def test_cms_overcount_nonnegative_and_bounded_counters(spark):
+    """CMS never undercounts (est >= exact for every probed key), and the
+    counter table the estimate joins against is bounded by depth x width
+    rows — the whole reason the sketch scales."""
+    from vector_search_spark.operators.sketches import (
+        CMS_DEPTH, CMS_WIDTH, cms_counters,
+    )
+    from vector_search_spark.registry import QUERIES
+    from vector_search_spark.sources.tables import load_table
+
+    rows = QUERIES["cms_heavy_hitters"](spark, SF).collect()
+    assert rows, "heavy hitters query returned nothing"
+    for r in rows:
+        assert r.overcount >= 0
+        assert r.cms_est >= r.exact_cnt
+    ev = load_table(spark, SF, "events").select("user_id")
+    assert cms_counters(ev, "user_id").count() <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_retention_matrix_invariants(spark):
+    """Week-0 retention is exactly 1.0 (a cohort is active the week it is
+    born, by definition of first-seen), every fraction is in (0, 1], and
+    n_active never exceeds cohort_size."""
+    from vector_search_spark.registry import QUERIES
+
+    rows = QUERIES["user_retention_cohorts"](spark, SF).collect()
+    assert rows
+    seen_zero = set()
+    for r in rows:
+        assert 0 < r.retention_frac <= 1.0
+        assert r.n_active <= r.cohort_size
+        assert r.week_offset >= 0
+        if r.week_offset == 0:
+            assert r.n_active == r.cohort_size
+            seen_zero.add(r.cohort_week)
+    # every cohort appears at offset 0
+    assert seen_zero == {r.cohort_week for r in rows}

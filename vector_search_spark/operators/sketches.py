@@ -122,3 +122,111 @@ def hll_oracle_sql(source_sql: str, group: str, value_expr: str) -> str:
            END AS hll_raw
     FROM folded
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: frequency estimation / heavy hitters.
+# ---------------------------------------------------------------------------
+# depth x width = 4 x 256 counters; over-estimate only (never under), with
+# P[err > 2N/width] < (1/2)^depth per query.  Same engineering contract as
+# the HLL above: md5-derived bucket hashes, pure integer counter math, so a
+# SQL oracle reproduces every counter and every estimate bit-for-bit.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(j: int, value: Column) -> Column:
+    """Row-j bucket for a value: md5('cms{j}:' || v) taken as a 32-bit int
+    mod width — the 2-universal-enough family the whole repo's hashing
+    uses (one md5 per (row, value); substring keeps it in BIGINT range)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{j}:"), value.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def cms_counters(df: DataFrame, value: Column | str) -> DataFrame:
+    """Build the (j, bucket, cnt) counter table: each input row increments
+    one bucket per sketch row.
+
+    Scale shape: the explode emits ``depth`` narrow integer rows per input
+    row, ALL of which partial-aggregate map-side; at most depth x width
+    (= 1,024) rows ever cross the shuffle, regardless of input size."""
+    value = F.col(value) if isinstance(value, str) else value
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"), _cms_bucket(j, value).alias("bucket")
+                )
+                for j in range(CMS_DEPTH)
+            ]
+        )
+    )
+    return (
+        df.select(rows.alias("r"))
+        .select("r.j", "r.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(counters: DataFrame, items: DataFrame, value: str) -> DataFrame:
+    """Point-query the sketch for each distinct item: est = min over sketch
+    rows of the counter at that row's bucket.
+
+    ``items`` must carry distinct values in column ``value``; the join is
+    (j, bucket) equi-join against the <= depth x width counter table —
+    broadcastable at any corpus size."""
+    probes = items.select(
+        F.col(value),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(j, F.col(value)).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("r"),
+    ).select(value, "r.j", "r.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy(value)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def cms_oracle_sql(source_sql: str, value_expr: str) -> str:
+    """ANSI-SQL twin: same hashes, same integer counters, same min-fold.
+    Produces (value, cms_est) for every distinct value in the source."""
+    probes = " UNION ALL ".join(
+        f"""SELECT v, {j} AS j,
+             ('0x' || substr(md5('cms{j}:' || v::VARCHAR), 1, 8))::BIGINT % {CMS_WIDTH} AS bucket
+            FROM vals"""
+        for j in range(CMS_DEPTH)
+    )
+    incs = " UNION ALL ".join(
+        f"""SELECT {j} AS j,
+             ('0x' || substr(md5('cms{j}:' || ({value_expr})::VARCHAR), 1, 8))::BIGINT % {CMS_WIDTH} AS bucket
+            FROM src"""
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH src AS ({source_sql}),
+    vals AS (SELECT DISTINCT ({value_expr}) AS v FROM src),
+    counters AS (
+      SELECT j, bucket, count(*)::BIGINT AS cnt FROM ({incs}) GROUP BY j, bucket),
+    probes AS ({probes})
+    SELECT p.v AS value, min(c.cnt)::BIGINT AS cms_est
+    FROM probes p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.v
+    """

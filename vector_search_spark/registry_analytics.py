@@ -735,3 +735,136 @@ def q_corpus_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'total_tokens', total_tokens) AS (metric, value)"
         ),
     ).orderBy("lang", "metric")
+
+
+# ---------------------------------------------------------------------------
+# CMS heavy hitters: sketch-estimated frequencies vs exact, top users.
+# ---------------------------------------------------------------------------
+from .operators.sketches import cms_counters, cms_estimate, cms_oracle_sql  # noqa: E402
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH est AS (
+      {cms_oracle_sql("SELECT user_id FROM events", "user_id")}
+    ),
+    ex AS (
+      SELECT user_id, count(*)::BIGINT AS exact_cnt
+      FROM events GROUP BY user_id)
+    SELECT ex.user_id, ex.exact_cnt, est.cms_est,
+           (est.cms_est - ex.exact_cnt)::BIGINT AS overcount
+    FROM ex JOIN est ON ex.user_id = est.value
+    ORDER BY ex.exact_cnt DESC, ex.user_id
+    LIMIT 20
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the heaviest event
+    producers, with the exact count and the sketch's (always >= 0)
+    overcount — the abuse/hot-key detector a pipeline runs when exact
+    per-key counts would shuffle O(distinct keys).
+
+    Scale: the sketch shuffle is depth x width = 1,024 integer rows no
+    matter the input (map-side combined); point queries join the counter
+    table broadcast.  Exact counts are included for the quality report —
+    at 100 TB you'd keep only the sketch side.  Everything is integer
+    math on md5-derived buckets: bit-exact across engines, runs, and
+    partitionings.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    counters = cms_counters(ev, "user_id")
+    est = cms_estimate(counters, ev.distinct(), "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix: weekly cohorts x weeks-since-first-seen.
+# ---------------------------------------------------------------------------
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)::DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts::DATE) AS active_week
+      FROM events),
+    mat AS (
+      SELECT f.cohort_week,
+             (date_diff('day', f.cohort_week, a.active_week) // 7)::INT AS week_offset,
+             count(DISTINCT a.user_id)::BIGINT AS n_active
+      FROM activity a JOIN first_seen f USING (user_id)
+      GROUP BY 1, 2),
+    base AS (
+      SELECT cohort_week, count(*)::BIGINT AS cohort_size
+      FROM first_seen GROUP BY 1)
+    SELECT m.cohort_week::DATE AS cohort_week, m.week_offset, m.n_active,
+           b.cohort_size,
+           floor((m.n_active * 1.0 / b.cohort_size) * 10000 + 0.5) / 10000.0
+             AS retention_frac
+    FROM mat m JOIN base b USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic weekly retention triangle: users grouped by first-seen week,
+    tracked by distinct activity in each subsequent week, as a fraction of
+    the cohort — the engagement report every analytics platform computes
+    over raw event logs.
+
+    Scale: one shuffle keyed by user_id produces BOTH per-user first-seen
+    and the distinct (user, week) activity set (Catalyst shares the scan);
+    the matrix aggregate then shuffles O(users x active-weeks) narrow rows,
+    and the cohort-size join is on the tiny per-week table (broadcast).
+    Weeks are ISO date_trunc boundaries — identical in Spark and DuckDB —
+    and offsets are exact integer day arithmetic divided by 7.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("d")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("d")).cast("date").alias("active_week")
+    ).distinct()
+    mat = (
+        activity.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    base = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        mat.join(base, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            round4(F.col("n_active") * 1.0 / F.col("cohort_size")).alias(
+                "retention_frac"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
