@@ -80,3 +80,46 @@ def test_maxsim_no_vectors_in_shuffle(spark):
     for line in plan.splitlines():
         if line.strip().startswith("+- Exchange hashpartitioning"):
             assert "embedding" not in line and "qe" not in line, line
+
+
+def test_unigram_logprob_prunes_and_broadcasts_total(spark):
+    """The LM scan reads only (doc_id, text); the corpus-total row must
+    ride in on a broadcast (1-row nested-loop), never a shuffled join."""
+    df = registry.QUERIES["unigram_logprob"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    scan = _scan_block(plan, "doc_id")
+    read = scan.split("ReadSchema")[1]
+    assert "text" in read and "lang" not in read and "n_chars" not in read
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_counter_table_is_broadcast(spark):
+    """The probe join must broadcast the <= depth x width counter table —
+    the property that keeps CMS point-queries shuffle-free at any corpus
+    size."""
+    df = registry.QUERIES["cms_heavy_hitters"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bottleneck_suppliers_single_wide_exchange(spark):
+    """The per-(order, supplier) aggregate and the order-partitioned window
+    must share ONE hashpartitioning(l_orderkey) exchange (subset-key
+    distribution) — no second data shuffle between agg and window."""
+    df = registry.QUERIES["bottleneck_suppliers"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    import re
+
+    parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    wide = [m for m in parts if "l_orderkey" in m]
+    assert len(wide) == 1, f"expected one orderkey exchange, saw {parts}"
+    # and the lineitem-cardinality rows are never re-shuffled on a second key
+    assert not any("l_orderkey" in m and "l_suppkey" in m for m in parts)
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    df = registry.QUERIES["incremental_ingest_dedup"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -924,14 +924,20 @@ def bottleneck_suppliers(
     grouped pass + a window, with "late" = latest ship date (the fixture
     lacks commit/receipt dates).
 
-    Scale: per-(order, supplier) max collapses line items map-side before
-    the one orderkey-partitioned window computes order-level max, supplier
-    count, and at-max count in a single exchange — no self-joins, no
-    EXISTS subquery re-scans.  Top-k is TakeOrderedAndProject."""
+    Scale: ONE orderkey exchange serves both the per-(order, supplier) max
+    and the window — hash partitioning on l_orderkey satisfies the
+    aggregate's ClusteredDistribution(l_orderkey, l_suppkey) because its
+    keys are a subset, so Catalyst inserts no second shuffle for the
+    window.  (The explicit repartition trades away map-side combine, a
+    good trade here: per-(order, supplier) cardinality is near the row
+    count, so partial aggregation barely shrinks the shuffle.)  No
+    self-joins, no EXISTS subquery re-scans; top-k is
+    TakeOrderedAndProject."""
     per_supp = (
         lineitem.select(
             "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("ship_d")
         )
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("ship_d").alias("supp_last"))
     )

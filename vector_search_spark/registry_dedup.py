@@ -102,6 +102,31 @@ def _shared_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+_VERIFIED_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _shared_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade-verified near-dup pairs (signature agreement >= 0.5, exact
+    Jaccard >= 0.8) — the artifact `dedup_cascade_keep`, `dedup_clusters`
+    and `dup_sampling_weights` all consume.  A production pipeline
+    materializes this pair table once per corpus snapshot; re-deriving the
+    exact-Jaccard verify join per downstream query tripled the family's
+    cost in BENCH."""
+    from .operators.dedup import neardup_cascade
+
+    return _session_cached(
+        _VERIFIED_CACHE, spark, sf_dir,
+        lambda: neardup_cascade(
+            __load(spark, sf_dir, "documents"),
+            num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
+            jaccard_threshold=0.8,
+            shingled=_shared_shingles(spark, sf_dir),
+            signatures=_shared_signatures(spark, sf_dir), est_floor=0.5,
+            candidates=_shared_lsh_candidates(spark, sf_dir),
+        ),
+    )
+
+
 # --- shared SQL fragments ---------------------------------------------------
 # Distinct word 3-gram shingles per doc (tokens = lower/trim/split on \s+).
 _SQL_SHINGLES = """
@@ -319,15 +344,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_cascade_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import neardup_cascade
-
     docs = __load(spark, sf_dir, "documents")
-    pairs = neardup_cascade(
-        docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
-        jaccard_threshold=0.8, shingled=_shared_shingles(spark, sf_dir),
-        signatures=_shared_signatures(spark, sf_dir), est_floor=0.5,
-        candidates=_shared_lsh_candidates(spark, sf_dir),
-    )
+    pairs = _shared_verified_pairs(spark, sf_dir)
     dropped = pairs.select(F.col("id_2").alias("doc_id")).distinct()
     return (
         docs.join(dropped, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
@@ -459,15 +477,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin computes the same closure with a recursive CTE.  See
     `operators.dedup.connected_components` for the convergence contract.
     """
-    from .operators.dedup import connected_components, neardup_cascade
+    from .operators.dedup import connected_components
 
-    docs = __load(spark, sf_dir, "documents")
-    pairs = neardup_cascade(
-        docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
-        jaccard_threshold=0.8, shingled=_shared_shingles(spark, sf_dir),
-        signatures=_shared_signatures(spark, sf_dir), est_floor=0.5,
-        candidates=_shared_lsh_candidates(spark, sf_dir),
-    )
+    pairs = _shared_verified_pairs(spark, sf_dir)
     cc = connected_components(pairs)
     csize = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -686,15 +698,10 @@ def q_dup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated minority.  All counts exact BIGINTs; weights are one float
     expression per output row.
     """
-    from .operators.dedup import connected_components, neardup_cascade
+    from .operators.dedup import connected_components
 
     docs = __load(spark, sf_dir, "documents")
-    pairs = neardup_cascade(
-        docs, num_hashes=NUM_HASHES, shingle_n=SHINGLE_N, bands=BANDS,
-        jaccard_threshold=0.8, shingled=_shared_shingles(spark, sf_dir),
-        signatures=_shared_signatures(spark, sf_dir), est_floor=0.5,
-        candidates=_shared_lsh_candidates(spark, sf_dir),
-    )
+    pairs = _shared_verified_pairs(spark, sf_dir)
     cc = connected_components(pairs)
     csize = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     labeled = cc.join(csize, "label").select(
@@ -718,4 +725,127 @@ def q_dup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.col("n_docs") * 1.0 / F.col("cluster_size")).alias("expected_kept"),
         )
         .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest: near-dup check of a NEW batch against the indexed
+# corpus (the nightly-crawl pattern; never re-pairs the old corpus).
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_ingest_dedup",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    {_SQL_SPLIT},
+    cross_cut AS (
+      SELECT DISTINCT c.id_1, c.id_2
+      FROM cand c
+      JOIN sig s1 ON c.id_1 = s1.doc_id
+      JOIN sig s2 ON c.id_2 = s2.doc_id
+      JOIN split p1 ON c.id_1 = p1.doc_id
+      JOIN split p2 ON c.id_2 = p2.doc_id
+      WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
+        AND p1.split != p2.split),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*) AS shared
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT c.id_1, c.id_2,
+             s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) AS jac
+      FROM cross_cut c
+      JOIN shared s ON s.id_1 = c.id_1 AND s.id_2 = c.id_2
+      JOIN sizes n1 ON c.id_1 = n1.doc_id
+      JOIN sizes n2 ON c.id_2 = n2.doc_id
+      WHERE s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+    oriented AS (
+      SELECT CASE WHEN p1.split = 'eval' THEN v.id_1 ELSE v.id_2 END AS new_id,
+             CASE WHEN p1.split = 'eval' THEN v.id_2 ELSE v.id_1 END AS old_id,
+             v.jac
+      FROM verified v JOIN split p1 ON v.id_1 = p1.doc_id),
+    best AS (
+      SELECT new_id, count(*)::BIGINT AS n_dup_matches,
+             min(old_id ORDER BY jac DESC, old_id) AS best_match_id,
+             max(jac) AS best_jac
+      FROM oriented GROUP BY new_id),
+    newdocs AS (SELECT doc_id FROM split WHERE split = 'eval')
+    SELECT n.doc_id,
+           coalesce(b.n_dup_matches, 0)::BIGINT AS n_dup_matches,
+           coalesce(b.best_match_id, -1)::BIGINT AS best_match_id,
+           CASE WHEN b.new_id IS NULL THEN -1.0
+                ELSE floor(b.best_jac*10000 + 0.5)/10000.0 END AS best_jaccard,
+           CASE WHEN b.new_id IS NULL THEN 'ingest' ELSE 'skip' END AS decision
+    FROM newdocs n LEFT JOIN best b ON n.doc_id = b.new_id
+    ORDER BY n.doc_id
+    """,
+)
+def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: treat the md5-split 10% ("eval" bucket,
+    standing in for tonight's crawl) as a NEW batch and decide, per new
+    document, whether it near-duplicates the already-indexed corpus —
+    emitting the ingest/skip decision plus the best-matching corpus doc.
+    This is the nightly shape of dedup at 100 TB: the corpus's shingle,
+    signature and band tables are precomputed artifacts; only new x old
+    candidate pairs are verified, and old x old pairs are never revisited.
+
+    Scale: candidates come from the session-shared banded join (at
+    production scale the new batch's bands probe the corpus's band index
+    instead — same output, strictly fewer pairs); exact-Jaccard verify
+    touches only cross-cut candidates.  The per-new-doc fold (count /
+    argmax by jaccard with id tie-break) is one narrow aggregate.
+    NULL-free sentinels (-1) keep the driver comparator int-typed.
+    """
+    bucket_of = lambda c: (  # noqa: E731 — twin of _SQL_SPLIT
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col(c).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 100
+    )
+    is_new = lambda c: bucket_of(c) >= 90  # noqa: E731
+    cand = (
+        _shared_lsh_candidates(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .filter(is_new("id_1") != is_new("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    docs = __load(spark, sf_dir, "documents")
+    verified = ngram_jaccard_pairs(
+        docs, n=SHINGLE_N, threshold=0.8,
+        candidates=cand, shingled=_shared_shingles(spark, sf_dir),
+    )
+    oriented = verified.select(
+        F.when(is_new("id_1"), F.col("id_1")).otherwise(F.col("id_2")).alias("new_id"),
+        F.when(is_new("id_1"), F.col("id_2")).otherwise(F.col("id_1")).alias("old_id"),
+        F.col("jaccard").alias("jac"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(F.desc("jac"), F.asc("old_id"))
+    best = (
+        oriented.withColumn("__rn", F.row_number().over(w))
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_matches"),
+            F.max(F.when(F.col("__rn") == 1, F.col("old_id"))).alias("best_match_id"),
+            F.max("jac").alias("best_jac"),
+        )
+    )
+    newdocs = docs.filter(is_new("doc_id")).select("doc_id")
+    return (
+        newdocs.join(best, newdocs["doc_id"] == best["new_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dup_matches"), F.lit(0)).cast("long").alias("n_dup_matches"),
+            F.coalesce(F.col("best_match_id"), F.lit(-1)).cast("long").alias("best_match_id"),
+            F.when(F.col("new_id").isNull(), F.lit(-1.0))
+            .otherwise(round4("best_jac")).alias("best_jaccard"),
+            F.when(F.col("new_id").isNull(), F.lit("ingest"))
+            .otherwise(F.lit("skip")).alias("decision"),
+        )
+        .orderBy("doc_id")
     )
