@@ -189,3 +189,29 @@ def test_stateful_per_event_running_value(spark):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_streaming_sliding_equals_batch(spark):
+    """Sliding 2h/1h windows, drained with availableNow: the streaming
+    aggregate must equal the batch twin row-for-row (same two windows per
+    event, same integer cents)."""
+    from vector_search_spark.operators.relational import events_sliding_counts
+    from vector_search_spark.sources.tables import load_table
+    from vector_search_spark.streaming.events import (
+        stream_events_from_parquet,
+        streaming_sliding_counts,
+        run_stream_to_memory,
+    )
+
+    stream = stream_events_from_parquet(spark, SF)
+    agg = streaming_sliding_counts(stream, window="2 hours", slide="1 hour")
+    run_stream_to_memory(agg, "sliding_test", mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.value_cents)
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.value_cents)
+        for r in events_sliding_counts(load_table(spark, SF, "events")).collect()
+    }
+    assert got == want

@@ -212,6 +212,36 @@ def events_tumbling_counts(events: DataFrame, window_sec: int = 3600) -> DataFra
     )
 
 
+def events_sliding_counts(
+    events: DataFrame, window_sec: int = 7200, slide_sec: int = 3600
+) -> DataFrame:
+    """Sliding (hopping) window event aggregate — batch twin of
+    ``streaming.events.streaming_sliding_counts``; each event lands in
+    window_sec/slide_sec overlapping windows (2 here), exactly Spark's
+    ``window(ts, '2 hours', '1 hour')`` semantics.
+
+    Scale: the explode multiplies rows by the overlap factor BEFORE the
+    partial aggregate, but the map-side combine collapses them to
+    O(windows x types) immediately — the shuffle stays tiny.  Window
+    starts are epoch-second BIGINTs computed from the exact nanos column
+    with integer division (no float in the bucketing path).
+    """
+    overlap = window_sec // slide_sec
+    base = F.floor(F.expr("ts_ns DIV 1000000000") / slide_sec).cast("long") * slide_sec
+    starts = F.array(*[base - F.lit(i * slide_sec) for i in range(overlap)])
+    return (
+        events.select(
+            F.explode(starts).alias("window_start"), "event_type", "value"
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def latest_event_per_user_type(events: DataFrame) -> DataFrame:
     """Streaming-style dedup: keep the latest event per (user, type).
 

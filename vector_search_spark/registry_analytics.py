@@ -868,3 +868,73 @@ def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram: the distribution profile a pipeline QC report plots.
+# ---------------------------------------------------------------------------
+@register(
+    "event_value_histogram",
+    oracle="""
+    WITH rng AS (
+      SELECT min(value) AS minv, max(value) AS maxv FROM events),
+    b AS (
+      SELECT CASE WHEN value >= (SELECT maxv FROM rng) THEN 19
+                  ELSE floor((value - (SELECT minv FROM rng))
+                             / (((SELECT maxv FROM rng) - (SELECT minv FROM rng)) / 20.0))::INT
+             END AS bucket,
+             value
+      FROM events)
+    SELECT bucket,
+           count(*)::BIGINT AS n_events,
+           floor(((SELECT minv FROM rng)
+                  + bucket * (((SELECT maxv FROM rng) - (SELECT minv FROM rng)) / 20.0))
+                 * 10000 + 0.5) / 10000.0 AS bucket_lo,
+           floor(((SELECT minv FROM rng)
+                  + (bucket + 1) * (((SELECT maxv FROM rng) - (SELECT minv FROM rng)) / 20.0))
+                 * 10000 + 0.5) / 10000.0 AS bucket_hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of event values — the distribution
+    profile that backs data-quality dashboards and drift monitors.
+
+    Scale: the min/max pass partial-aggregates to one row, rides back in
+    on a broadcast (1-row cross join), and the bucketing pass is one
+    codegen'd expression per row feeding a partial-combined 20-group
+    aggregate — two scans total, no sort, no wide shuffle.  Bucket edges
+    are the same double expression on both engines (identical operand
+    order), so assignment is bit-deterministic; the top edge closes the
+    last bucket (max lands in bucket 19, standard histogram convention).
+    """
+    ev = _t(spark, sf_dir, "events").select("value")
+    rng = ev.agg(F.min("value").alias("minv"), F.max("value").alias("maxv"))
+    width = (F.col("maxv") - F.col("minv")) / 20.0
+    bucket = (
+        F.when(F.col("value") >= F.col("maxv"), F.lit(19))
+        .otherwise(F.floor((F.col("value") - F.col("minv")) / width).cast("int"))
+        .alias("bucket")
+    )
+    return (
+        ev.crossJoin(rng)
+        .select(bucket, "minv", "maxv")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.first("minv").alias("minv"),
+            F.first("maxv").alias("maxv"),
+        )
+        .select(
+            "bucket",
+            "n_events",
+            round4(
+                F.col("minv") + F.col("bucket") * ((F.col("maxv") - F.col("minv")) / 20.0)
+            ).alias("bucket_lo"),
+            round4(
+                F.col("minv")
+                + (F.col("bucket") + 1) * ((F.col("maxv") - F.col("minv")) / 20.0)
+            ).alias("bucket_hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -849,3 +849,70 @@ def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix: who copies from whom.
+# ---------------------------------------------------------------------------
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*) AS shared
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT s.id_1, s.id_2
+      FROM shared s
+      JOIN sizes n1 ON s.id_1 = n1.doc_id
+      JOIN sizes n2 ON s.id_2 = n2.doc_id
+      JOIN (SELECT DISTINCT id_1, id_2 FROM cand) c
+        ON c.id_1 = s.id_1 AND c.id_2 = s.id_2
+      JOIN sig s1 ON c.id_1 = s1.doc_id
+      JOIN sig s2 ON c.id_2 = s2.doc_id
+      WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
+        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8)
+    SELECT least(d1.source, d2.source) AS source_a,
+           greatest(d1.source, d2.source) AS source_b,
+           count(*)::BIGINT AS n_dup_pairs
+    FROM verified v
+    JOIN documents d1 ON v.id_1 = d1.doc_id
+    JOIN documents d2 ON v.id_2 = d2.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: verified near-dup pairs rolled up
+    by the (unordered) source pair — the provenance report that tells a
+    crawl operator which feeds mirror each other (and how much intra-feed
+    boilerplate each carries on the diagonal).
+
+    Scale: consumes the session-shared verified pair table (O(near-dups)
+    rows); the two source lookups join the narrow doc->source projection,
+    and least/greatest canonicalizes the pair so A~B and B~A aggregate to
+    one cell.  The output is |sources|^2 at most — a report table.
+    """
+    docs = __load(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _shared_verified_pairs(spark, sf_dir)
+    j = (
+        pairs.join(docs.withColumnRenamed("source", "__s1"), pairs.id_1 == docs.doc_id)
+        .drop("doc_id")
+        .join(
+            docs.withColumnRenamed("source", "__s2").withColumnRenamed("doc_id", "__d2"),
+            F.col("id_2") == F.col("__d2"),
+        )
+    )
+    return (
+        j.select(
+            F.least("__s1", "__s2").alias("source_a"),
+            F.greatest("__s1", "__s2").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -184,6 +184,27 @@ def q_events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type, value,
+             unnest(ARRAY[(floor(epoch(ts) / 3600) * 3600)::BIGINT,
+                          (floor(epoch(ts) / 3600) * 3600)::BIGINT - 3600])
+               AS window_start
+      FROM events)
+    SELECT window_start, event_type, count(*)::BIGINT AS n_events,
+           sum({_cents('value')})::BIGINT AS value_cents
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h-window / 1h-hop event counts (every event in exactly two
+    windows) — the moving-aggregate view dashboards read; streaming twin
+    drained to parity in tests/test_streaming_advanced.py."""
+    return R.events_sliding_counts(_t(spark, sf_dir, "events"))
+
+
+@register(
     "latest_event_per_user_type",
     oracle=f"""
     SELECT user_id, event_type, event_id, {_cents('value')} AS value_cents FROM (

@@ -74,6 +74,35 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Watermarked sliding (hopping) window counts — streaming twin of
+    ``relational.events_sliding_counts``.  Spark expands each event into
+    window/slide overlapping windows before the stateful aggregate; the
+    watermark bounds state to windows newer than (max event time − 4 h).
+    """
+    from ..operators.relational import cents
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("w.start"))).cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def run_stream_to_memory(stream: DataFrame, name: str, mode: str = "complete"):
     """Drain the stream with an availableNow trigger into a memory sink;
     returns after completion (tests then read ``SELECT * FROM {name}``)."""
