@@ -916,3 +916,66 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph degree distribution: cluster-topology QC.
+# ---------------------------------------------------------------------------
+@register(
+    "dup_degree_distribution",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*) AS shared
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT s.id_1, s.id_2
+      FROM shared s
+      JOIN sizes n1 ON s.id_1 = n1.doc_id
+      JOIN sizes n2 ON s.id_2 = n2.doc_id
+      JOIN (SELECT DISTINCT id_1, id_2 FROM cand) c
+        ON c.id_1 = s.id_1 AND c.id_2 = s.id_2
+      JOIN sig s1 ON c.id_1 = s1.doc_id
+      JOIN sig s2 ON c.id_2 = s2.doc_id
+      WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
+        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+    deg AS (
+      SELECT doc_id, count(*)::BIGINT AS degree
+      FROM (SELECT id_1 AS doc_id FROM verified
+            UNION ALL SELECT id_2 FROM verified)
+      GROUP BY doc_id)
+    SELECT degree, count(*)::BIGINT AS n_docs,
+           min(doc_id)::BIGINT AS example_doc_id
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def q_dup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the verified near-duplicate graph — the
+    topology QC that distinguishes pairwise dups (degree 1) from dense
+    boilerplate cliques (high degree, e.g. a template shared by dozens of
+    pages), which need different remediation (drop-one vs drop-template).
+
+    Scale: degrees come from one UNION ALL + count over the O(near-dups)
+    shared verified pair table; the histogram is a second tiny aggregate.
+    Nothing touches the corpus.
+    """
+    pairs = _shared_verified_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("id_1").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("example_doc_id"),
+        )
+        .orderBy("degree")
+    )

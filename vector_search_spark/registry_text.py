@@ -995,3 +995,66 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token entropy: the information-density QC metric per source.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE trim(text) != ''),
+    vocab AS (SELECT source, tok, count(*)::BIGINT AS cnt
+              FROM tok GROUP BY 1, 2),
+    agg AS (
+      SELECT source,
+             sum(cnt)::BIGINT AS total,
+             count(*)::BIGINT AS distinct_tokens,
+             sum(cnt * floor(ln(cnt)*1000000 + 0.5)::BIGINT)::BIGINT AS s_micro
+      FROM vocab GROUP BY source)
+    SELECT source, total AS n_tokens, distinct_tokens,
+           floor((ln(total) - (s_micro / 1000000.0) / total) * 10000 + 0.5)
+             / 10000.0 AS entropy_nats
+    FROM agg ORDER BY source
+    """,
+)
+def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the unigram distribution per source —
+    the information-density screen that separates template/boilerplate
+    feeds (low entropy) from diverse prose, complementing per-document
+    `repetition_signals` with a corpus-level view.
+
+    H = ln(N) − (Σ c·ln c)/N computed with the same micro-nat integer
+    quantization as `unigram_logprob`: each token's ln(count) is floored
+    to integer micro-nats once, the Σ c·ln c inner product is an exact
+    BIGINT sum (addition-order-free across any partitioning), and exactly
+    one float expression per source row at the end.
+
+    Scale: one token explode → per-(source, token) partial-agg count →
+    per-source fold; the shuffle is O(sources × vocab), which Zipf keeps
+    tiny relative to the corpus.
+    """
+    docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    vocab = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = vocab.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+        F.sum(
+            F.col("cnt") * F.floor(F.log("cnt") * 1000000 + 0.5).cast("long")
+        ).cast("long").alias("s_micro"),
+    )
+    return agg.select(
+        "source",
+        F.col("total").alias("n_tokens"),
+        "distinct_tokens",
+        round4(
+            F.log(F.col("total")) - (F.col("s_micro") / 1000000.0) / F.col("total")
+        ).alias("entropy_nats"),
+    ).orderBy("source")
