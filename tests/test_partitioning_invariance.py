@@ -1,0 +1,65 @@
+"""Partitioning invariance: the determinism contract behind every scale
+claim in this repo.  A query whose result depends on the number of shuffle
+partitions or scan splits would return different answers on a laptop and a
+1000-executor cluster; these tests re-run representative queries (the
+float-emitting ones, where reduction order could bite) under deliberately
+different partitioning regimes and require bit-identical rows.
+
+Why this works without restarting Spark: `spark.sql.shuffle.partitions`
+and `spark.sql.files.maxPartitionBytes` are runtime-settable SQL confs —
+each run re-plans with different exchange widths and scan splits.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_TEST
+from vector_search_spark import registry
+
+# Queries chosen for maximal reduction-order exposure: integer-scaled float
+# folds (LM scores, entropy), sketch register sums (HLL/CMS), window frames
+# over floats (anomalies), min/max-derived bucketing (histogram), and the
+# LSH cascade (hash-partitioned multi-join).
+QUERIES = [
+    "unigram_logprob",
+    "corpus_entropy",
+    "hll_distinct_users",
+    "cms_heavy_hitters",
+    "daily_count_anomalies",
+    "event_value_histogram",
+    "dedup_minhash_lsh",
+    "pricing_summary",
+    "event_value_percentiles",
+    "user_retention_cohorts",
+]
+
+REGIMES = [
+    {"spark.sql.shuffle.partitions": "3", "spark.sql.files.maxPartitionBytes": "64k"},
+    {"spark.sql.shuffle.partitions": "29", "spark.sql.files.maxPartitionBytes": "128m"},
+]
+
+
+def _rows(spark, name):
+    df = registry.QUERIES[name](spark, SF_TEST)
+    return [tuple(r) for r in df.collect()]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_is_partitioning_invariant(spark, name):
+    saved = {
+        k: spark.conf.get(k) for r in REGIMES for k in r
+    }
+    try:
+        results = []
+        for regime in REGIMES:
+            for k, v in regime.items():
+                spark.conf.set(k, v)
+            results.append(_rows(spark, name))
+        assert results[0] == results[1], (
+            f"{name} changed under a different partitioning regime — "
+            "reduction-order or split-dependent expression in the plan"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
