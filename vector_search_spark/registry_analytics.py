@@ -938,3 +938,66 @@ def q_event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed correlation: integer moment sums, one float at the end.
+# ---------------------------------------------------------------------------
+@register(
+    "value_hour_correlation",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             sum({_CENTS.format(x='value')})::BIGINT AS sx,
+             sum(hour(ts)::BIGINT)::BIGINT AS sy,
+             sum({_CENTS.format(x='value')} * {_CENTS.format(x='value')})::BIGINT AS sxx,
+             sum(hour(ts)::BIGINT * hour(ts)::BIGINT)::BIGINT AS syy,
+             sum({_CENTS.format(x='value')} * hour(ts)::BIGINT)::BIGINT AS sxy
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0.0
+                ELSE floor(((n*sxy - sx*sy)
+                            / (sqrt((n*sxx - sx*sx)) * sqrt((n*syy - sy*sy))))
+                           * 10000 + 0.5) / 10000.0
+           END AS pearson_r
+    FROM m ORDER BY event_type
+    """,
+)
+def q_value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between event value and hour-of-day per event
+    type — the seasonality screen, computed the way a 1000-executor
+    cluster must: all five moment sums are exact BIGINTs (value in integer
+    cents, hour as an integer), combined map-side in one partial-agg pass,
+    with the only float arithmetic being the final per-group expression.
+    Spark's built-in `corr` accumulates doubles and is reduction-order-
+    dependent; this form is bit-stable under any partitioning (covered by
+    the partitioning-invariance suite's pattern).
+
+    At 100 TB the BIGINT squared sums approach overflow (~1e19); the
+    upgrade is DECIMAL(38,0) sums — same shape, wider accumulator.
+    Zero-variance groups emit 0.0 (sentinel, NULL-free contract).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * 100.0 + F.lit(0.5)).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "event_type",
+        "n",
+        F.when((vx == 0) | (vy == 0), F.lit(0.0))
+        .otherwise(round4(num / (F.sqrt(vx) * F.sqrt(vy))))
+        .alias("pearson_r"),
+    ).orderBy("event_type")

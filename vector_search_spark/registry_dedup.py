@@ -979,3 +979,115 @@ def q_dup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the duplicate graph: iterative propagation, integer-exact.
+# ---------------------------------------------------------------------------
+PAGERANK_ITER = 5
+
+
+@register(
+    "dup_graph_pagerank",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*) AS shared
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT s.id_1, s.id_2
+      FROM shared s
+      JOIN sizes n1 ON s.id_1 = n1.doc_id
+      JOIN sizes n2 ON s.id_2 = n2.doc_id
+      JOIN (SELECT DISTINCT id_1, id_2 FROM cand) c
+        ON c.id_1 = s.id_1 AND c.id_2 = s.id_2
+      JOIN sig s1 ON c.id_1 = s1.doc_id
+      JOIN sig s2 ON c.id_2 = s2.doc_id
+      WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
+        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+    edges AS (SELECT id_1 AS a, id_2 AS b FROM verified
+              UNION SELECT id_2, id_1 FROM verified),
+    deg AS (SELECT a AS doc_id, count(*)::BIGINT AS deg FROM edges GROUP BY a),
+    r0 AS (SELECT DISTINCT a AS doc_id, 1000000::BIGINT AS r FROM edges),
+    r1 AS (
+      SELECT e.b AS doc_id,
+             150000 + (85 * sum(p.r // d.deg)) // 100 AS r
+      FROM edges e
+      JOIN r0 p ON e.a = p.doc_id
+      JOIN deg d ON e.a = d.doc_id
+      GROUP BY e.b),
+    r2 AS (
+      SELECT e.b AS doc_id,
+             150000 + (85 * sum(p.r // d.deg)) // 100 AS r
+      FROM edges e
+      JOIN r1 p ON e.a = p.doc_id
+      JOIN deg d ON e.a = d.doc_id
+      GROUP BY e.b),
+    r3 AS (
+      SELECT e.b AS doc_id,
+             150000 + (85 * sum(p.r // d.deg)) // 100 AS r
+      FROM edges e
+      JOIN r2 p ON e.a = p.doc_id
+      JOIN deg d ON e.a = d.doc_id
+      GROUP BY e.b),
+    r4 AS (
+      SELECT e.b AS doc_id,
+             150000 + (85 * sum(p.r // d.deg)) // 100 AS r
+      FROM edges e
+      JOIN r3 p ON e.a = p.doc_id
+      JOIN deg d ON e.a = d.doc_id
+      GROUP BY e.b),
+    r5 AS (
+      SELECT e.b AS doc_id,
+             150000 + (85 * sum(p.r // d.deg)) // 100 AS r
+      FROM edges e
+      JOIN r4 p ON e.a = p.doc_id
+      JOIN deg d ON e.a = d.doc_id
+      GROUP BY e.b)
+    SELECT doc_id, r AS rank_micro FROM r5 ORDER BY doc_id
+    """,
+)
+def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the verified near-duplicate graph (5 fixed power
+    iterations, damping 0.85) — ranks the "template hubs": documents whose
+    content radiates through many duplication chains, the ones to fix at
+    the source rather than drop one-by-one.
+
+    The whole iteration runs in INTEGER micro-rank units: contributions
+    are floor(rank/degree), damping is (85*x)//100 — no float ever enters,
+    so any cluster size, any partitioning, and the unrolled-CTE DuckDB
+    twin produce identical BIGINT ranks (the standard float PageRank would
+    drift by reduction order).  Iterations are a fixed-depth unrolled loop
+    on O(near-dup) edge rows; each round is one join + one partial-agg'd
+    shuffle, the same economics as `connected_components` without the
+    pointer-jumping (rank needs the full edge set every round).
+    """
+    pairs = _shared_verified_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
+        .unionAll(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
+        .distinct()
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    src = edges.join(deg, "a")  # (a, b, deg-of-a): static over iterations
+    ranks = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "r", F.lit(1000000).cast("long")
+    )
+    for _ in range(PAGERANK_ITER):
+        contrib = src.join(ranks, src.a == ranks.doc_id).select(
+            F.col("b"), F.expr("r DIV deg").alias("c")
+        )
+        ranks = (
+            contrib.groupBy("b")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("b").alias("doc_id"),
+                (F.lit(150000) + F.expr("(85 * s) DIV 100")).cast("long").alias("r"),
+            )
+        )
+    return ranks.select("doc_id", F.col("r").alias("rank_micro")).orderBy("doc_id")
