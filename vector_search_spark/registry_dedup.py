@@ -1074,8 +1074,13 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    src = edges.join(deg, "a")  # (a, b, deg-of-a): static over iterations
-    ranks = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
+    # (a, b, deg-of-a) is static across iterations: materialize it once and
+    # truncate lineage, so iteration i's plan doesn't re-derive the edge
+    # table i times (same eager-localCheckpoint contract as
+    # `operators.dedup.connected_components` — without it the plan and its
+    # codegen grow linearly with iterations).
+    src = edges.join(deg, "a").localCheckpoint(eager=True)
+    ranks = src.select(F.col("a").alias("doc_id")).distinct().withColumn(
         "r", F.lit(1000000).cast("long")
     )
     for _ in range(PAGERANK_ITER):
@@ -1089,5 +1094,6 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b").alias("doc_id"),
                 (F.lit(150000) + F.expr("(85 * s) DIV 100")).cast("long").alias("r"),
             )
+            .localCheckpoint(eager=True)
         )
     return ranks.select("doc_id", F.col("r").alias("rank_micro")).orderBy("doc_id")

@@ -67,3 +67,23 @@ def corrupt_record_stats(df: DataFrame) -> DataFrame:
             (F.col(CORRUPT_COL).isNotNull() & all_null).cast("long")
         ).alias("n_corrupt"),
     )
+
+
+def corrupt_row_stats(df: DataFrame) -> DataFrame:
+    """Row-level variant for delimited sources, where a malformed row
+    usually still parses SOME fields (wrong arity / one bad type): counts
+    every corrupt-flagged row, partial or not.  The `length(...) >= 0`
+    guard is a tautology that keeps a data column referenced in the plan
+    (same QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction as above) without
+    changing the count — a plain `* 0` term gets constant-folded away and
+    re-triggers the restriction."""
+    data0 = next(c for c in df.columns if c != CORRUPT_COL)
+    always = F.length(F.coalesce(F.col(data0).cast("string"), F.lit(""))) >= 0
+    return df.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(always, F.col(CORRUPT_COL).isNotNull().cast("long")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_corrupt"),
+    )
