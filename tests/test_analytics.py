@@ -142,3 +142,18 @@ def test_retention_matrix_invariants(spark):
             seen_zero.add(r.cohort_week)
     # every cohort appears at offset 0
     assert seen_zero == {r.cohort_week for r in rows}
+
+
+def test_hdr_quantile_sketch_bounds(spark):
+    """The HDR bucket estimate is a lower bound on the true order
+    statistic, within the 2^-4 relative-error guarantee of 5 kept
+    significant bits (bucket width = lb * 2^-4) (plus the sub-cent floor for tiny values)."""
+    from vector_search_spark.registry import QUERIES
+
+    rows = QUERIES["value_quantile_sketch"](spark, SF).collect()
+    assert len(rows) >= 9  # >= 3 types x 3 quantiles
+    for r in rows:
+        assert r.sketch_value <= r.exact_value
+        assert r.exact_value < r.sketch_value * (1 + 2 ** -4) + 0.01, (
+            f"{r.event_type} {r.quantile}: {r.sketch_value} vs {r.exact_value}"
+        )

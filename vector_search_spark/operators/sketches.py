@@ -21,7 +21,7 @@ Determinism notes (see also registry docstrings):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # p = 9 → m = 512 registers; relative error ≈ 1.04/sqrt(512) ≈ 4.6 %.
@@ -230,3 +230,56 @@ def cms_oracle_sql(source_sql: str, value_expr: str) -> str:
     FROM probes p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket
     GROUP BY p.v
     """
+
+
+# ---------------------------------------------------------------------------
+# HDR-style quantile sketch: log-bucketed counts, mergeable, integer-exact.
+# ---------------------------------------------------------------------------
+# Buckets: a positive integer (cents) keeps its top 5 significant bits —
+# values < 32 are exact, larger ones collapse onto 16 sub-buckets per
+# power of two (bucket width <= lb*2^-4, i.e. relative error < 2^-4).  Bucketing is pure integer
+# bit math (length(bin(x)) is the exact MSB position, then shift), so the
+# sketch — like the HLL/CMS above — is bit-identical on any engine, and
+# the per-group state is O(16 x 64) counters regardless of input size.
+HDR_TOP_BITS = 5
+
+
+def hdr_bucket_sql(col: str) -> str:
+    """SQL snippet: bucket lower bound for a positive integer column —
+    zero all but the top HDR_TOP_BITS significant bits.  (SQL form because
+    pyspark's shiftleft/shiftright helpers only accept literal shift
+    amounts; the SQL functions take expressions.)"""
+    s = f"greatest(length(bin({col})) - {HDR_TOP_BITS}, 0)"
+    return f"CAST(shiftleft(shiftright({col}, {s}), {s}) AS BIGINT)"
+
+
+def hdr_quantile_sketch(
+    df: DataFrame, group: str, cents: Column | str, ps: list[int]
+) -> DataFrame:
+    """Per-group quantile estimates from the bucket sketch: for each p in
+    ``ps`` (percent, integer), the smallest bucket whose cumulative count
+    reaches ceil(p% of n).  Returns (group, p, n, est_cents); the estimate
+    is the bucket lower bound, so est <= true order statistic < est*(1+2^-4).
+    """
+    cents = F.col(cents) if isinstance(cents, str) else cents
+    sk = (
+        df.select(F.col(group), cents.alias("__c"))
+        .select(F.col(group), F.expr(hdr_bucket_sql("__c")).alias("lb"))
+        .groupBy(group, "lb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = sk.groupBy(group).agg(F.sum("cnt").cast("long").alias("n"))
+    w = (
+        Window.partitionBy(group)
+        .orderBy("lb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sk.withColumn("cum", F.sum("cnt").over(w)).join(n, group)
+    withp = cum.withColumn("p", F.explode(F.array(*[F.lit(p) for p in ps])))
+    thresh = F.expr("(n * p + 99) DIV 100")
+    return (
+        withp.filter(F.col("cum") >= thresh)
+        .groupBy(group, "p")
+        .agg(F.min("lb").alias("est_cents"), F.first("n").alias("n"))
+        .select(group, "p", "n", "est_cents")
+    )

@@ -1001,3 +1001,95 @@ def q_value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(round4(num / (F.sqrt(vx) * F.sqrt(vy))))
         .alias("pearson_r"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# HDR quantile sketch vs exact order statistics.
+# ---------------------------------------------------------------------------
+from .operators.sketches import HDR_TOP_BITS, hdr_quantile_sketch  # noqa: E402
+
+
+@register(
+    "value_quantile_sketch",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, floor(value*100 + 0.5)::BIGINT AS c FROM events),
+    b AS (
+      SELECT event_type, c,
+             greatest(length(bin(c)) - 5, 0) AS s
+      FROM c),
+    lbt AS (SELECT event_type, ((c >> s) << s)::BIGINT AS lb FROM b),
+    sk AS (SELECT event_type, lb, count(*)::BIGINT AS cnt
+           FROM lbt GROUP BY 1, 2),
+    n AS (SELECT event_type, sum(cnt)::BIGINT AS n FROM sk GROUP BY 1),
+    cum AS (
+      SELECT sk.event_type, sk.lb, n.n,
+             sum(sk.cnt) OVER (PARTITION BY sk.event_type ORDER BY sk.lb)::BIGINT
+               AS cum
+      FROM sk JOIN n USING (event_type)),
+    ps AS (SELECT * FROM (VALUES (50), (95), (99)) AS t(p)),
+    est AS (
+      SELECT event_type, p, min(lb)::BIGINT AS est_cents
+      FROM cum CROSS JOIN ps
+      WHERE cum >= (n * p + 99) // 100
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn
+      FROM c),
+    ex AS (
+      SELECT r.event_type, p.p, min(r.c)::BIGINT AS exact_cents
+      FROM ranked r JOIN n USING (event_type) CROSS JOIN ps p
+      WHERE r.rn = (n.n * p.p + 99) // 100
+      GROUP BY 1, 2)
+    SELECT e.event_type, 'p' || e.p::VARCHAR AS quantile, n.n,
+           floor((x.exact_cents / 100.0) * 10000 + 0.5) / 10000.0 AS exact_value,
+           floor((e.est_cents / 100.0) * 10000 + 0.5) / 10000.0 AS sketch_value
+    FROM est e
+    JOIN ex x ON e.event_type = x.event_type AND e.p = x.p
+    JOIN n ON e.event_type = n.event_type
+    ORDER BY e.event_type, quantile
+    """,
+)
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of event value per type from the HDR-style bucket
+    sketch, with the exact order statistic alongside — the latency-
+    percentile machinery (HdrHistogram) applied to value distributions.
+
+    Scale: the sketch path shuffles O(groups x ~1000) integer bucket
+    counters however large the input (and the counters MERGE, so it
+    works as a streaming/rollup state too); the exact column exists for
+    the quality report and is the one full per-group sort here — at
+    100 TB you ship only the sketch.  Bucketing is integer bit math
+    (exact MSB via length(bin), shift to keep 5 significant bits →
+    relative error < 2^-4), so sketch AND estimate are bit-identical
+    across engines and partitionings.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+    est = hdr_quantile_sketch(ev, "event_type", "c", ps=[50, 95, 99])
+    w = Window.partitionBy("event_type").orderBy("c")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        ranked.join(n, "event_type")
+        .withColumn("p", F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))))
+        .filter(F.col("rn") == F.expr("(n * p + 99) DIV 100"))
+        .groupBy("event_type", "p")
+        .agg(F.min("c").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, ["event_type", "p"])
+        .select(
+            "event_type",
+            F.concat(F.lit("p"), F.col("p").cast("string")).alias("quantile"),
+            "n",
+            round4(F.col("exact_cents") / 100.0).alias("exact_value"),
+            round4(F.col("est_cents") / 100.0).alias("sketch_value"),
+        )
+        .orderBy("event_type", "quantile")
+    )
