@@ -157,3 +157,49 @@ def test_hdr_quantile_sketch_bounds(spark):
         assert r.exact_value < r.sketch_value * (1 + 2 ** -4) + 0.01, (
             f"{r.event_type} {r.quantile}: {r.sketch_value} vs {r.exact_value}"
         )
+
+
+def test_sketches_are_mergeable(spark):
+    """sketch(A ∪ B) must equal merge(sketch(A), sketch(B)) — the property
+    that lets sketches serve as partial-aggregate / streaming / rollup
+    state.  HLL merges by register max, CMS by counter sum, HDR by bucket
+    count sum; all three must be EXACTLY the union sketch, not
+    approximately."""
+    import pyspark.sql.functions as F
+    from vector_search_spark.operators.sketches import (
+        cms_counters, hdr_quantile_sketch, hll_registers,
+    )
+    from vector_search_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "user_id",
+        F.floor(F.col("value").cast("double") * 100.0 + F.lit(0.5))
+        .cast("long").alias("c"),
+    )
+    a, b = ev.filter("event_id IS NULL OR TRUE").filter("user_id % 2 = 0"), ev.filter("user_id % 2 = 1")
+
+    # HLL: merge = per-(group, bucket) max of registers
+    whole = {(r.event_type, r.bucket): r.m_reg
+             for r in hll_registers(ev, "event_type", "user_id").collect()}
+    ra = hll_registers(a, "event_type", "user_id").collect()
+    rb = hll_registers(b, "event_type", "user_id").collect()
+    merged: dict = {}
+    for r in [*ra, *rb]:
+        k = (r.event_type, r.bucket)
+        merged[k] = max(r.m_reg, merged.get(k, 0))
+    assert merged == whole
+
+    # CMS: merge = per-(j, bucket) sum of counters
+    wholec = {(r.j, r.bucket): r.cnt for r in cms_counters(ev, "user_id").collect()}
+    mergedc: dict = {}
+    for r in [*cms_counters(a, "user_id").collect(), *cms_counters(b, "user_id").collect()]:
+        mergedc[(r.j, r.bucket)] = mergedc.get((r.j, r.bucket), 0) + r.cnt
+    assert mergedc == wholec
+
+    # HDR: merging bucket counts then extracting quantiles == whole-input
+    # extraction (counts are additive; extraction is a pure fold of counts)
+    whole_q = {(r.event_type, r.p): r.est_cents
+               for r in hdr_quantile_sketch(ev, "event_type", "c", ps=[50, 95]).collect()}
+    union_q = {(r.event_type, r.p): r.est_cents
+               for r in hdr_quantile_sketch(a.unionAll(b), "event_type", "c", ps=[50, 95]).collect()}
+    assert whole_q == union_q
