@@ -1093,3 +1093,61 @@ def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "quantile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm QC: drift/anomaly screen over the vector index.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_norm_qc",
+    oracle="""
+    WITH per_vec AS (
+      SELECT label,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+      FROM embeddings),
+    q AS (
+      SELECT label, n2,
+             floor(n2 * 100000000 + 0.5)::BIGINT AS n2_scaled
+      FROM per_vec)
+    SELECT label,
+           count(*)::BIGINT AS n_vectors,
+           floor(min(n2) * 10000 + 0.5) / 10000.0 AS min_norm2,
+           floor(max(n2) * 10000 + 0.5) / 10000.0 AS max_norm2,
+           floor(((sum(n2_scaled)::BIGINT / 100000000.0) / count(*))
+                 * 10000 + 0.5) / 10000.0 AS mean_norm2
+    FROM q GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label squared-norm statistics over the embedding index — the
+    vector-quality screen that catches an un-normalized encoder batch,
+    a drifted model version, or zeroed vectors before they poison
+    similarity search (unit-norm corpora should show ~1.0 across the
+    board).
+
+    Scale: norm² is the codegen'd zip_with/aggregate fold (fixed
+    within-row order, identical to DuckDB list_dot_product — the idiom
+    every KNN oracle here already proves bit-exact); min/max are
+    order-free as-is, and the MEAN goes through per-row 1e8 integer
+    quantization so the sum is partitioning-independent.  One scan, one
+    tiny per-label aggregate; vectors never shuffle.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    n2 = dot_product("embedding", "embedding")
+    q = emb.select(
+        "label",
+        n2.alias("n2"),
+        F.floor(n2 * 100000000 + F.lit(0.5)).cast("long").alias("n2_scaled"),
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            round4(F.min("n2")).alias("min_norm2"),
+            round4(F.max("n2")).alias("max_norm2"),
+            round4(
+                (F.sum("n2_scaled").cast("long") / 100000000.0) / F.count(F.lit(1))
+            ).alias("mean_norm2"),
+        )
+        .orderBy("label")
+    )

@@ -1058,3 +1058,76 @@ def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("total")) - (F.col("s_micro") / 1000000.0) / F.col("total")
         ).alias("entropy_nats"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence lift: association mining over documents.
+# ---------------------------------------------------------------------------
+@register(
+    "token_pair_lift",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE trim(text) != ''),
+    n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM pres),
+    dfq AS (SELECT tok, count(*)::BIGINT AS df FROM pres GROUP BY tok),
+    co AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS co
+      FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT co.tok_a, co.tok_b, co.co, da.df AS df_a, db.df AS df_b,
+             floor(((co.co * (SELECT n FROM n)) * 1.0 / (da.df * db.df))
+                   * 10000 + 0.5) / 10000.0 AS lift
+      FROM co
+      JOIN dfq da ON co.tok_a = da.tok
+      JOIN dfq db ON co.tok_b = db.tok
+      WHERE co.co >= 5)
+    SELECT * FROM scored
+    ORDER BY lift DESC, tok_a, tok_b LIMIT 25
+    """,
+)
+def q_token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining: top token pairs by lift
+    P(a,b)/(P(a)P(b)) over document presence — the co-occurrence signal
+    behind phrase detection, topic coherence checks, and catching
+    templated content (pairs with lift >> 1 that grammar alone doesn't
+    explain).
+
+    Scale: the pair generation is a self-join of the distinct
+    (doc_id, token) presence table keyed on doc_id — O(Σ k²) narrow rows
+    for k distinct tokens per doc, the standard market-basket shape; at
+    web scale you first cut the vocabulary by document frequency so k is
+    bounded (cited in the WHERE co >= 5 support floor here).  Lift is an
+    exact integer ratio (co·N)/(df_a·df_b) with ONE float division per
+    surviving pair; top-k is TakeOrderedAndProject.
+    """
+    docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    pres = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).distinct()
+    n = pres.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    dfq = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a = pres.alias("a")
+    b = pres.alias("b")
+    co = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 5)
+    )
+    return (
+        co.join(dfq.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a")), "tok_a")
+        .join(dfq.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b")), "tok_b")
+        .crossJoin(n)
+        .select(
+            "tok_a", "tok_b", "co", "df_a", "df_b",
+            round4(
+                (F.col("co") * F.col("n")) * 1.0 / (F.col("df_a") * F.col("df_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "tok_a", "tok_b")
+        .limit(25)
+    )
