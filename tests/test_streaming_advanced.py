@@ -183,3 +183,41 @@ def test_streaming_hll_equals_batch_sketch(spark):
         g = got[row.event_type]
         assert g[0] == n_seen_batch[row.event_type]
         assert g[2] == round(row.hll_est, 4)
+
+
+def test_streaming_hdr_quantiles_equal_batch_sketch(spark):
+    """Drained streaming HDR quantiles must equal the batch sketch's
+    estimates exactly — bucket counts are additive and extraction is a
+    pure fold, so micro-batching cannot change the result."""
+    import pyspark.sql.functions as F
+    from conftest import SF_TEST
+    from vector_search_spark.operators.sketches import hdr_quantile_sketch
+    from vector_search_spark.sources.tables import load_table
+    from vector_search_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events_from_parquet,
+    )
+    from vector_search_spark.streaming.stateful import streaming_hdr_quantiles
+
+    stream = stream_events_from_parquet(spark, SF_TEST)
+    run_stream_to_memory(streaming_hdr_quantiles(stream), "hdrq_test", mode="update")
+    # update mode emits one row per group per micro-batch: keep the last
+    # (highest n) emission per group
+    emitted = {}
+    for r in spark.sql("SELECT * FROM hdrq_test").collect():
+        if r.event_type not in emitted or r.n > emitted[r.event_type].n:
+            emitted[r.event_type] = r
+    ev = load_table(spark, SF_TEST, "events").select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * 100.0 + F.lit(0.5))
+        .cast("long").alias("c"),
+    )
+    batch = hdr_quantile_sketch(ev, "event_type", "c", ps=[50, 95, 99])
+    want = {}
+    for r in batch.collect():
+        want.setdefault(r.event_type, {})[r.p] = (r.n, r.est_cents)
+    assert set(emitted) == set(want)
+    for et, row in emitted.items():
+        assert (row.n, row.p50_cents) == want[et][50]
+        assert (row.n, row.p95_cents) == want[et][95]
+        assert (row.n, row.p99_cents) == want[et][99]

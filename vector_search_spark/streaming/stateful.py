@@ -215,3 +215,71 @@ def streaming_hll_distinct(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HDRQ_SCHEMA = (
+    "event_type string, n long, p50_cents long, p95_cents long, p99_cents long"
+)
+HDRQ_STATE = "lbs array<long>, cnts array<long>"
+
+
+def _update_hdrq(key, pdfs, state: GroupState):
+    """Fold each micro-batch into the key's HDR bucket counters and emit
+    refreshed p50/p95/p99.  Bucket math mirrors
+    ``operators.sketches.hdr_bucket_sql`` exactly (top-5-significant-bit
+    integer buckets), so the drained stream reproduces the batch sketch."""
+    import math
+
+    if state.exists:
+        lbs, cnts = state.get
+        d = dict(zip(lbs, cnts))
+    else:
+        d = {}
+    for pdf in pdfs:
+        for v in pdf["value"]:
+            c = int(math.floor(float(v) * 100.0 + 0.5))
+            s = max(c.bit_length() - 5, 0)
+            lb = (c >> s) << s
+            d[lb] = d.get(lb, 0) + 1
+    state.update((list(d.keys()), list(d.values())))
+    n = sum(d.values())
+    ests = {}
+    for p in (50, 95, 99):
+        r = (n * p + 99) // 100
+        cum = 0
+        for lb in sorted(d):
+            cum += d[lb]
+            if cum >= r:
+                ests[p] = lb
+                break
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": key[0],
+                "n": n,
+                "p50_cents": ests[50],
+                "p95_cents": ests[95],
+                "p99_cents": ests[99],
+            }
+        ]
+    )
+
+
+def streaming_hdr_quantiles(events: DataFrame) -> DataFrame:
+    """Streaming twin of the HDR quantile sketch (`value_quantile_sketch`'s
+    sketch side): per-event-type p50/p95/p99 maintained incrementally.
+
+    State per key is the bucket→count table — at most ~16×64 integer
+    entries forever (the mergeability the batch pytest proves is what
+    makes the incremental fold exact: counts are additive, extraction is
+    a pure fold of counts).  Streaming percentiles with O(1) state is the
+    production alternative to exact percentiles' O(n) sort state.
+    """
+    keyed = events.select("event_type", "value").groupBy("event_type")
+    return keyed.applyInPandasWithState(
+        _update_hdrq,
+        outputStructType=HDRQ_SCHEMA,
+        stateStructType=HDRQ_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
