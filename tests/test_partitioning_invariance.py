@@ -32,6 +32,11 @@ QUERIES = [
     "pricing_summary",
     "event_value_percentiles",
     "user_retention_cohorts",
+    "value_quantile_sketch",
+    "value_hour_correlation",
+    "token_pair_lift",
+    "embedding_norm_qc",
+    "dup_graph_pagerank",
 ]
 
 REGIMES = [

@@ -123,3 +123,40 @@ def test_incremental_dedup_no_cartesian(spark):
     df = registry.QUERIES["incremental_ingest_dedup"](spark, SF_TEST)
     plan = _formatted(spark, df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_corpus_entropy_prunes_to_source_and_text(spark):
+    df = registry.QUERIES["corpus_entropy"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    scan = _scan_block(plan, "source")
+    read = scan.split("ReadSchema")[1]
+    assert "text" in read and "doc_id" not in read and "n_chars" not in read
+
+
+def test_token_pair_lift_no_cartesian_on_corpus(spark):
+    """The pair self-join must be keyed on doc_id (equi-join); the only
+    nested-loop allowed is the 1-row N broadcast."""
+    df = registry.QUERIES["token_pair_lift"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    assert "CartesianProduct" not in plan
+    import re
+
+    # formatted explain lists each node twice (tree + detail); count the
+    # numbered detail headers
+    bnlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj) <= 1, plan  # only the 1-row N table
+    # the corpus pair join itself is a hash join on doc_id
+    assert re.findall(r"\(\d+\) BroadcastHashJoin", plan) or "SortMergeJoin" in plan
+
+
+def test_retention_single_user_exchange_feeds_both_sides(spark):
+    """first-seen and activity both derive from one user_id-keyed scan —
+    no exchange keyed on anything wider than (user_id) or the final
+    (cohort_week[, week_offset]) aggregates."""
+    df = registry.QUERIES["user_retention_cohorts"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    import re
+
+    keys = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    for k in keys:
+        assert ("user_id" in k) or ("cohort_week" in k), keys
