@@ -1131,3 +1131,82 @@ def q_token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "tok_a", "tok_b")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture plan: sampling schedule to hit a target source mix.
+# ---------------------------------------------------------------------------
+# Target mix as integer weights summing to 10 (rational weights keep the
+# whole feasibility computation in exact integer arithmetic).  The plan
+# deliberately selects a 5-source subset of the 20-source corpus — mixture
+# scheduling both weights AND excludes domains.
+_MIX_WEIGHTS = {"src0": 3, "src1": 2, "src2": 2, "src3": 2, "src4": 1}
+
+
+@register(
+    "domain_mixture_plan",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source,
+             sum(len(regexp_split_to_array(trim(lower(text)), '\\s+')))::BIGINT
+               AS avail_tokens
+      FROM documents WHERE trim(text) != ''
+      GROUP BY source),
+    w AS (
+      SELECT * FROM (VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))})
+        AS t(source, weight)),
+    j AS (
+      SELECT a.source, a.avail_tokens, w.weight,
+             (a.avail_tokens * 10) // w.weight AS max_total
+      FROM avail a JOIN w USING (source)),
+    t AS (SELECT min(max_total)::BIGINT AS total FROM j)
+    SELECT j.source, j.avail_tokens, j.weight,
+           ((j.weight * (SELECT total FROM t)) // 10)::BIGINT AS sampled_tokens,
+           floor(((j.weight * (SELECT total FROM t)) // 10 * 1.0 / j.avail_tokens)
+                 * 10000 + 0.5) / 10000.0 AS epochs
+    FROM j ORDER BY j.source
+    """,
+)
+def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture scheduling: given a target domain mix (integer weights
+    /10) and each source's available token count, the largest total budget
+    T with weight_s·T/10 <= avail_s for every source, and per-source
+    sampled tokens + epoch factor (epochs < 1 = subsample, = 1 = exactly
+    once; the binding source has epochs 1.0).  This is the planner that
+    turns "30% web, 20% wiki, ..." into concrete per-source sampling
+    rates for the training run.
+
+    Scale: availability is one partial-agg'd token-count scan (reuses the
+    split the text family uses); the plan itself is |sources| rows of
+    exact integer arithmetic — feasibility via integer floor-division,
+    min-fold for the budget, ONE float ratio (epochs) per output row.
+    """
+    docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    avail = (
+        docs.select(
+            "source",
+            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("avail_tokens"))
+    )
+    w = docs.sparkSession.createDataFrame(
+        sorted(_MIX_WEIGHTS.items()), "source string, weight long"
+    )
+    j = avail.join(w, "source").withColumn(
+        "max_total", F.expr("(avail_tokens * 10) DIV weight")
+    )
+    total = j.agg(F.min("max_total").cast("long").alias("total"))
+    return (
+        j.crossJoin(total)
+        .select(
+            "source",
+            "avail_tokens",
+            "weight",
+            F.expr("(weight * total) DIV 10").cast("long").alias("sampled_tokens"),
+            round4(
+                F.expr("(weight * total) DIV 10") * 1.0 / F.col("avail_tokens")
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
