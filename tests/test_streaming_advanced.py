@@ -221,3 +221,34 @@ def test_streaming_hdr_quantiles_equal_batch_sketch(spark):
         assert (row.n, row.p50_cents) == want[et][50]
         assert (row.n, row.p95_cents) == want[et][95]
         assert (row.n, row.p99_cents) == want[et][99]
+
+
+def test_streaming_cms_no_undercount(spark):
+    """Drained streaming CMS must account for every event (n equals the
+    batch row count per type — counter addition is commutative across
+    micro-batches) and its top-user estimate can never undercount the
+    true per-user count (the CMS guarantee)."""
+    import pyspark.sql.functions as F
+    from conftest import SF_TEST
+    from vector_search_spark.operators.sketches import cms_counters
+    from vector_search_spark.sources.tables import load_table
+    from vector_search_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events_from_parquet,
+    )
+    from vector_search_spark.streaming.stateful import streaming_cms_counts
+
+    stream = stream_events_from_parquet(spark, SF_TEST)
+    run_stream_to_memory(streaming_cms_counts(stream), "cmss_test", mode="update")
+    final = {}
+    for r in spark.sql("SELECT * FROM cmss_test").collect():
+        if r.event_type not in final or r.n > final[r.event_type].n:
+            final[r.event_type] = r
+    ev = load_table(spark, SF_TEST, "events")
+    for et, row in final.items():
+        sub = ev.filter(F.col("event_type") == et)
+        assert row.n == sub.count()
+        true_top = (
+            sub.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").first()
+        )
+        assert row.top_est >= true_top["count"]  # CMS never undercounts

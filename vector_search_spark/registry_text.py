@@ -1172,7 +1172,8 @@ def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     /10) and each source's available token count, the largest total budget
     T with weight_s·T/10 <= avail_s for every source, and per-source
     sampled tokens + epoch factor (epochs < 1 = subsample, = 1 = exactly
-    once; the binding source has epochs 1.0).  This is the planner that
+    once; the binding source's epochs is ~1.0, shy only by the
+    integer floor).  This is the planner that
     turns "30% web, 20% wiki, ..." into concrete per-source sampling
     rates for the training run.
 

@@ -283,3 +283,66 @@ def streaming_hdr_quantiles(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CMSS_SCHEMA = "event_type string, n long, top_user long, top_est long"
+CMSS_STATE = "cnts array<long>"
+
+
+def _update_cms(key, pdfs, state: GroupState):
+    """Fold each micro-batch into the key's depth x width count-min
+    counters and emit the current heaviest-seen user's estimate.  Hash
+    math mirrors ``operators.sketches._cms_bucket`` exactly (md5
+    'cms{j}:' salts), so drained counters equal the batch sketch's."""
+    import hashlib
+
+    from vector_search_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    cnts = list(state.get[0]) if state.exists else [0] * (CMS_DEPTH * CMS_WIDTH)
+    seen = set()
+    for pdf in pdfs:
+        for uid in pdf["user_id"]:
+            uid = int(uid)
+            seen.add(uid)
+            for j in range(CMS_DEPTH):
+                b = int(
+                    hashlib.md5(f"cms{j}:{uid}".encode()).hexdigest()[:8], 16
+                ) % CMS_WIDTH
+                cnts[j * CMS_WIDTH + b] += 1
+    state.update((cnts,))
+
+    def est(uid: int) -> int:
+        return min(
+            cnts[j * CMS_WIDTH
+                 + int(hashlib.md5(f"cms{j}:{uid}".encode()).hexdigest()[:8], 16)
+                 % CMS_WIDTH]
+            for j in range(CMS_DEPTH)
+        )
+
+    n = sum(cnts) // CMS_DEPTH
+    top_user, top_est = -1, -1
+    for uid in sorted(seen):
+        e = est(uid)
+        if e > top_est:
+            top_user, top_est = uid, e
+    yield pd.DataFrame(
+        [{"event_type": key[0], "n": n, "top_user": top_user, "top_est": top_est}]
+    )
+
+
+def streaming_cms_counts(events: DataFrame) -> DataFrame:
+    """Streaming count-min sketch per event type: O(depth x width) integer
+    state per key forever, emitting the micro-batch's heaviest user
+    estimate.  Completes the streaming sketch family (HLL cardinality,
+    HDR quantiles, CMS frequencies) — all three states are fixed-size
+    arrays whose merges are commutative, so drained results are
+    micro-batching-independent.
+    """
+    keyed = events.select("event_type", "user_id").groupBy("event_type")
+    return keyed.applyInPandasWithState(
+        _update_cms,
+        outputStructType=CMSS_SCHEMA,
+        stateStructType=CMSS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
