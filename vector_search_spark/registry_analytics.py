@@ -1151,3 +1151,61 @@ def q_embedding_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2: validity intervals from an event log.
+# ---------------------------------------------------------------------------
+@register(
+    "user_status_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts)::BIGINT AS ts_us,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts_us, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type != prev_type),
+    intervals AS (
+      SELECT user_id, event_type, ts_us AS valid_from_us,
+             coalesce(lead(ts_us) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id),
+                      -1)::BIGINT AS valid_to_us
+      FROM changes)
+    SELECT user_id, event_type, valid_from_us, valid_to_us
+    FROM intervals
+    ORDER BY user_id, valid_from_us
+    """,
+)
+def q_user_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's event
+    stream into validity intervals of their "current status" (consecutive
+    equal types merge; each row is [valid_from, valid_to) with -1 for the
+    open current period) — the classic warehouse history table, and the
+    right-side input an as-of join enriches against.
+
+    Scale: both windows (the change-detection lag and the interval-closing
+    lead) partition by user_id, so the whole build is ONE user-keyed
+    exchange; output size is O(status changes), not O(events).  Timestamps
+    are integer epoch-micros end to end; ties broken by event_id.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            "event_type",
+            F.col("ts_us").alias("valid_from_us"),
+            F.coalesce(F.lead("ts_us").over(w2), F.lit(-1)).cast("long").alias("valid_to_us"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
