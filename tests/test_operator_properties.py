@@ -116,3 +116,33 @@ def test_hll_error_within_bound_on_powers_of_two(spark):
         est = hll_distinct(df, "g", "v").collect()[0].hll_raw
         rel = abs(est - n) / n
         assert rel < 4 * 1.04 / math.sqrt(512), f"n={n}: rel err {rel:.3f}"
+
+
+@_settings
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=10),
+    right=st.lists(st.tuples(_key, _ts, st.integers(0, 99)), min_size=0, max_size=10),
+)
+def test_asof_forward_matches_bruteforce(spark, left, right):
+    from vector_search_spark.operators.asof import asof_join_forward
+
+    rbest: dict = {}
+    for k, t, v in right:
+        rbest[(k, t)] = max(v, rbest.get((k, t), -1))
+    right_rows = [(k, t, v) for (k, t), v in rbest.items()]
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, ts long"
+    )
+    rdf = spark.createDataFrame(right_rows or [(0, -1, 0)], "k long, ts long, v long")
+    if not right_rows:
+        rdf = rdf.filter("ts >= 0")
+    out = {
+        r.lid: r.asof_v
+        for r in asof_join_forward(
+            ldf, rdf, key="k", ts="ts", right_payloads=["v"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for (rk, rt), v in rbest.items() if rk == k and rt >= t]
+        want = min(cands)[1] if cands else None
+        assert out[i] == want, f"lid={i} key={k} ts={t}: {out[i]} != {want}"

@@ -78,3 +78,29 @@ def asof_join_backward(
         ],
     )
     return carried.filter(F.col("__tag") == 1).drop("__tag")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_payloads: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the right row with the SMALLEST
+    ``right.ts >= left.ts`` for the same ``key`` (the forward complement
+    of :func:`asof_join_backward` — "next event at or after": next
+    purchase after a click, next deploy after a commit).
+
+    Implemented by time reversal: negate both timestamp columns, run the
+    backward merge, un-negate.  Inherits the backward operator's scale
+    shape (one key exchange, no range explosion) and its tie discipline —
+    pre-dedup the right side to one row per (key, ts) for a deterministic
+    winner, exactly as with the backward form."""
+    l2 = left.withColumn(ts, -F.col(ts))
+    r2 = right.withColumn(ts, -F.col(ts))
+    out = asof_join_backward(
+        l2, r2, key=key, ts=ts, right_payloads=right_payloads, prefix=prefix
+    )
+    return out.withColumn(ts, -F.col(ts))

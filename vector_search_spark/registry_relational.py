@@ -906,3 +906,69 @@ def q_bottleneck_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bottleneck_suppliers(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
     )
+
+
+@register(
+    "click_asof_next_purchase",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+             {_cents('value')} AS value_cents, event_type
+      FROM events),
+    c AS (SELECT event_id, user_id, ts_us, value_cents FROM e
+          WHERE event_type = 'click'),
+    p0 AS (SELECT user_id, ts_us, value_cents,
+                  row_number() OVER (PARTITION BY user_id, ts_us
+                                     ORDER BY event_id DESC) AS rn
+           FROM e WHERE event_type = 'purchase'),
+    p AS (SELECT user_id, ts_us, value_cents FROM p0 WHERE rn = 1)
+    SELECT c.event_id, c.user_id, c.ts_us, c.value_cents,
+           coalesce(p.ts_us, -1) AS next_purchase_ts_us,
+           coalesce(p.value_cents, -1) AS next_purchase_value_cents
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+    ORDER BY c.event_id
+    """,
+)
+def q_click_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click gets the user's next purchase at or
+    after it (time-to-convert attribution).  Spark side is the backward
+    union+window merge run on NEGATED timestamps (operators/asof.py);
+    DuckDB oracle is the native ASOF LEFT JOIN with the <= inequality —
+    different formulations, bit-identical including tie handling (right
+    side pre-deduped to one row per (user, ts))."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.asof import asof_join_forward
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+        R.cents("value").alias("value_cents"),
+        "event_type",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    pw = Window.partitionBy("user_id", "ts_us").orderBy(F.desc("event_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id", "ts_us", "value_cents",
+            F.col("ts_us").alias("purchase_ts_us"),
+        )
+    )
+    out = asof_join_forward(
+        clicks,
+        purchases.select("user_id", "ts_us", "value_cents", "purchase_ts_us"),
+        key="user_id", ts="ts_us",
+        right_payloads=["purchase_ts_us", "value_cents"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "value_cents",
+        F.coalesce(F.col("asof_purchase_ts_us"), F.lit(-1)).cast("long")
+        .alias("next_purchase_ts_us"),
+        F.coalesce(F.col("asof_value_cents"), F.lit(-1)).cast("long")
+        .alias("next_purchase_value_cents"),
+    ).orderBy("event_id")
