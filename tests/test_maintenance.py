@@ -32,7 +32,7 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
 def test_clustered_rewrite_sorts_within_files_and_ranges_across(spark, tmp_path):
     dst = str(tmp_path / "clustered")
     docs = load_table(spark, SF_TEST, "documents")
-    clustered_rewrite(docs.repartition(8), dst, "doc_id", files_per_partition=4)
+    clustered_rewrite(docs.repartition(8), dst, "doc_id", num_files=4)
     files = _data_files(dst)
     assert len(files) == 4
     ranges = []

@@ -1,0 +1,67 @@
+"""Meta-gate for the recurring DuckDB HUGEINT -> pandas float64 oracle trap.
+
+The driver's correctness harness fetches every oracle through pandas
+(``con.execute(sql).df()``), where DuckDB's HUGEINT (the result type of
+``sum(BIGINT)``) arrives as float64 while Spark emits int64 — canonical
+strings then differ (``1425000.0`` vs ``1425000``) and ``hash_match`` fails
+even though the values are identical.  This cost 6 green rows in round 1 and
+1 in round 2 (``dup_graph_pagerank``); the contract fix is an outer
+``::BIGINT`` cast on every integer aggregate in the oracle SQL.
+
+This test enforces the contract mechanically for ALL registered oracles:
+each oracle is executed via the same pandas path the driver uses, and every
+column the Spark side emits as an integral type must arrive as an integer
+dtype in pandas (float64 is tolerated only when the column genuinely
+contains NULLs — e.g. rollup grand-total rows — because BOTH engines then
+surface float64/NaN and the driver's canonicalizer agrees).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import SF_SMOKE, duck_con
+from vector_search_spark import registry
+
+INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _oracle_cases():
+    return sorted(registry.ORACLES.keys())
+
+
+@pytest.mark.parametrize("name", _oracle_cases())
+def test_oracle_integer_columns_survive_pandas(spark, name):
+    spark_types = dict(registry.QUERIES[name](spark, SF_SMOKE).dtypes)
+    con = duck_con(SF_SMOKE)
+    pdf = con.execute(registry.ORACLES[name]).df()
+
+    assert sorted(pdf.columns) == sorted(spark_types), (
+        f"{name}: oracle columns {sorted(pdf.columns)} vs Spark "
+        f"{sorted(spark_types)}"
+    )
+    offenders = []
+    for col, stype in spark_types.items():
+        if stype not in INTEGRAL_SPARK:
+            continue
+        kind = pdf[col].dtype.kind
+        if kind in "iu":
+            continue
+        if kind == "f" and pdf[col].isna().any():
+            # Genuine NULLs: both engines land on float64/NaN in pandas and
+            # the driver's canonicalizer treats them identically.
+            continue
+        if kind == "O" and all(
+            v is None or isinstance(v, int) for v in pdf[col]
+        ):
+            continue
+        offenders.append((col, str(pdf[col].dtype)))
+    assert not offenders, (
+        f"{name}: Spark-integral columns arrive non-integer via the driver's "
+        f"pandas path (missing ::BIGINT cast in the oracle?): {offenders}"
+    )
+
+
+def test_numpy_int_is_int():  # guard against a silently-skipping parametrize
+    assert np.dtype("int64").kind == "i"

@@ -76,7 +76,7 @@ def test_training_data_pipeline_composes(spark, tmp_path):
 
     # 5. clustered write: the serving/index layout
     out = str(tmp_path / "train_chunks")
-    clustered_rewrite(chunks, out, "doc_id", files_per_partition=3)
+    clustered_rewrite(chunks, out, "doc_id", num_files=3)
     back = spark.read.parquet(out)
     assert back.count() == chunks.count()
     # the dominant filter column prunes: per-file doc_id ranges are tight

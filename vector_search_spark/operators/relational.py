@@ -199,8 +199,8 @@ def events_tumbling_counts(events: DataFrame, window_sec: int = 3600) -> DataFra
     differently across engines/timezones, epochs don't.  Bucketing uses the
     exact long-nanos column with integer division (no double in the path).
     """
-    bucket = (
-        F.floor(F.expr("ts_ns DIV 1000000000") / window_sec).cast("long") * window_sec
+    bucket = F.expr(
+        f"((ts_ns DIV 1000000000) DIV {window_sec}) * {window_sec}"
     ).alias("window_start")
     return (
         events.groupBy(bucket, "event_type")
@@ -227,7 +227,7 @@ def events_sliding_counts(
     with integer division (no float in the bucketing path).
     """
     overlap = window_sec // slide_sec
-    base = F.floor(F.expr("ts_ns DIV 1000000000") / slide_sec).cast("long") * slide_sec
+    base = F.expr(f"((ts_ns DIV 1000000000) DIV {slide_sec}) * {slide_sec}")
     starts = F.array(*[base - F.lit(i * slide_sec) for i in range(overlap)])
     return (
         events.select(

@@ -36,14 +36,21 @@ def compact_parquet(
 
 
 def clustered_rewrite(
-    df: DataFrame, dst: str, cluster_col: str, files_per_partition: int = 1
+    df: DataFrame, dst: str, cluster_col: str, num_files: int | None = None
 ) -> None:
     """Rewrite with rows range-clustered on ``cluster_col``: repartition by
     range (contiguous value ranges per file) then sort within partitions,
     so every row group's min/max stats are tight and scans with a
-    ``cluster_col`` predicate skip whole files."""
+    ``cluster_col`` predicate skip whole files.
+
+    ``num_files`` is the TOTAL number of output partitions/files (it is
+    repartitionByRange's numPartitions).  Default: keep the input's
+    parallelism (one range-file per existing partition) — never collapse a
+    large table into a single writer task."""
+    if num_files is None:
+        num_files = max(1, df.rdd.getNumPartitions())
     (
-        df.repartitionByRange(files_per_partition, cluster_col)
+        df.repartitionByRange(num_files, cluster_col)
         .sortWithinPartitions(cluster_col)
         .write.mode("overwrite")
         .parquet(dst)

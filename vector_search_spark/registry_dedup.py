@@ -769,7 +769,7 @@ def q_dup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM verified v JOIN split p1 ON v.id_1 = p1.doc_id),
     best AS (
       SELECT new_id, count(*)::BIGINT AS n_dup_matches,
-             min(old_id ORDER BY jac DESC, old_id) AS best_match_id,
+             first(old_id ORDER BY jac DESC, old_id) AS best_match_id,
              max(jac) AS best_jac
       FROM oriented GROUP BY new_id),
     newdocs AS (SELECT doc_id FROM split WHERE split = 'eval')
@@ -1049,7 +1049,7 @@ PAGERANK_ITER = 5
       JOIN r4 p ON e.a = p.doc_id
       JOIN deg d ON e.a = d.doc_id
       GROUP BY e.b)
-    SELECT doc_id, r AS rank_micro FROM r5 ORDER BY doc_id
+    SELECT doc_id, r::BIGINT AS rank_micro FROM r5 ORDER BY doc_id
     """,
 )
 def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
