@@ -1063,6 +1063,31 @@ def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Token co-occurrence lift: association mining over documents.
 # ---------------------------------------------------------------------------
+PAIR_MIN_SUPPORT = 5
+
+
+def _pair_presence_raw(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, token) presence table for pair mining."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).distinct()
+
+
+def _pair_presence_frequent(
+    pres: DataFrame, dfq: DataFrame, min_support: int
+) -> DataFrame:
+    """Presence table cut to tokens with document frequency >= min_support.
+
+    Lossless for pair mining with a ``co >= min_support`` floor: every doc
+    counted in ``co`` contributes to BOTH tokens' df, so co >= s implies
+    df_a >= s and df_b >= s — dropping rarer tokens cannot drop a
+    surviving pair, and it bounds the per-doc pair square to the frequent
+    vocabulary (the apriori monotonicity argument)."""
+    keep = dfq.filter(F.col("df") >= min_support).select("tok")
+    return pres.join(keep, "tok").select("doc_id", "tok")
+
+
 @register(
     "token_pair_lift",
     oracle="""
@@ -1072,9 +1097,12 @@ def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE trim(text) != ''),
     n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM pres),
     dfq AS (SELECT tok, count(*)::BIGINT AS df FROM pres GROUP BY tok),
+    presf AS (
+      SELECT p.doc_id, p.tok FROM pres p
+      JOIN dfq d ON p.tok = d.tok WHERE d.df >= 5),
     co AS (
       SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS co
-      FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      FROM presf a JOIN presf b ON a.doc_id = b.doc_id AND a.tok < b.tok
       GROUP BY 1, 2),
     scored AS (
       SELECT co.tok_a, co.tok_b, co.co, da.df AS df_a, db.df AS df_b,
@@ -1096,22 +1124,24 @@ def q_token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     explain).
 
     Scale: the pair generation is a self-join of the distinct
-    (doc_id, token) presence table keyed on doc_id — O(Σ k²) narrow rows
-    for k distinct tokens per doc, the standard market-basket shape; at
-    web scale you first cut the vocabulary by document frequency so k is
-    bounded (cited in the WHERE co >= 5 support floor here).  Lift is an
-    exact integer ratio (co·N)/(df_a·df_b) with ONE float division per
-    surviving pair; top-k is TakeOrderedAndProject.
+    (doc_id, token) presence table keyed on doc_id — but FIRST the
+    presence table is cut to tokens with df >= MIN_SUPPORT, which is
+    provably lossless (a pair co-occurring in >= 5 docs has both tokens
+    in >= 5 docs), so the per-doc pair square is bounded by the frequent
+    vocabulary instead of the raw token count: a 5,000-distinct-token
+    document with 200 frequent tokens emits 19,900 pair rows, not 12.5 M.
+    This is the standard apriori-style support pushdown for
+    market-basket mining at web scale.  Lift is an exact integer ratio
+    (co·N)/(df_a·df_b) with ONE float division per surviving pair; top-k
+    is TakeOrderedAndProject.
     """
     docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    pres = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-    ).distinct()
+    pres = _pair_presence_raw(docs)
     n = pres.agg(F.countDistinct("doc_id").cast("long").alias("n"))
     dfq = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    a = pres.alias("a")
-    b = pres.alias("b")
+    pres_f = _pair_presence_frequent(pres, dfq, min_support=PAIR_MIN_SUPPORT)
+    a = pres_f.alias("a")
+    b = pres_f.alias("b")
     co = (
         a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
         .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
