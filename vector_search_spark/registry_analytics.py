@@ -947,13 +947,18 @@ def q_event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_hour_correlation",
     oracle=f"""
     WITH m AS (
+      -- moment sums stay in DuckDB's native HUGEINT (sum(BIGINT) widens
+      -- automatically; per-element products forced ::HUGEINT) — the exact
+      -- 128-bit twin of the Spark side's DECIMAL(38,0) accumulators, so
+      -- neither engine overflows at 1e10-row scale.  n stays ::BIGINT
+      -- because it is emitted (pandas float64 trap).
       SELECT event_type,
              count(*)::BIGINT AS n,
-             sum({_CENTS.format(x='value')})::BIGINT AS sx,
-             sum(hour(ts)::BIGINT)::BIGINT AS sy,
-             sum({_CENTS.format(x='value')} * {_CENTS.format(x='value')})::BIGINT AS sxx,
-             sum(hour(ts)::BIGINT * hour(ts)::BIGINT)::BIGINT AS syy,
-             sum({_CENTS.format(x='value')} * hour(ts)::BIGINT)::BIGINT AS sxy
+             sum({_CENTS.format(x='value')}) AS sx,
+             sum(hour(ts)::BIGINT) AS sy,
+             sum(({_CENTS.format(x='value')})::HUGEINT * ({_CENTS.format(x='value')})) AS sxx,
+             sum((hour(ts)::BIGINT)::HUGEINT * hour(ts)::BIGINT) AS syy,
+             sum(({_CENTS.format(x='value')})::HUGEINT * hour(ts)::BIGINT) AS sxy
       FROM events GROUP BY event_type)
     SELECT event_type, n,
            CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0.0
@@ -974,33 +979,21 @@ def q_value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent; this form is bit-stable under any partitioning (covered by
     the partitioning-invariance suite's pattern).
 
-    At 100 TB the BIGINT squared sums approach overflow (~1e19); the
-    upgrade is DECIMAL(38,0) sums — same shape, wider accumulator.
-    Zero-variance groups emit 0.0 (sentinel, NULL-free contract).
+    Accumulators are DECIMAL(38,0) (`functions.moments`): BIGINT Σx² with
+    cents-scale values overflows near 1e9-1e10 rows, well inside the
+    100 TB envelope; decimal sums are exact to ~1e38, and the oracle's
+    HUGEINT twin gives DuckDB identical headroom.  Zero-variance groups
+    emit 0.0 (sentinel, NULL-free contract).
     """
+    from .functions.moments import moment_sums, pearson_from_moments
+
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         F.floor(F.col("value").cast("double") * 100.0 + F.lit(0.5)).cast("long").alias("x"),
         F.hour("ts").cast("long").alias("y"),
     )
-    m = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    return m.select(
-        "event_type",
-        "n",
-        F.when((vx == 0) | (vy == 0), F.lit(0.0))
-        .otherwise(round4(num / (F.sqrt(vx) * F.sqrt(vy))))
-        .alias("pearson_r"),
-    ).orderBy("event_type")
+    m = moment_sums(ev, "event_type", "x", "y")
+    return pearson_from_moments(m, round4).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -1113,7 +1106,7 @@ def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)::BIGINT AS n_vectors,
            floor(min(n2) * 10000 + 0.5) / 10000.0 AS min_norm2,
            floor(max(n2) * 10000 + 0.5) / 10000.0 AS max_norm2,
-           floor(((sum(n2_scaled)::BIGINT / 100000000.0) / count(*))
+           floor(((sum(n2_scaled) / 100000000.0) / count(*))
                  * 10000 + 0.5) / 10000.0 AS mean_norm2
     FROM q GROUP BY label ORDER BY label
     """,
@@ -1129,7 +1122,9 @@ def q_embedding_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-row order, identical to DuckDB list_dot_product — the idiom
     every KNN oracle here already proves bit-exact); min/max are
     order-free as-is, and the MEAN goes through per-row 1e8 integer
-    quantization so the sum is partitioning-independent.  One scan, one
+    quantization so the sum is partitioning-independent — accumulated in
+    DECIMAL(38,0) (1e8-scaled norms × 1e10 rows ≈ 1e18 flirts with BIGINT;
+    decimal is exact to ~1e38, HUGEINT on the DuckDB side).  One scan, one
     tiny per-label aggregate; vectors never shuffle.
     """
     emb = _t(spark, sf_dir, "embeddings")
@@ -1146,7 +1141,8 @@ def q_embedding_norm_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.min("n2")).alias("min_norm2"),
             round4(F.max("n2")).alias("max_norm2"),
             round4(
-                (F.sum("n2_scaled").cast("long") / 100000000.0) / F.count(F.lit(1))
+                (F.sum(F.col("n2_scaled").cast("decimal(38,0)")).cast("double")
+                 / 100000000.0) / F.count(F.lit(1))
             ).alias("mean_norm2"),
         )
         .orderBy("label")
