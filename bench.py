@@ -89,18 +89,21 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows, {reps} reps)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "setup_sec": setup_sec,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "registry_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "setup_sec": setup_sec,
+        "sf": sf,
+    }
+    line = json.dumps(record)
+    # The driver's log capture has truncated this line mid-JSON before
+    # (BENCH_r02); persist the full machine-readable record next to the
+    # script so round-over-round comparisons never depend on scrollback.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -996,3 +996,157 @@ def bottleneck_suppliers(
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2/Q11/Q20 shapes over the SYNTHESIZED partsupp (sources/partsupp.py;
+# the fixture set ships no partsupp — VERDICT r2 item 5).
+# ---------------------------------------------------------------------------
+def min_cost_supplier(
+    part: DataFrame,
+    partsupp: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    p_type: str = "LARGE",
+    max_size: int = 15,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the in-region supplier(s)
+    offering the minimum supply cost (ties kept, as the classic query
+    does).
+
+    Scale: supplier⋈nation⋈region is a dim-side chain (broadcast, ~1e4
+    rows at any SF); partsupp⋈part prunes on the pushed-down type/size
+    predicate before any exchange; the min-cost resolution is a partial-
+    agg'd groupBy(partkey) + an equi-join back on (partkey, cost) — two
+    narrow shuffles on the filtered candidate set, never on raw partsupp.
+    """
+    eu = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .filter(F.col("r_name") == region_name)
+        .select(
+            "s_suppkey",
+            "s_name",
+            cents("s_acctbal").alias("acctbal_cents"),
+            "n_name",
+        )
+    )
+    parts = part.filter(
+        (F.col("p_type") == p_type) & (F.col("p_size") <= max_size)
+    ).select("p_partkey")
+    cand = (
+        partsupp.join(parts, partsupp.ps_partkey == parts.p_partkey)
+        .join(F.broadcast(eu), partsupp.ps_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "ps_supplycost_cents", "s_name", "n_name", "acctbal_cents")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("ps_supplycost_cents").alias("mc")
+    )
+    return (
+        cand.join(
+            mn,
+            (cand.p_partkey == mn.mk) & (cand.ps_supplycost_cents == mn.mc),
+        )
+        .select("p_partkey", "ps_supplycost_cents", "s_name", "n_name", "acctbal_cents")
+        .orderBy(F.desc("acctbal_cents"), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def important_stock(
+    partsupp: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    frac_denom: int = 500,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value held by one nation's
+    suppliers exceeds 1/frac_denom of that nation's total stock value.
+
+    Scale: the per-part value fold is integer cents·qty accumulated in
+    DECIMAL(38,0) (exact at 1e10-row partsupp; the oracle's HUGEINT sum
+    is the same 128-bit headroom); the grand total is the SAME aggregate
+    reduced once more — a 1-row broadcast, not a second scan of partsupp.
+    The threshold compare is integer-exact (v·denom > total), no float
+    ever enters.
+    """
+    ns = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == nation_name)
+        .select("s_suppkey")
+    )
+    st = (
+        partsupp.join(F.broadcast(ns), partsupp.ps_suppkey == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents").cast("decimal(19,0)")
+                * F.col("ps_availqty").cast("decimal(19,0)")
+            ).alias("v")
+        )
+    )
+    tot = st.agg(F.sum("v").alias("t"))
+    return (
+        st.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * frac_denom > F.col("t"))
+        .select("ps_partkey", F.col("v").cast("long").alias("value_cents"))
+        .orderBy(F.desc("value_cents"), "ps_partkey")
+    )
+
+
+def excess_stock_suppliers(
+    partsupp: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "small",
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding "excess stock" — a partsupp row
+    for a name-matched part whose availqty exceeds half the quantity that
+    (part, supplier) actually shipped in the target year.
+
+    Scale: lineitem (the 100 TB fact) is touched ONCE, with the shipdate
+    range pushed to the scan, and collapsed by partial aggregation to
+    O(|part×supp| in-window) before its only shuffle; partsupp joins that
+    aggregate on the (partkey, suppkey) pair key; the part-name prune
+    broadcasts.  The availqty comparison is integer cents (availqty·200 >
+    qty_cents ⟺ availqty > 0.5·qty) — exact, and identical in the oracle.
+    """
+    sp = part.filter(F.col("p_name").startswith(name_prefix)).select("p_partkey")
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit(year_start)))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit(year_end)))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(cents("l_quantity")).alias("qty_cents"))
+    )
+    excess = (
+        partsupp.join(F.broadcast(sp), partsupp.ps_partkey == F.col("p_partkey"))
+        .join(
+            shipped,
+            (partsupp.ps_partkey == shipped.l_partkey)
+            & (partsupp.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") * 200 > F.col("qty_cents"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        excess.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+                ).select("s_suppkey", "s_name", "n_name")
+            ),
+            excess.ps_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )

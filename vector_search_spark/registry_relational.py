@@ -972,3 +972,116 @@ def q_click_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("asof_value_cents"), F.lit(-1)).cast("long")
         .alias("next_purchase_value_cents"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2/Q11/Q20 shapes over the synthesized partsupp (sources/partsupp.py
+# — deterministic md5 derivation, bit-identical across engines; VERDICT r2
+# item 5).  The oracle CTE is generated from the same constants the Spark
+# synthesis uses, so neither side can drift.
+# ---------------------------------------------------------------------------
+from .sources.partsupp import PARTSUPP_SQL, synth_partsupp  # noqa: E402
+
+
+def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_partsupp(_t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier"))
+
+
+@register(
+    "min_cost_supplier",
+    oracle=f"""
+    WITH {PARTSUPP_SQL},
+    eu AS (
+      SELECT s_suppkey, s_name, {_cents('s_acctbal')} AS acctbal_cents, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+    cand AS (
+      SELECT p.p_partkey, ps.ps_supplycost_cents, eu.s_name, eu.n_name,
+             eu.acctbal_cents
+      FROM partsupp ps JOIN part p ON ps.ps_partkey = p.p_partkey
+      JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+      WHERE p.p_type = 'LARGE' AND p.p_size <= 15),
+    mn AS (SELECT p_partkey, min(ps_supplycost_cents) AS mc
+           FROM cand GROUP BY 1)
+    SELECT c.p_partkey::BIGINT AS p_partkey,
+           c.ps_supplycost_cents::BIGINT AS ps_supplycost_cents,
+           c.s_name, c.n_name, c.acctbal_cents::BIGINT AS acctbal_cents
+    FROM cand c JOIN mn ON c.p_partkey = mn.p_partkey
+                       AND c.ps_supplycost_cents = mn.mc
+    ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost regional supplier per part); see
+    operators.relational.min_cost_supplier for the scale notes."""
+    return R.min_cost_supplier(
+        _t(spark, sf_dir, "part"),
+        _ps(spark, sf_dir),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "important_stock",
+    oracle=f"""
+    WITH {PARTSUPP_SQL},
+    ns AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'),
+    st AS (
+      SELECT ps_partkey,
+             sum(ps_supplycost_cents::HUGEINT * ps_availqty) AS v
+      FROM partsupp JOIN ns ON ps_suppkey = s_suppkey
+      GROUP BY 1),
+    tot AS (SELECT sum(v) AS t FROM st)
+    SELECT ps_partkey::BIGINT AS ps_partkey, v::BIGINT AS value_cents
+    FROM st, tot WHERE v * 500 > t
+    ORDER BY value_cents DESC, ps_partkey
+    """,
+)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (stock-value concentration per nation); see
+    operators.relational.important_stock for the scale notes."""
+    return R.important_stock(
+        _ps(spark, sf_dir),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "excess_stock_suppliers",
+    oracle=f"""
+    WITH {PARTSUPP_SQL},
+    sp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum({_cents('l_quantity')}) AS qty_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN sp ON ps.ps_partkey = sp.p_partkey
+      JOIN shipped sh ON ps.ps_partkey = sh.l_partkey
+                     AND ps.ps_suppkey = sh.l_suppkey
+      WHERE ps.ps_availqty * 200 > sh.qty_cents)
+    SELECT e.ps_suppkey::BIGINT AS s_suppkey, s.s_name, n.n_name
+    FROM excess e JOIN supplier s ON e.ps_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY s_suppkey
+    """,
+)
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-stock suppliers); see
+    operators.relational.excess_stock_suppliers for the scale notes."""
+    return R.excess_stock_suppliers(
+        _ps(spark, sf_dir),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
