@@ -1205,3 +1205,98 @@ def q_user_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: two-proportion z-test on an md5 user split.
+# ---------------------------------------------------------------------------
+# The z expression is built from ONE shared string so the Spark side and the
+# DuckDB oracle evaluate the identical float operand order (a*(b/c) != (a*b)/c
+# in the last ulp — HANDOFF invariant).  All inputs are exact BIGINT counts.
+_Z_EXPR = (
+    "((conv_a * 1.0 / n_a) - (conv_b * 1.0 / n_b)) / "
+    "sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b)) "
+    "* (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b)) "
+    "* ((1.0 / n_a) + (1.0 / n_b)))"
+)
+
+
+@register(
+    "ab_test_zscore",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 8))::BIGINT % 2
+               AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    stats AS (
+      SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN variant = 0 THEN conv ELSE 0 END)::BIGINT AS conv_a,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             sum(CASE WHEN variant = 1 THEN conv ELSE 0 END)::BIGINT AS conv_b
+      FROM per_user)
+    SELECT n_a, conv_a, n_b, conv_b,
+           CASE WHEN n_a = 0 OR n_b = 0 OR (conv_a + conv_b) = 0
+                     OR (conv_a + conv_b) = (n_a + n_b) THEN 0.0
+                ELSE floor(({_Z_EXPR}) * 10000 + 0.5) / 10000.0
+           END AS z_score
+    FROM stats
+    """,
+)
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment significance: users are hash-assigned to two
+    variants (md5 split — the same deterministic bucketing production
+    experiment systems use), conversion = "user ever purchased", and the
+    readout is the two-proportion z-score — the stats primitive behind
+    every experimentation platform's significance column.
+
+    Scale: ONE user-keyed partial-agg'd exchange builds per-user
+    conversion flags; the variant rollup is a 4-counter global fold (a
+    single combine-reduced row).  Every accumulator is an exact BIGINT;
+    the z formula is evaluated once, driver-free, from one shared
+    expression string on both engines.  Degenerate splits (empty arm,
+    all/none converted) emit the 0.0 sentinel (NULL-free contract).
+    """
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long") % 2
+            ).alias("variant"),
+            "conv",
+        )
+    )
+    stats = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).cast("long").alias("conv_b"),
+    )
+    degenerate = (
+        (F.col("n_a") == 0)
+        | (F.col("n_b") == 0)
+        | ((F.col("conv_a") + F.col("conv_b")) == 0)
+        | ((F.col("conv_a") + F.col("conv_b")) == (F.col("n_a") + F.col("n_b")))
+    )
+    return stats.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(round4(F.expr(_Z_EXPR)))
+        .alias("z_score"),
+    )

@@ -1097,3 +1097,267 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select("doc_id", F.col("r").alias("rank_micro")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of each document is "new" vs the earlier corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_novelty",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+    per AS (
+      SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+             sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel
+      FROM sh s JOIN first f ON s.shingle = f.shingle GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+           coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+           CASE WHEN p.doc_id IS NULL THEN -1.0
+                ELSE floor((p.n_novel * 1.0 / p.n_shingles) * 10000 + 0.5) / 10000.0
+           END AS novelty
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct word
+    3-grams whose FIRST corpus occurrence (min doc_id, the arrival order)
+    is this document — the "how much of this is new text" curve that
+    training-data pipelines use to down-weight recycled content and to
+    measure corpus saturation over a crawl.
+
+    Scale: reuses the session-shared (doc_id, shingle) table; first
+    occurrence is one partial-agg'd groupBy(shingle) — the same key the
+    shingle table is already produced on — and the per-doc fold is one
+    narrow groupBy(doc_id).  No pair joins at all: novelty is linear in
+    the shingle table where naive "compare to all earlier docs" is
+    quadratic.  Shingle-less docs (< 3 tokens) emit the -1.0 sentinel
+    (NULL-free contract).
+    """
+    sh = _shared_shingles(spark, sf_dir)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    docs = __load(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(per.withColumnRenamed("doc_id", "p_doc"), docs.doc_id == F.col("p_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.when(F.col("p_doc").isNull(), F.lit(-1.0))
+            .otherwise(round4(F.col("n_novel") * 1.0 / F.col("n_shingles")))
+            .alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficient on the near-dup graph.
+# ---------------------------------------------------------------------------
+@register(
+    "dup_graph_triangles",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*) AS shared
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT s.id_1, s.id_2
+      FROM shared s
+      JOIN sizes n1 ON s.id_1 = n1.doc_id
+      JOIN sizes n2 ON s.id_2 = n2.doc_id
+      JOIN (SELECT DISTINCT id_1, id_2 FROM cand) c
+        ON c.id_1 = s.id_1 AND c.id_2 = s.id_2
+      JOIN sig s1 ON c.id_1 = s1.doc_id
+      JOIN sig s2 ON c.id_2 = s2.doc_id
+      WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
+        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+    tri AS (
+      SELECT x.id_1 AS a, x.id_2 AS b, y.id_2 AS c
+      FROM verified x
+      JOIN verified y ON x.id_2 = y.id_1
+      JOIN verified z ON z.id_1 = x.id_1 AND z.id_2 = y.id_2),
+    node_tri AS (
+      SELECT n, count(*)::BIGINT AS n_triangles FROM (
+        SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY n),
+    deg AS (
+      SELECT n, count(*)::BIGINT AS degree FROM (
+        SELECT id_1 AS n FROM verified UNION ALL SELECT id_2 FROM verified)
+      GROUP BY n)
+    SELECT d.n AS doc_id, d.degree,
+           coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE floor((2.0 * coalesce(t.n_triangles, 0)
+                            / (d.degree * (d.degree - 1))) * 10000 + 0.5) / 10000.0
+           END AS clustering
+    FROM deg d LEFT JOIN node_tri t ON d.n = t.n
+    ORDER BY doc_id
+    """,
+)
+def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per node of the
+    verified near-duplicate graph — distinguishes tight template clusters
+    (cliquey: coefficient ≈ 1, one canonical doc suffices) from chain-like
+    drift (coefficient ≈ 0, each hop may be a distinct edit worth keeping).
+
+    Scale: the classic ordered-edge triangle enumeration — every edge is
+    stored once as (lo, hi), so the wedge join (x.id_2 = y.id_1) and the
+    closing equi-join each touch O(E·avg-degree) rows with NO direction
+    double-counting and no all-pairs step; both joins key on node ids of
+    the (small) verified-pair artifact, which is session-shared and
+    already partial-agg'd.  Per-node counts are two narrow explode+groupBy
+    folds.  Degree-<2 nodes emit 0.0 (NULL-free).
+    """
+    pairs = _shared_verified_pairs(spark, sf_dir).select("id_1", "id_2")
+    x, y, z = pairs.alias("x"), pairs.alias("y"), pairs.alias("z")
+    tri = (
+        x.join(y, F.col("x.id_2") == F.col("y.id_1"))
+        .join(
+            z,
+            (F.col("z.id_1") == F.col("x.id_1"))
+            & (F.col("z.id_2") == F.col("y.id_2")),
+        )
+        .select(
+            F.col("x.id_1").alias("a"),
+            F.col("x.id_2").alias("b"),
+            F.col("y.id_2").alias("c"),
+        )
+    )
+    node_tri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.explode(F.array("id_1", "id_2")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(node_tri.withColumnRenamed("n", "tn"), deg.n == F.col("tn"), "left")
+        .select(
+            F.col("n").alias("doc_id"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                round4(
+                    2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1))
+                )
+            )
+            .alias("clustering"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document block dedup: boilerplate share WITHIN each document.
+# ---------------------------------------------------------------------------
+BLOCK_TOKENS = 16
+
+
+@register(
+    "subdoc_block_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS ord
+      FROM documents),
+    blocks AS (
+      SELECT doc_id, (ord - 1) // {BLOCK_TOKENS} AS block_id,
+             md5(string_agg(tok, ' ' ORDER BY ord)) AS block_hash
+      FROM toks GROUP BY 1, 2),
+    freq AS (
+      SELECT block_hash, count(DISTINCT doc_id) AS n_docs
+      FROM blocks GROUP BY 1),
+    per AS (
+      SELECT b.doc_id, count(*)::BIGINT AS n_blocks,
+             sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_blocks
+      FROM blocks b JOIN freq f ON b.block_hash = f.block_hash
+      GROUP BY 1)
+    SELECT doc_id, n_blocks, n_dup_blocks,
+           floor((n_dup_blocks * 1.0 / n_blocks) * 10000 + 0.5) / 10000.0
+             AS dup_frac,
+           CASE WHEN n_dup_blocks * 2 >= n_blocks THEN 'drop' ELSE 'keep' END
+             AS decision
+    FROM per ORDER BY doc_id
+    """,
+)
+def q_subdoc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: split every document into consecutive
+    {BLOCK_TOKENS}-token blocks (the fixture's paragraph stand-in), hash
+    each block, and score each document by the fraction of its blocks that
+    also appear in OTHER documents — the CCNet/RefinedWeb-style
+    paragraph-level dedup that catches stitched/boilerplate pages exact
+    whole-doc dedup misses.  Docs with ≥ half duplicated blocks get the
+    'drop' decision.
+
+    Scale: block assembly is one groupBy(doc_id, block_id) with bounded
+    state ({BLOCK_TOKENS} tokens per group, order restored by position —
+    never a whole document in memory); block frequency is a partial-agg'd
+    16-byte-hash groupBy, exactly the exact-dedup economics but on blocks;
+    the per-doc fold is a narrow hash join on block_hash.  No pair joins
+    anywhere — cross-doc repetition is found by grouping, not comparing.
+    """
+    docs = __load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("pos", "tok"),
+    )
+    blocks = (
+        toks.withColumn("block_id", F.expr(f"pos DIV {BLOCK_TOKENS}"))
+        .groupBy("doc_id", "block_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s.tok,
+                    ),
+                    " ",
+                )
+            ).alias("block_hash")
+        )
+    )
+    freq = blocks.groupBy("block_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    per = (
+        blocks.join(freq, "block_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup_blocks"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_blocks",
+        "n_dup_blocks",
+        round4(F.col("n_dup_blocks") * 1.0 / F.col("n_blocks")).alias("dup_frac"),
+        F.when(F.col("n_dup_blocks") * 2 >= F.col("n_blocks"), F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("decision"),
+    ).orderBy("doc_id")

@@ -1241,3 +1241,95 @@ def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf law fit: rank-frequency power-law slope per source.
+# ---------------------------------------------------------------------------
+ZIPF_TOP_RANKS = 100
+
+
+@register(
+    "zipf_law_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE trim(text) != ''),
+    freq AS (SELECT source, tok, count(*)::BIGINT AS f FROM tok GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, f,
+             row_number() OVER (PARTITION BY source ORDER BY f DESC, tok) AS r
+      FROM freq),
+    q AS (
+      SELECT source,
+             floor(ln(r) * 1000000 + 0.5)::BIGINT AS x,
+             floor(ln(f) * 1000000 + 0.5)::BIGINT AS y
+      FROM ranked WHERE r <= {ZIPF_TOP_RANKS}),
+    m AS (
+      SELECT source, count(*)::BIGINT AS n_ranks,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy
+      FROM q GROUP BY source)
+    SELECT source, n_ranks,
+           CASE WHEN (n_ranks * sxx - sx * sx) = 0 THEN 0.0
+                ELSE floor(((n_ranks * sxy - sx * sy) * 1.0
+                            / (n_ranks * sxx - sx * sx)) * 10000 + 0.5) / 10000.0
+           END AS zipf_slope
+    FROM m ORDER BY source
+    """,
+)
+def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: the least-squares slope of ln(frequency)
+    against ln(rank) over each source's top-{ZIPF_TOP_RANKS} tokens —
+    natural text sits near -1; templated/generated corpora drift flat (or
+    steep), making the slope a cheap per-source authenticity screen for
+    training-data intake.
+
+    Scale: token frequency is one partial-agg'd (source, token) group;
+    ranking partitions by source (WindowGroupLimit caps the sort at
+    top-{ZIPF_TOP_RANKS} per source map-side).  The regression runs on
+    per-element micro-nat QUANTIZED logs (floor(ln·1e6)) folded with the
+    repo's exact-moment pattern — integer sums are partitioning-
+    independent, both engines' slope derives from identical BIGINTs, and
+    the 1e12 quantization factor cancels in the slope ratio so no
+    de-scaling float op is needed.  Degenerate (single-rank) sources emit
+    the 0.0 sentinel.
+    """
+    docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    freq = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("f"), F.asc("tok"))
+    q = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= ZIPF_TOP_RANKS)
+        .select(
+            "source",
+            F.floor(F.log("r") * 1000000 + F.lit(0.5)).cast("long").alias("x"),
+            F.floor(F.log("f") * 1000000 + F.lit(0.5)).cast("long").alias("y"),
+        )
+    )
+    m = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")).alias("sxy"),
+    )
+    den = F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "source",
+        "n_ranks",
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(round4(num.cast("double") * F.lit(1.0) / den.cast("double")))
+        .alias("zipf_slope"),
+    ).orderBy("source")
