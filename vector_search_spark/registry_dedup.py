@@ -1361,3 +1361,90 @@ def q_subdoc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
         .alias("decision"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup: excerpt/quotation absorption (asymmetric overlap).
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT c.id_1, c.id_2, count(*) AS shared
+      FROM (SELECT DISTINCT id_1, id_2 FROM cand) c
+      JOIN sh x ON x.doc_id = c.id_1
+      JOIN sh y ON y.doc_id = c.id_2 AND y.shingle = x.shingle
+      GROUP BY 1, 2)
+    SELECT s.id_1, s.id_2,
+           n1.n_sh::BIGINT AS n_sh_1, n2.n_sh::BIGINT AS n_sh_2,
+           s.shared::BIGINT AS shared,
+           floor((s.shared * 1.0 / least(n1.n_sh, n2.n_sh)) * 10000 + 0.5)
+             / 10000.0 AS containment,
+           CASE WHEN n1.n_sh < n2.n_sh THEN s.id_1
+                WHEN n2.n_sh < n1.n_sh THEN s.id_2
+                ELSE s.id_1 END AS contained_id
+    FROM shared s
+    JOIN sizes n1 ON s.id_1 = n1.doc_id
+    JOIN sizes n2 ON s.id_2 = n2.doc_id
+    WHERE s.shared * 1.0 / least(n1.n_sh, n2.n_sh) >= {CONTAINMENT_THRESHOLD}
+    ORDER BY s.id_1, s.id_2
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric) near-dup detection: pairs where the
+    SMALLER document's shingle set is ≥ {CONTAINMENT_THRESHOLD:.0%} inside
+    the larger one — excerpts, quoted articles, and page-plus-boilerplate
+    wrappers that symmetric Jaccard under-scores (a 200-token quote inside
+    a 2000-token page has Jaccard ≈ 0.1 but containment ≈ 1.0).  Emits
+    which doc is absorbed (`contained_id`).
+
+    Scale: candidate pairs come from the session-shared banded LSH join
+    (no est floor — containment pairs can sit at low Jaccard, so the
+    filter happens on the EXACT asymmetric ratio, never on the estimate);
+    the shingle-intersection count starts FROM the candidate pairs
+    (cascade shape), so the shingle join touches O(|cand|·doc-shingles)
+    rows, never the corpus pair square.  Honest limitation, documented:
+    minhash banding targets Jaccard, so very-low-Jaccard containment can
+    escape banding — the production fix is a containment-aware sketch
+    (e.g. bottom-k over the small side) feeding the same verify join.
+    """
+    cand = _shared_lsh_candidates(spark, sf_dir).select("id_1", "id_2").distinct()
+    sh = _shared_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_2"), "shingle")
+    shared = (
+        cand.join(a, "id_1")
+        .join(b, ["id_2", "shingle"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("id_1"), F.col("n_sh").alias("n_sh_1"))
+    n2 = sizes.select(F.col("doc_id").alias("id_2"), F.col("n_sh").alias("n_sh_2"))
+    ratio = F.col("shared") * 1.0 / F.least(F.col("n_sh_1"), F.col("n_sh_2"))
+    return (
+        shared.join(n1, "id_1")
+        .join(n2, "id_2")
+        .filter(ratio >= CONTAINMENT_THRESHOLD)
+        .select(
+            "id_1",
+            "id_2",
+            "n_sh_1",
+            "n_sh_2",
+            "shared",
+            round4(ratio).alias("containment"),
+            F.when(F.col("n_sh_1") < F.col("n_sh_2"), F.col("id_1"))
+            .when(F.col("n_sh_2") < F.col("n_sh_1"), F.col("id_2"))
+            .otherwise(F.col("id_1"))
+            .alias("contained_id"),
+        )
+        .orderBy("id_1", "id_2")
+    )

@@ -1085,3 +1085,163 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "supplier"),
         _t(spark, sf_dir, "nation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS: independent subtotal dimensions in one pass (§2.6 grouping
+# surface beyond rollup/cube — arbitrary set lists).
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_grouping_sets",
+    oracle=f"""
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           sum({_cents('l_extendedprice * (1.0 - l_discount)')})::BIGINT
+             AS revenue_cents,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+    ORDER BY nation, priority
+    """,
+)
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation AND by priority AND grand total via GROUPING SETS
+    — one fact-scan, one Expand (3 grouping copies combined map-side)
+    instead of three scans+unions; the arbitrary-set sibling of
+    rollup/cube.  NULL grouping keys → 'ALL' sentinel (NULL-free
+    contract); the join chain is the Q5 shape (orderkey exchange, dims
+    broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import functions as F
+    from .operators.relational import cents
+
+    rev = li.select(
+        "l_orderkey",
+        cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("rev_cents"),
+    )
+    joined = (
+        rev.join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority"),
+            rev.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        joined.groupingSets(
+            [["n_name"], ["o_orderpriority"], []], "n_name", "o_orderpriority"
+        )
+        .agg(
+            F.sum("rev_cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "revenue_cents",
+            "n_items",
+        )
+        .orderBy("nation", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window distribution functions: ntile / percent_rank / cume_dist (§2.6
+# window surface beyond row_number/rank aggregates).
+# ---------------------------------------------------------------------------
+@register(
+    "order_value_distribution",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             {_cents('o_totalprice')} AS total_cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-02-01')
+    SELECT o_orderkey, o_orderpriority, total_cents,
+           ntile(4) OVER w AS quartile,
+           floor((percent_rank() OVER w) * 10000 + 0.5) / 10000.0 AS pct_rank,
+           floor((cume_dist() OVER w) * 10000 + 0.5) / 10000.0 AS cume
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY total_cents, o_orderkey)
+    ORDER BY o_orderpriority, total_cents, o_orderkey
+    """,
+)
+def q_order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows over one month of orders: quartile
+    (ntile), percent_rank and cume_dist of each order's value within its
+    priority class — the ranking trio the §2.6 window checklist lists
+    beyond plain row_number, used for percentile-band features.
+
+    Scale: one exchange on the (priority) partition key serves all three
+    functions; the order-by is integer cents with the orderkey tie-break,
+    so every position — and therefore every emitted fraction — is
+    deterministic (peer-group-free).  The month predicate pushes to the
+    scan."""
+    from pyspark.sql import Window, functions as F
+    from .functions.scalar import round4
+    from .operators.relational import cents
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-02-01")))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            cents("o_totalprice").alias("total_cents"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("total_cents", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "total_cents",
+        F.ntile(4).over(w).alias("quartile"),
+        round4(F.percent_rank().over(w)).alias("pct_rank"),
+        round4(F.cume_dist().over(w)).alias("cume"),
+    ).orderBy("o_orderpriority", "total_cents", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# EXCEPT set op: engaged-but-never-converted users (§2.6 set-op surface
+# beyond the INTERSECT in purchase_and_click_days).
+# ---------------------------------------------------------------------------
+@register(
+    "click_days_without_purchase",
+    oracle="""
+    SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+    FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id, day
+    """,
+)
+def q_click_days_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, day) pairs with a click but no purchase that day — EXCEPT
+    (distinct set difference), the §2.6 set-op leg INTERSECT
+    (purchase_and_click_days) doesn't cover.  Catalyst plans EXCEPT
+    DISTINCT as aggregate + left-anti join: both sides partial-agg to
+    distinct (user, day) keys before the single exchange, so the shuffle
+    is O(distinct pairs), not O(events); day is integer epoch-day from
+    the exact nanos column."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("ts_ns DIV 86400000000000").alias("day")
+    clicked = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    purchased = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicked.subtract(purchased).orderBy("user_id", "day")
