@@ -340,3 +340,76 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sq_topk(codes, emb, queries, mins, scales, k=10, rescore=40)
     return out.select("query_id", "vec_id", round4("score").alias("score"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# SRP-bucketed embedding near-dup: the LSH-candidate scale path for
+# semantic dedup (vs dedup_embedding_cosine's exact block-sharded scan).
+# ---------------------------------------------------------------------------
+_SQL_SRP_PAIR_CAND = " UNION ".join(
+    f"SELECT a.vec_id AS id_1, b.vec_id AS id_2 FROM bt a "
+    f"JOIN bt b ON a.b{i} = b.b{i} AND a.vec_id < b.vec_id"
+    for i in range(_SRP_BANDS)
+)
+
+
+@register(
+    "dedup_embedding_srp",
+    oracle=f"""
+    WITH sig AS (SELECT vec_id, ({_SQL_SRP_SIG}) AS sig FROM embeddings),
+    bt AS (SELECT vec_id, {_SQL_SRP_BANDS} FROM sig),
+    cand AS ({_SQL_SRP_PAIR_CAND}),
+    scored AS (
+      SELECT c.id_1, c.id_2,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+      FROM (SELECT DISTINCT id_1, id_2 FROM cand) c
+      JOIN embeddings a ON c.id_1 = a.vec_id
+      JOIN embeddings b ON c.id_2 = b.vec_id)
+    SELECT id_1, id_2, floor(cos*10000 + 0.5)/10000.0 AS cosine
+    FROM scored
+    ORDER BY cos DESC, id_1, id_2
+    LIMIT 50
+    """,
+)
+def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding) near-dup candidates via SRP-LSH buckets + exact
+    cosine rescore — the SCALE path for semantic dedup.
+    `dedup_embedding_cosine` proves the exact answer with block-pair
+    sharding (O(n²/B) work); this pairs only vectors that agree on ≥1 of
+    the {_SRP_BANDS} signature bands, the SemDeDup-style prune that makes
+    semantic dedup linear-ish at 100 TB, with recall governed by the
+    banding.  Same emission contract as the exact variant (top-50 pairs by
+    cosine, id-tie-broken) so the two paths are directly comparable, and —
+    because the SRP hyperplanes are md5-derived constants — the WHOLE
+    approximate pipeline (candidates AND ranks) is verified bit-exactly
+    against DuckDB, unlike typical ANN dedup.
+
+    Scale: reuses the session-shared SRP band table (build-once artifact);
+    the band self-join emits narrow id pairs; vectors join back only for
+    the |cand| rescores (never exploded, never shuffled as arrays beyond
+    the pair join); top-50 is TakeOrderedAndProject.
+    """
+    from .functions.vector import dot_product
+
+    ib = _shared_srp_index(spark, sf_dir)  # (vec_id, band, val)
+    l = ib.select(F.col("vec_id").alias("id_1"), "band", "val")
+    r = ib.select(F.col("vec_id").alias("id_2"), "band", "val")
+    cand = (
+        l.join(r, ["band", "val"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    emb = __load(spark, sf_dir, "embeddings")
+    e1 = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("v1"))
+    e2 = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("v2"))
+    scored = (
+        cand.join(e1, "id_1")
+        .join(e2, "id_2")
+        .select("id_1", "id_2", dot_product("v1", "v2").alias("cos"))
+    )
+    return (
+        scored.orderBy(F.desc("cos"), "id_1", "id_2")
+        .limit(50)
+        .select("id_1", "id_2", round4("cos").alias("cosine"))
+    )
