@@ -122,6 +122,39 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_table(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Long-form band-bucket table ``(id, band, key)`` from a minhash
+    signature table: one md5 band key per (doc, band), via a single
+    array-of-structs explode (no per-band union).  This is the probe-able
+    LSH index artifact — a new batch's band table equi-joins it on
+    (band, key) to find candidates against an existing corpus without
+    re-pairing the corpus (the incremental/streaming dedup shape)."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.lit(b),
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -145,7 +178,6 @@ def minhash_lsh_pairs(
     and cascade entries don't each recompute it.
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     if signatures is not None:
         sig = signatures  # caller-persisted
     else:
@@ -155,24 +187,7 @@ def minhash_lsh_pairs(
 
     # Long-form banding: one explode + ONE self-join on (band, key) — not a
     # union of per-band joins (4× the stages and scans at scale).
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.lit(b),
-                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                    )
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = minhash_band_table(sig, id_col, num_hashes, bands)
     left = banded.select(F.col(id_col).alias("id_1"), "band", "key")
     right = banded.select(F.col(id_col).alias("id_2"), "band", "key")
     cand = (

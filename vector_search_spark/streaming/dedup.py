@@ -1,0 +1,197 @@
+"""Streaming incremental dedup: micro-batches of NEW documents probed
+against a STATIC indexed corpus — the nightly-crawl dedup loop
+(`registry_dedup.incremental_ingest_dedup`) as a Structured Streaming
+pipeline.
+
+Design: the corpus's shingle / signature / band tables are build-once
+artifacts (exactly the session-shared tables the batch family uses; a
+persisted partitionBy(band) parquet at production scale).  Each arriving
+micro-batch of new docs is shingled and signed with the SAME operators the
+batch path uses, its band keys probe the corpus band table (stream-static
+equi-join shape), candidates are est-filtered on signature agreement and
+verified with exact Jaccard against the corpus shingles, and each new doc
+emits its ingest/skip decision.  Because every decision depends only on
+(new doc, corpus) — never on other new docs — the result is independent of
+micro-batch boundaries, so stream ≡ batch holds for ANY trigger schedule
+(asserted in tests/test_streaming_incremental_dedup.py).
+
+foreachBatch is the deliberate engine choice: the per-batch plan is a
+multi-join DAG (banding probe + agreement + shingle intersection) that
+append-mode streaming aggregation cannot express, and foreachBatch is the
+sanctioned escape hatch that keeps exactly-once semantics per batch while
+reusing unmodified batch operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import round4
+from ..operators.dedup import (
+    minhash_band_table,
+    minhash_signatures,
+    shingle_table,
+)
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def corpus_index(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The static corpus artifacts a production index stores: (shingles,
+    signatures, band table).  Caller persists them once."""
+    sh = shingle_table(docs, shingle_n=shingle_n)
+    sig = minhash_signatures(docs, num_hashes=num_hashes, shingle_n=shingle_n, shingled=sh)
+    banded = minhash_band_table(sig, num_hashes=num_hashes, bands=bands)
+    return sh, sig, banded
+
+
+def batch_decisions(
+    new_docs: DataFrame,
+    corpus_sh: DataFrame,
+    corpus_sig: DataFrame,
+    corpus_banded: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    est_floor: float = 0.5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Ingest/skip decisions for one batch of new docs vs the corpus index.
+
+    Probe shape: new band keys equi-join the corpus band table (narrow
+    (band, key) rows — never a corpus self-join), then signature-agreement
+    est filter, then exact-Jaccard verify restricted to the surviving
+    candidates.  Emission contract matches
+    `registry_dedup.incremental_ingest_dedup` (NULL-free sentinels,
+    argmax-by-jaccard best match, round4 floor)."""
+    new_sh = shingle_table(new_docs, shingle_n=shingle_n)
+    new_sig = minhash_signatures(
+        new_docs, num_hashes=num_hashes, shingle_n=shingle_n, shingled=new_sh
+    )
+    new_banded = minhash_band_table(new_sig, num_hashes=num_hashes, bands=bands)
+
+    cand = (
+        new_banded.select(F.col("doc_id").alias("new_id"), "band", "key")
+        .join(
+            corpus_banded.select(F.col("doc_id").alias("old_id"), "band", "key"),
+            ["band", "key"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    s_new = new_sig.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"h{h}").alias(f"a{h}") for h in range(num_hashes)],
+    )
+    s_old = corpus_sig.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"h{h}").alias(f"b{h}") for h in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{h}") == F.col(f"b{h}"), 1).otherwise(0)
+        for h in range(num_hashes)
+    )
+    est_cand = (
+        cand.join(s_new, "new_id")
+        .join(s_old, "old_id")
+        .withColumn("est", (agree / F.lit(float(num_hashes))).cast("double"))
+        .filter(F.col("est") >= est_floor)
+        .select("new_id", "old_id")
+    )
+
+    sizes_new = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n1"))
+    sizes_old = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n2"))
+    shared = (
+        est_cand.join(
+            new_sh.select(F.col("doc_id").alias("new_id"), "shingle"), "new_id"
+        )
+        .join(
+            corpus_sh.select(F.col("doc_id").alias("old_id"), "shingle"),
+            ["old_id", "shingle"],
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    verified = (
+        shared.join(sizes_new.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .join(sizes_old.withColumnRenamed("doc_id", "old_id"), "old_id")
+        .withColumn(
+            "jac",
+            (F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jac") >= jaccard_threshold)
+        .select("new_id", "old_id", "jac")
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(F.desc("jac"), F.asc("old_id"))
+    best = (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_matches"),
+            F.max(F.when(F.col("__rn") == 1, F.col("old_id"))).alias("best_match_id"),
+            F.max("jac").alias("best_jac"),
+        )
+    )
+    newkeys = new_docs.select("doc_id")
+    return (
+        newkeys.join(best, newkeys.doc_id == best.new_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dup_matches"), F.lit(0)).cast("long").alias("n_dup_matches"),
+            F.coalesce(F.col("best_match_id"), F.lit(-1)).cast("long").alias("best_match_id"),
+            F.when(F.col("new_id").isNull(), F.lit(-1.0))
+            .otherwise(round4("best_jac"))
+            .alias("best_jaccard"),
+            F.when(F.col("new_id").isNull(), F.lit("ingest"))
+            .otherwise(F.lit("skip"))
+            .alias("decision"),
+        )
+    )
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    new_docs_dir: str,
+    corpus_sh: DataFrame,
+    corpus_sig: DataFrame,
+    corpus_banded: DataFrame,
+    collected: list,
+    max_files_per_trigger: int = 1,
+    **kwargs,
+):
+    """Drain a directory of new-doc parquet files as micro-batches
+    (availableNow + maxFilesPerTrigger), deciding each batch against the
+    static corpus index via ``batch_decisions`` and appending result rows
+    to ``collected``.  Returns after the stream drains."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(new_docs_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rows = batch_decisions(
+            batch_df, corpus_sh, corpus_sig, corpus_banded, **kwargs
+        ).collect()
+        collected.extend(rows)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", new_docs_dir + "/_chk")
+        .start()
+    )
+    q.awaitTermination()
