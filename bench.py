@@ -57,8 +57,10 @@ def main() -> None:
         _shared_ivf_index, _shared_srp_index,
     )
     from vector_search_spark.registry_text import _shared_doc_features  # noqa: E402
+    from vector_search_spark.registry_relational import _ps  # noqa: E402
 
     t0 = time.perf_counter()
+    _ps(spark, sf_dir)
     _shared_shingles(spark, sf_dir)
     _shared_signatures(spark, sf_dir)
     _shared_simhash_sigs(spark, sf_dir)

@@ -982,9 +982,24 @@ def q_click_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 from .sources.partsupp import PARTSUPP_SQL, synth_partsupp  # noqa: E402
 
+# Session-shared synthesized partsupp — the "materialize the dim once"
+# model every other shared artifact follows (a real deployment would write
+# it bucketed by ps_partkey next to the other dims, not re-derive it per
+# query).
+_PS_CACHE: dict[str, tuple] = {}
+
 
 def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return synth_partsupp(_t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier"))
+    from .registry_dedup import _session_cached
+
+    return _session_cached(
+        _PS_CACHE,
+        spark,
+        sf_dir,
+        lambda: synth_partsupp(
+            _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier")
+        ),
+    )
 
 
 @register(
