@@ -1333,3 +1333,97 @@ def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(round4(num.cast("double") * F.lit(1.0) / den.cast("double")))
         .alias("zipf_slope"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law curve: vocabulary growth over corpus arrival order.
+# ---------------------------------------------------------------------------
+@register(
+    "heaps_law_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE trim(text) != ''),
+    deciles AS (
+      SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS decile
+      FROM (SELECT DISTINCT doc_id FROM toks)),
+    doc_tokens AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tok FROM toks GROUP BY 1),
+    firsts AS (
+      SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+    per_decile AS (
+      SELECT d.decile,
+             sum(t.n_tok)::BIGINT AS tokens,
+             (SELECT count(*) FROM firsts f JOIN deciles fd
+              ON f.first_doc = fd.doc_id WHERE fd.decile = d.decile)::BIGINT
+               AS new_vocab
+      FROM deciles d JOIN doc_tokens t ON d.doc_id = t.doc_id
+      GROUP BY d.decile),
+    cum AS (
+      SELECT decile,
+             sum(tokens) OVER (ORDER BY decile)::BIGINT AS cum_tokens,
+             sum(new_vocab) OVER (ORDER BY decile)::BIGINT AS cum_vocab
+      FROM per_decile)
+    SELECT decile, cum_tokens, cum_vocab,
+           floor((ln(cum_vocab) / ln(cum_tokens)) * 10000 + 0.5) / 10000.0
+             AS heaps_beta
+    FROM cum ORDER BY decile
+    """,
+)
+def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct vocabulary
+    vs cumulative token count over ten arrival-order slices of the corpus,
+    with the empirical Heaps exponent ln V / ln N per slice — the corpus-
+    saturation dashboard (a flattening curve says new crawl batches add
+    volume, not vocabulary; the doc-level twin of `ngram_novelty`).
+
+    Scale: vocabulary growth needs NO prefix re-scans — each token's
+    contribution is located entirely at its FIRST-occurrence doc (one
+    partial-agg'd min per token), so cumulative vocabulary is a running
+    sum over 10 decile rows.  Per-doc token counts fold map-side; the
+    ntile runs over doc ids only (narrow), and every accumulator is an
+    exact BIGINT until the final ln ratio.
+    """
+    from pyspark.sql import Window
+
+    docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    deciles = (
+        toks.select("doc_id")
+        .distinct()
+        .withColumn("decile", F.ntile(10).over(Window.orderBy("doc_id")))
+    )
+    doc_tokens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+
+    tokens_per_decile = (
+        deciles.join(doc_tokens, "doc_id")
+        .groupBy("decile")
+        .agg(F.sum("n_tok").alias("tokens"))
+    )
+    vocab_per_decile = (
+        firsts.join(deciles, firsts.first_doc == deciles.doc_id)
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    per = tokens_per_decile.join(vocab_per_decile, "decile", "left").select(
+        "decile",
+        "tokens",
+        F.coalesce(F.col("new_vocab"), F.lit(0)).alias("new_vocab"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        F.sum("tokens").over(wc).cast("long").alias("cum_tokens"),
+        F.sum("new_vocab").over(wc).cast("long").alias("cum_vocab"),
+    )
+    return cum.select(
+        "decile",
+        "cum_tokens",
+        "cum_vocab",
+        round4(F.log("cum_vocab") / F.log("cum_tokens")).alias("heaps_beta"),
+    ).orderBy("decile")
