@@ -37,6 +37,15 @@ QUERIES = [
     "token_pair_lift",
     "embedding_norm_qc",
     "dup_graph_pagerank",
+    # round-3 float emitters
+    "zipf_law_fit",
+    "heaps_law_curve",
+    "ab_test_zscore",
+    "ngram_novelty",
+    "dup_graph_triangles",
+    "dedup_containment",
+    "important_stock",
+    "subdoc_block_dedup",
 ]
 
 REGIMES = [

@@ -207,3 +207,37 @@ def test_bloom_filter_join_pruning_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_excess_stock_pushes_shipdate_to_scan(spark):
+    """Q20 shape: the lineitem (fact) scan must carry the shipdate range in
+    PushedFilters and read only the 4 needed columns — at 100 TB this is
+    the difference between scanning a year and scanning everything."""
+    df = registry.QUERIES["excess_stock_suppliers"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    scan = _scan_block(plan, "l_shipdate")
+    assert "GreaterThanOrEqual(l_shipdate" in scan and "LessThan(l_shipdate" in scan
+    read = scan.split("ReadSchema")[1]
+    assert "l_quantity" in read and "l_extendedprice" not in read
+
+
+def test_min_cost_supplier_broadcasts_dims(spark):
+    """Q2 shape: the supplier⋈nation⋈region chain and the filtered part
+    list are dim-sized — every join against them must be a broadcast, and
+    the part scan must carry the type/size predicates."""
+    df = registry.QUERIES["min_cost_supplier"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    assert "BroadcastHashJoin" in plan
+    scan = _scan_block(plan, "p_type")
+    assert "EqualTo(p_type,LARGE)" in scan and "LessThanOrEqual(p_size,15)" in scan
+
+
+def test_subdoc_block_dedup_no_pair_join(spark):
+    """Sub-document dedup must find cross-doc repetition by GROUPING on
+    block hashes, never by pairing documents: no join condition on two
+    doc-id columns, no cartesian."""
+    df = registry.QUERIES["subdoc_block_dedup"](spark, SF_TEST)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan and "doc_id#" in plan
+    physical = _formatted(spark, df)
+    assert "CartesianProduct" not in physical
