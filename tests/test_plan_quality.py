@@ -241,3 +241,49 @@ def test_subdoc_block_dedup_no_pair_join(spark):
     assert "CartesianProduct" not in plan and "doc_id#" in plan
     physical = _formatted(spark, df)
     assert "CartesianProduct" not in physical
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join handling — the runtime lever for hot keys at 100 TB
+    (one salted-join alternative the engine also ships statically in
+    `partitioning.salted_join`).  Thresholds are forced down so the
+    synthetic hot key (~90% of rows on one join key) trips skew detection
+    at fixture scale; the adaptive plan must mark the join skew=true and
+    read the hot partition as a skewed (split) AQEShuffleRead.  Note: a
+    downstream hash-partitioning requirement suppresses the optimization
+    (splitting would break the partitioning contract), so the probe
+    aggregates globally."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 220_000).select(
+            F.when(F.col("id") < 200_000, F.lit(0))
+            .otherwise((F.col("id") % 99) + 1)
+            .alias("k"),
+            F.concat(F.lit("payloadpayloadpayload-"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k").agg(F.count(F.lit(1)).alias("n"))
+        assert j.collect()[0]["n"] == 220_000  # correctness unchanged
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan and "AQEShuffleRead skewed" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1300,3 +1300,39 @@ def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(round4(F.expr(_Z_EXPR)))
         .alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance, oracle-verified: merged slice rollups must
+# equal the from-scratch aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_daily_rollup",
+    oracle=f"""
+    SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+           count(*)::BIGINT AS n_events,
+           sum({_CENTS.format(x='value')})::BIGINT AS value_cents
+    FROM events
+    GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+)
+def q_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, verified against the from-scratch
+    answer: the fact stream is split into three ingest slices, each slice
+    is rolled up independently, and the materialized view is maintained by
+    MERGING rollups (`plans/incremental.merge_rollup`) — the oracle is the
+    full re-aggregate, so the driver's hash check proves
+    agg(full) == merge(agg(s1), agg(s2), agg(s3)) bit-for-bit.
+
+    Scale: this is the nightly contract at 100 TB — history is never
+    rescanned; each merge unions O(groups) rollup rows with the new
+    slice's rollup and re-aggregates map-side.  All measures are
+    merge-safe by construction (counts + integer-cent sums)."""
+    from .plans.incremental import daily_type_rollup, merge_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    slices = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    acc = daily_type_rollup(slices[0])
+    for s in slices[1:]:
+        acc = merge_rollup(acc, daily_type_rollup(s))
+    return acc.orderBy("day", "event_type")
