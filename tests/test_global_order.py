@@ -1,0 +1,56 @@
+"""global_order_stats / ntile_from_rank: the distributed replacements for
+partition-less windows (single-partition sort bottleneck) must agree with
+the single-node reference exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vector_search_spark.partitioning import global_order_stats, ntile_from_rank
+
+
+def test_rank_and_prior_match_global_window(spark):
+    df = spark.createDataFrame(
+        [(i * 7 % 101, i, (i * 13) % 50) for i in range(101)],
+        "k long, id long, v long",
+    ).repartition(9)
+    got = {
+        r["id"]: (r["__rank"], r["__prior"])
+        for r in global_order_stats(df, ["k", "id"], sum_col="v", num_ranges=7).collect()
+    }
+    w = Window.orderBy("k", "id")
+    ref = {
+        r["id"]: (r["rr"], r["pp"])
+        for r in df.withColumn("rr", F.row_number().over(w))
+        .withColumn(
+            "pp",
+            F.coalesce(
+                F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+            ),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
+def test_ntile_formula_matches_spark_ntile(spark):
+    # N=101, tiles=10 → first bucket gets the extra row; exercise the
+    # uneven split and the small-N edge
+    for n_rows, tiles in [(101, 10), (7, 10), (40, 4)]:
+        df = spark.createDataFrame([(i,) for i in range(n_rows)], "id long")
+        ref = {
+            r["id"]: r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(tiles).over(Window.orderBy("id"))
+            ).collect()
+        }
+        n = df.agg(F.count(F.lit(1)).alias("__n"))
+        got = {
+            r["id"]: r["t"]
+            for r in global_order_stats(df, ["id"], num_ranges=5)
+            .crossJoin(F.broadcast(n))
+            .withColumn("t", ntile_from_rank(F.col("__rank"), F.col("__n"), tiles))
+            .collect()
+        }
+        assert got == ref, (n_rows, tiles)

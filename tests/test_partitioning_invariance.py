@@ -46,6 +46,9 @@ QUERIES = [
     "dedup_containment",
     "important_stock",
     "subdoc_block_dedup",
+    # distributed global-rank consumers (range-sampling must not leak into results)
+    "packing_plan",
+    "quality_deciles",
 ]
 
 REGIMES = [

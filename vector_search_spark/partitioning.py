@@ -78,3 +78,87 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(b) for b in range(buckets)]))
     )
     return left.join(right, [key, "__salt"], how).drop("__salt")
+
+
+def global_order_stats(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_col: str | None = None,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Global rank (and optional exclusive prefix sum) over a TOTAL order —
+    WITHOUT a single-partition window.
+
+    A partition-less ``Window.orderBy(...)`` moves the whole input through
+    ONE task (Spark even warns); at 100 TB that's the classic sort
+    bottleneck hiding in "ordered cumsum" and "global ntile" queries.
+    This is the standard two-phase fix:
+
+    1. ``repartitionByRange(order_cols)`` — contiguous key ranges, one per
+       partition (a real range exchange, parallel sampling + shuffle);
+    2. per-partition ``row_number``/running sum (each range is one task,
+       1/num_ranges of the data);
+    3. per-partition totals (num_ranges rows) → exclusive offsets via a
+       window over that TINY table, broadcast back.
+
+    ``__rank`` (1-based) and, when ``sum_col`` is given, ``__prior`` (the
+    exclusive running sum) depend only on the total order — NOT on the
+    sampled range bounds — so results are bit-stable under any
+    partitioning regime (covered by the invariance suite through its
+    callers).  ``order_cols`` must be a total order (include a tiebreaker).
+    """
+    from pyspark.sql import Window
+
+    parts = df.repartitionByRange(num_ranges, *[F.col(c) for c in order_cols])
+    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("__sum"))
+    totals = tagged.groupBy("__pid").agg(*aggs)
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = ["__pid", F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__cnt_off")]
+    if sum_col is not None:
+        off_cols.append(F.coalesce(F.sum("__sum").over(wo), F.lit(0)).alias("__sum_off"))
+    offsets = totals.select(*off_cols)
+
+    wp = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = tagged.withColumn("__rn", F.row_number().over(wp))
+    if sum_col is not None:
+        out = out.withColumn(
+            "__ps",
+            F.coalesce(
+                F.sum(sum_col).over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    out = out.join(F.broadcast(offsets), "__pid")
+    out = out.withColumn("__rank", (F.col("__rn") + F.col("__cnt_off")).cast("long"))
+    drop = ["__pid", "__rn", "__cnt_off"]
+    if sum_col is not None:
+        out = out.withColumn("__prior", (F.col("__ps") + F.col("__sum_off")).cast("long"))
+        drop += ["__ps", "__sum_off"]
+    return out.drop(*drop)
+
+
+def ntile_from_rank(rank, n_total, n_tiles: int):
+    """SQL-standard ntile bucket from a 1-based rank and the total count —
+    the broadcast-scalar companion to ``global_order_stats``.  Exactly
+    ntile()'s contract (both engines): with N rows and n tiles, the first
+    ``N mod n`` buckets hold ``N div n + 1`` rows, the rest ``N div n``.
+    All integer arithmetic, so the bucket id is partitioning-independent.
+    """
+    rank = F.col(rank) if isinstance(rank, str) else rank
+    n_total = (F.col(n_total) if isinstance(n_total, str) else n_total).cast("long")
+
+    def idiv(a, b):  # exact integer division for non-negative longs
+        return ((a - a % b) / b).cast("long")
+
+    small = idiv(n_total, F.lit(n_tiles))
+    r = n_total % n_tiles
+    big = small + 1
+    cutoff = r * big
+    return (
+        F.when(rank <= cutoff, idiv(rank - 1, big) + 1)
+        .otherwise(r + idiv(rank - cutoff - 1, F.greatest(small, F.lit(1))) + 1)
+        .cast("int")
+    )

@@ -849,19 +849,24 @@ def q_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheduling metadata a packing writer needs, computed without touching
     text bytes beyond the token count.
 
-    Scale: one window cumsum ordered by doc_id — Spark executes it
-    range-partitioned (each partition sums its range after a one-pass
-    partial), so there's no single-node bottleneck; per-shard packing
-    (independent bins per partition, ``bin = (shard, local_bin)``) is the
-    shuffle-free variant when global bin numbering isn't required.
+    Scale: the global ordered cumsum runs through
+    ``partitioning.global_order_stats`` — range-repartition by doc_id,
+    per-range running sums, exclusive offsets from a num_ranges-row
+    broadcast — NOT a partition-less window (which would pull the whole
+    corpus through one task; Spark warns about exactly this).  Per-shard
+    packing (independent bins per partition, ``bin = (shard, local_bin)``)
+    is the shuffle-free variant when global bin numbering isn't required.
     Token counts come from the shared per-session feature table."""
     feats = _shared_doc_features(spark, sf_dir)
-    from pyspark.sql import Window
+    from .partitioning import global_order_stats
 
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     return (
-        feats.select("doc_id", F.col("n_tokens_bpe").cast("long").alias("n_tok"))
-        .withColumn("prior", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        global_order_stats(
+            feats.select("doc_id", F.col("n_tokens_bpe").cast("long").alias("n_tok")),
+            ["doc_id"],
+            sum_col="n_tok",
+        )
+        .withColumnRenamed("__prior", "prior")
         .select(
             "doc_id",
             "n_tok",
@@ -899,20 +904,26 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary is reproducible across engines — ordering by raw doubles
     would let last-ulp drift move boundary docs between bins.
 
-    Scale: ntile is one range-partitioned global sort of (4-dp score, id)
-    pairs — O(corpus) but narrow; the per-decile aggregate is partial-
-    combined.  Token totals come from the shared feature table."""
+    Scale: the global ntile is a distributed rank
+    (``partitioning.global_order_stats``: range-repartition on the (4-dp
+    score, id) key, per-range row_number, broadcast offsets) folded
+    through the integer ntile formula (``ntile_from_rank``) — never a
+    partition-less window pulling the corpus through one task; the
+    per-decile aggregate is partial-combined.  Token totals come from the
+    shared feature table."""
     feats = _shared_doc_features(spark, sf_dir)
-    from pyspark.sql import Window
+    from .partitioning import global_order_stats, ntile_from_rank
 
-    w = Window.orderBy(F.col("quality"), F.col("doc_id"))
+    base = feats.select(
+        "doc_id",
+        F.col("n_tokens_bpe").cast("long").alias("n_tok"),
+        round4("quality_raw").alias("quality"),
+    )
+    n = base.agg(F.count(F.lit(1)).alias("__n"))
     return (
-        feats.select(
-            "doc_id",
-            F.col("n_tokens_bpe").cast("long").alias("n_tok"),
-            round4("quality_raw").alias("quality"),
-        )
-        .withColumn("decile", F.ntile(10).over(w).cast("int"))
+        global_order_stats(base, ["quality", "doc_id"])
+        .crossJoin(F.broadcast(n))
+        .withColumn("decile", ntile_from_rank(F.col("__rank"), F.col("__n"), 10))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1382,20 +1393,28 @@ def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution is located entirely at its FIRST-occurrence doc (one
     partial-agg'd min per token), so cumulative vocabulary is a running
     sum over 10 decile rows.  Per-doc token counts fold map-side; the
-    ntile runs over doc ids only (narrow), and every accumulator is an
-    exact BIGINT until the final ln ratio.
+    decile assignment is a distributed rank over doc ids
+    (``partitioning.global_order_stats`` + the integer ntile formula —
+    no partition-less window), and every accumulator is an exact BIGINT
+    until the final ln ratio.
     """
     from pyspark.sql import Window
+
+    from .partitioning import global_order_stats, ntile_from_rank
 
     docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     )
+    ids = toks.select("doc_id").distinct()
+    n_ids = ids.agg(F.count(F.lit(1)).alias("__n"))
     deciles = (
-        toks.select("doc_id")
-        .distinct()
-        .withColumn("decile", F.ntile(10).over(Window.orderBy("doc_id")))
+        global_order_stats(ids, ["doc_id"])
+        .crossJoin(F.broadcast(n_ids))
+        .select(
+            "doc_id", ntile_from_rank(F.col("__rank"), F.col("__n"), 10).alias("decile")
+        )
     )
     doc_tokens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
