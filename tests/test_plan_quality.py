@@ -287,3 +287,13 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_topk_bounded_before_window(spark):
+    """The BM25 top-k must bound the scored set with TakeOrderedAndProject
+    BEFORE rank assignment — a pre-limit partition-less window would
+    funnel every matched document through one task (no WindowGroupLimit
+    exists for an empty partition spec)."""
+    df = registry.QUERIES["bm25_topk"](spark, SF_TEST)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]

@@ -122,17 +122,20 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k BM25 results for a free-text query; rank ties break on id.
 
-    Plan: the ordered-limit over the scored set is TakeOrderedAndProject —
-    no global sort materializes."""
+    Plan: ``orderBy().limit(k)`` FIRST — TakeOrderedAndProject keeps a
+    k-row heap per map partition and merges k·partitions rows, never a
+    global sort.  Rank is then assigned by a window over the k survivors
+    only (a partition-less window BEFORE the limit would funnel every
+    scored doc through one task — Spark plans no WindowGroupLimit for an
+    empty partition spec)."""
     terms = [t for t in query.lower().strip().split() if t]
     scored = bm25_scored(docs, terms, k1=k1, b=b, id_col=id_col, text_col=text_col)
     from pyspark.sql import Window
 
+    topk = scored.orderBy(F.desc("raw_score"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("raw_score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "raw_score", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "raw_score", "rank"
     )
 
 

@@ -127,10 +127,14 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         dot_product("embedding", "__qvec").alias("raw_score"),
     )
+    # limit-then-rank: TakeOrderedAndProject bounds the dense leg before
+    # any window touches it (a pre-limit global window would single-task
+    # the whole embedding scan)
     wd = Window.orderBy(F.desc("raw_score"), F.asc("doc_id"))
     dense = (
-        scored.withColumn("rank", F.row_number().over(wd))
-        .filter(F.col("rank") <= 50)
+        scored.orderBy(F.desc("raw_score"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn("rank", F.row_number().over(wd))
         .select("doc_id", "rank")
     )
 
