@@ -50,3 +50,37 @@ def test_upsert_last_writer_wins(spark):
     )
     got = {r["id"]: (r["k"], r["v"]) for r in upsert_parquet(snap, updates, ["id"]).collect()}
     assert got == {1: ("a", 10), 2: ("b2", 99), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_apply_cdc_insert_update_delete(spark):
+    from vector_search_spark.plans.incremental import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, k string, v long"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 99, "U", 1),
+            (3, None, 0, "D", 1),
+            (4, "d", 40, "I", 1),
+            (4, "d2", 41, "U", 2),  # same-batch later op wins
+        ],
+        "id long, k string, v long, op string, __seq long",
+    )
+    got = {r["id"]: (r["k"], r["v"]) for r in apply_cdc(snap, changes, ["id"]).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 99), 4: ("d2", 41)}
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appending a batch with an added column must stay readable: the union
+    of schemas comes back under mergeSchema with NULL backfill — the
+    lakehouse schema-evolution contract for long-lived tables."""
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, k string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9)], "id long, k string, extra long"
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "k", "extra"}
+    got = {r["id"]: (r["k"], r["extra"]) for r in df.collect()}
+    assert got == {1: ("a", None), 2: ("b", 9)}

@@ -65,3 +65,29 @@ def upsert_parquet(
         updates.select(*key_cols).distinct(), key_cols, "left_anti"
     )
     return survivors.unionByName(updates)
+
+
+def apply_cdc(
+    snapshot: DataFrame, changes: DataFrame, key_cols: list[str], op_col: str = "op"
+) -> DataFrame:
+    """Apply a CDC batch (op ∈ {'I','U','D'}, last-writer-wins within the
+    batch by ``__seq`` if present) to a snapshot: deletes drop the key,
+    inserts/updates replace it.  Same anti-join + union economics as
+    ``upsert_parquet`` — one key-exchange each side, history untouched.
+
+    If the batch can contain multiple ops per key, pass a monotonically
+    increasing ``__seq`` column; the latest op wins (deterministic
+    row_number, never dropDuplicates)."""
+    from pyspark.sql import Window
+
+    if "__seq" in changes.columns:
+        w = Window.partitionBy(*key_cols).orderBy(F.desc("__seq"))
+        changes = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    touched = changes.select(*key_cols).distinct()
+    survivors = snapshot.join(touched, key_cols, "left_anti")
+    upserts = changes.filter(F.col(op_col) != "D").drop(op_col, "__seq")
+    return survivors.unionByName(upserts, allowMissingColumns=True)

@@ -1260,3 +1260,112 @@ def q_click_days_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     clicked = ev.filter(F.col("event_type") == "click").select("user_id", day)
     purchased = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
     return clicked.subtract(purchased).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit: dbt-style constraint checks as one relational query.
+# ---------------------------------------------------------------------------
+@register(
+    "data_quality_audit",
+    oracle="""
+    SELECT 'orders_custkey_referential' AS check_name,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))::BIGINT
+             AS violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_referential',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           (SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1))::BIGINT
+    UNION ALL
+    SELECT 'customer_name_not_null',
+           (SELECT count(*) FROM customer WHERE c_name IS NULL)::BIGINT
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0.0 OR l_discount > 1.0)::BIGINT
+    UNION ALL
+    SELECT 'events_value_non_negative',
+           (SELECT count(*) FROM events WHERE value < 0.0)::BIGINT
+    ORDER BY check_name
+    """,
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the warehouse — the dbt-test surface as one
+    engine query: referential integrity (fact keys resolve against their
+    dims), primary-key uniqueness, NOT NULL, and domain-range checks, each
+    emitting its violation count (all-zeros = clean fixture, and any
+    future fixture regression trips the hash gate).
+
+    Scale: each referential check is a left-anti join (the same
+    O(distinct-key) economics as the incremental-download anti-join);
+    uniqueness is a partial-agg'd HAVING; null/range checks are pushed-down
+    scan predicates counted map-side.  The six 1-row results union into a
+    6-row report — no check ever materializes violating rows unless asked.
+    """
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+
+    def one(name: str, df_count: DataFrame) -> DataFrame:
+        return df_count.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    checks = [
+        one(
+            "orders_custkey_referential",
+            orders.join(
+                customer.select("c_custkey"),
+                orders.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("violations")),
+        ),
+        one(
+            "lineitem_orderkey_referential",
+            lineitem.join(
+                orders.select(F.col("o_orderkey").alias("__ok")),
+                lineitem.l_orderkey == F.col("__ok"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("violations")),
+        ),
+        one(
+            "orders_pk_unique",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.count(F.lit(1)).alias("violations")),
+        ),
+        one(
+            "customer_name_not_null",
+            customer.filter(F.col("c_name").isNull()).agg(
+                F.count(F.lit(1)).alias("violations")
+            ),
+        ),
+        one(
+            "lineitem_discount_range",
+            lineitem.filter(
+                (F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0)
+            ).agg(F.count(F.lit(1)).alias("violations")),
+        ),
+        one(
+            "events_value_non_negative",
+            events.filter(F.col("value") < 0.0).agg(
+                F.count(F.lit(1)).alias("violations")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
