@@ -1448,3 +1448,117 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_1", "id_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k containment probe: the candidate generator minhash banding
+# cannot provide (banding targets Jaccard; a 200-token doc fully inside a
+# 5000-token doc has Jaccard ~0.04 and escapes every band).
+# ---------------------------------------------------------------------------
+BOTTOMK_PROBES = 8
+BOTTOMK_DF_CAP = 100
+
+
+@register(
+    "containment_bottomk",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    probes AS (
+      SELECT doc_id, shingle FROM (
+        SELECT s.doc_id, s.shingle,
+               row_number() OVER (PARTITION BY s.doc_id
+                                  ORDER BY md5(s.shingle), s.shingle) AS rn
+        FROM sh s JOIN dfq d ON s.shingle = d.shingle
+        WHERE d.df <= {BOTTOMK_DF_CAP})
+      WHERE rn <= {BOTTOMK_PROBES}),
+    cand AS (
+      SELECT DISTINCT p.doc_id AS inner_id, s.doc_id AS outer_id
+      FROM probes p JOIN sh s ON p.shingle = s.shingle
+      WHERE p.doc_id != s.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT c.inner_id, c.outer_id, count(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.inner_id
+      JOIN sh b ON b.doc_id = c.outer_id AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT s.inner_id AS contained_id, s.outer_id AS container_id,
+           ni.n_sh::BIGINT AS n_sh_contained,
+           no.n_sh::BIGINT AS n_sh_container,
+           s.shared::BIGINT AS shared,
+           floor((s.shared * 1.0 / ni.n_sh) * 10000 + 0.5) / 10000.0
+             AS containment
+    FROM shared s
+    JOIN sizes ni ON s.inner_id = ni.doc_id
+    JOIN sizes no ON s.outer_id = no.doc_id
+    WHERE s.shared * 1.0 / ni.n_sh >= {CONTAINMENT_THRESHOLD}
+    ORDER BY contained_id, container_id
+    """,
+)
+def q_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment detection via bottom-k shingle probes — the
+    scale path for "is doc A substantially inside doc B" at ANY Jaccard.
+    Each document nominates its {BOTTOMK_PROBES} lowest-md5 shingles
+    (a uniform random sample under the hash order) from the sub-corpus of
+    shingles with df ≤ {BOTTOMK_DF_CAP}; a candidate is any other doc
+    sharing one of those probes, and candidates are verified with the
+    EXACT directed ratio shared/|A| ≥ {CONTAINMENT_THRESHOLD}.
+
+    Why this beats banding for containment: if ≥ 90% of A's shingles are
+    in B, each probe hits B with ≥ ~90% probability, so A nominates B
+    with prob ≥ 1 − 0.1^{BOTTOMK_PROBES} even when Jaccard(A,B) ≈ 0 —
+    the recall gap `dedup_containment` documents is closed by
+    construction.
+
+    Scale: probe fan-out is ≤ {BOTTOMK_PROBES} rows per doc (vs the full
+    shingle table); the df cap bounds every posting list the probe join
+    can touch (the standard stop-shingle cut — frequent shingles carry no
+    containment signal anyway); exact verify runs only on candidate
+    pairs, cascade-shaped.  All hash-ordered, so the whole approximate
+    pipeline — probe choice, candidates, ranks — is bit-exact vs DuckDB.
+    """
+    sh = _shared_shingles(spark, sf_dir)
+    from pyspark.sql import Window
+
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.md5("shingle"), "shingle")
+    probes = (
+        sh.join(dfq.filter(F.col("df") <= BOTTOMK_DF_CAP).select("shingle"), "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BOTTOMK_PROBES)
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        probes.select(F.col("doc_id").alias("inner_id"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("outer_id"), "shingle"), "shingle")
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .select("inner_id", "outer_id")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("inner_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("outer_id"), "shingle")
+    shared = (
+        cand.join(a, "inner_id")
+        .join(b, ["outer_id", "shingle"])
+        .groupBy("inner_id", "outer_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ni = sizes.select(F.col("doc_id").alias("inner_id"), F.col("n_sh").alias("n_sh_contained"))
+    no = sizes.select(F.col("doc_id").alias("outer_id"), F.col("n_sh").alias("n_sh_container"))
+    ratio = F.col("shared") * 1.0 / F.col("n_sh_contained")
+    return (
+        shared.join(ni, "inner_id")
+        .join(no, "outer_id")
+        .filter(ratio >= CONTAINMENT_THRESHOLD)
+        .select(
+            F.col("inner_id").alias("contained_id"),
+            F.col("outer_id").alias("container_id"),
+            "n_sh_contained",
+            "n_sh_container",
+            "shared",
+            round4(ratio).alias("containment"),
+        )
+        .orderBy("contained_id", "container_id")
+    )
