@@ -139,3 +139,39 @@ def test_sq_recall_and_compression(spark):
         key = (r["query_id"], r["vec_id"])
         if key in ex_scores:
             assert abs(ex_scores[key] - r["score"]) < 1e-9
+
+
+def test_pq_recall_floor(spark):
+    """PQ@rescore-100 vs exact top-10: hash-sampled codebooks on this
+    near-uniform synthetic corpus measure mean recall ≈ 0.81 / min 0.6;
+    the floor leaves noise margin while catching assignment/LUT bugs."""
+    from conftest import SF_TEST
+    from vector_search_spark import registry
+    from vector_search_spark.sources.tables import load_table
+    from vector_search_spark.functions.vector import dot_product
+    from pyspark.sql import Window, functions as F
+
+    got = registry.QUERIES["ann_pq_topk"](spark, SF_TEST).collect()
+    pq = {}
+    for r in got:
+        pq.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("raw"), F.asc("vec_id"))
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .select("qid", "vec_id", dot_product("embedding", "qvec").alias("raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    )
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(pq[k] & truth[k]) / 10 for k in truth]
+    assert len(recalls) == 20
+    assert min(recalls) >= 0.45, recalls
+    assert sum(recalls) / len(recalls) >= 0.7, recalls

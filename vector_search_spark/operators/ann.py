@@ -525,3 +525,162 @@ def sq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with hash-sampled codebooks — the 4th ANN path
+# (IVF / SRP-LSH / int8-SQ / PQ), and like SRP/SQ it is fully
+# SQL-expressible: codebooks are deterministic order-statistics samples
+# (the PQ_CODES corpus vectors with smallest md5(id), split into
+# subvectors), so the ENTIRE approximate pipeline — codebook choice,
+# per-subspace assignment, LUT scoring, candidate ranks — has a bit-exact
+# DuckDB twin.  (Lloyd-refined codebooks would buy ~5pt recall at the cost
+# of the oracle; the SQ path already demonstrates trained quantization.)
+# ---------------------------------------------------------------------------
+PQ_SUB = 8          # subspaces
+PQ_CODES = 32       # codes per subspace (hash-sampled corpus rows)
+PQ_DIM = 64         # full dimension; PQ_SD = PQ_DIM // PQ_SUB per subspace
+PQ_SD = PQ_DIM // PQ_SUB
+PQ_RESCORE = 100    # approx candidates exact-rescored per query
+
+
+def _sub(col, s: int):
+    return F.slice(col, s * PQ_SD + 1, PQ_SD)
+
+
+def pq_codebook(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(code, cvec): the PQ_CODES vectors with smallest (md5(id), id) —
+    same reproducible order-statistics sample as ``ivf_centroids``;
+    TakeOrderedAndProject, then a window over the surviving rows only."""
+    return (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(PQ_CODES)
+        .select(
+            (
+                F.row_number().over(
+                    Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+                )
+                - 1
+            ).alias("code"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, c0..c{PQ_SUB-1}): nearest code per subspace, by squared L2 via
+    the |c|² − 2a·c identity (the |a|² term is constant per (vector,
+    subspace) and cancels in argmin) — ties break on code.  The corpus ×
+    codebook pairing is a broadcast nested-loop over PQ_CODES rows; the
+    per-vector fold is F.min over a (distance, code) struct, lexicographic
+    = exactly DuckDB's first(code ORDER BY d, code)."""
+    joined = emb.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(codebook))
+    dcols = []
+    for s in range(PQ_SUB):
+        cc = dot_product(_sub(F.col("cvec"), s), _sub(F.col("cvec"), s))
+        ac = dot_product(_sub(F.col(vec_col), s), _sub(F.col("cvec"), s))
+        dcols.append((cc - 2.0 * ac).alias(f"d{s}"))
+    dists = joined.select(id_col, "code", *dcols)
+    aggs = [
+        F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("code").alias("c")))
+        .getField("c")
+        .alias(f"c{s}")
+        for s in range(PQ_SUB)
+    ]
+    return dists.groupBy(id_col).agg(*aggs)
+
+
+def pq_topk(
+    emb: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rescore: int = PQ_RESCORE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ search: per query a PQ_SUB×PQ_CODES LUT of
+    qsub·csub dot products (tiny, broadcast), approximate score =
+    l0+…+l{PQ_SUB-1} looked up by each vector's codes, top-``rescore``
+    per query (WindowGroupLimit), exact dot-product rescore, top-k.
+
+    Scale: vectors are touched only (a) once at encode time and (b) for
+    the |queries|·rescore exact rescores — the approximate scan reads the
+    PQ_SUB-byte codes, an 8-byte-per-vector scan where the raw corpus is
+    256 bytes/vector, the classic PQ memory story.  All joins against
+    LUT/codebook/queries broadcast; candidates are narrow id rows."""
+    qids = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    # LONG-form lookup: one (s, code)-keyed broadcast join instead of
+    # PQ_SUB chained joins — a chain of per-subspace joins invites the
+    # optimizer to pair the LUT relations with each other first (they
+    # only constrain through the codes row), a combinatorial blow-up the
+    # long form makes impossible by construction.
+    lut_long = (
+        qids.crossJoin(F.broadcast(codebook))
+        .select(
+            "qid",
+            "code",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            dot_product(
+                                _sub(F.col("qvec"), s), _sub(F.col("cvec"), s)
+                            ).alias("l"),
+                        )
+                        for s in range(PQ_SUB)
+                    ]
+                )
+            ).alias("sl"),
+        )
+        .select("qid", F.col("sl.s").alias("s"), "code", F.col("sl.l").alias("l"))
+    )
+    codes_long = codes.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.col(f"c{s}").alias("code"))
+                    for s in range(PQ_SUB)
+                ]
+            )
+        ).alias("sc"),
+    ).select(id_col, F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
+    # fixed-order fold (sort by subspace, then add) — bit-identical to the
+    # oracle's list_reduce(list_prepend(0.0, list(l ORDER BY s)))
+    approx = (
+        codes_long.join(F.broadcast(lut_long), ["s", "code"])
+        .groupBy(id_col, "qid")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("l")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["l"],
+            ).alias("a")
+        )
+    )
+
+    wq = Window.partitionBy("qid").orderBy(F.desc("a"), F.asc(id_col))
+    cand = (
+        approx.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= rescore)
+        .select(id_col, "qid")
+    )
+    exact = (
+        cand.join(emb.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(qids), "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col(id_col),
+            dot_product(vec_col, "qvec").alias("raw"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("raw"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "raw", "rank")
+    )

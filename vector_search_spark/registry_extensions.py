@@ -413,3 +413,125 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("id_1", "id_2", round4("cos").alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ ANN with a full bit-exact oracle (hash-sampled codebooks keep every
+# stage SQL-expressible; see operators/ann.py PQ section).
+# ---------------------------------------------------------------------------
+from .operators.ann import (  # noqa: E402
+    PQ_CODES, PQ_RESCORE, PQ_SD, PQ_SUB, pq_codebook, pq_encode, pq_topk,
+)
+
+
+def _pq_slice(expr: str, s: int) -> str:
+    return f"({expr})[{s * PQ_SD + 1}:{(s + 1) * PQ_SD}]"
+
+
+def _pq_oracle() -> str:
+    d_cols = ",\n             ".join(
+        f"list_dot_product({_pq_slice('cb.cvec', s)}, {_pq_slice('cb.cvec', s)})"
+        f" - 2.0 * list_dot_product({_pq_slice('v.embedding::DOUBLE[]', s)}, {_pq_slice('cb.cvec', s)})"
+        f" AS d{s}"
+        for s in range(PQ_SUB)
+    )
+    c_aggs = ",\n             ".join(
+        f"first(code ORDER BY d{s}, code) AS c{s}" for s in range(PQ_SUB)
+    )
+    codes_long = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, c{s} AS code FROM codes" for s in range(PQ_SUB)
+    )
+    lut_long = "\n      UNION ALL ".join(
+        f"SELECT q.qid, {s} AS s, cb.code, "
+        f"list_dot_product({_pq_slice('q.qvec', s)}, {_pq_slice('cb.cvec', s)}) AS l "
+        f"FROM q CROSS JOIN cb"
+        for s in range(PQ_SUB)
+    )
+    return f"""
+    WITH ordered AS (
+      SELECT embedding::DOUBLE[] AS cvec
+      FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {PQ_CODES}),
+    cb AS (
+      SELECT row_number() OVER () - 1 AS code, cvec
+      FROM ordered),
+    dist AS (
+      SELECT v.vec_id, cb.code,
+             {d_cols}
+      FROM embeddings v CROSS JOIN cb),
+    codes AS (
+      SELECT vec_id,
+             {c_aggs}
+      FROM dist GROUP BY vec_id),
+    q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+          FROM embeddings WHERE vec_id < 20),
+    codes_long AS (
+      {codes_long}),
+    lut_long AS (
+      {lut_long}),
+    approx AS (
+      SELECT cl.vec_id, lu.qid,
+             list_reduce(list_prepend(0.0, list(lu.l ORDER BY lu.s)),
+                         (a, b) -> a + b) AS a
+      FROM codes_long cl JOIN lut_long lu ON lu.s = cl.s AND lu.code = cl.code
+      GROUP BY cl.vec_id, lu.qid),
+    cand AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY a DESC, vec_id) AS rn
+        FROM approx)
+      WHERE rn <= {PQ_RESCORE}),
+    exact AS (
+      SELECT cand.qid AS query_id, cand.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], qq.qvec) AS raw
+      FROM cand
+      JOIN embeddings e ON cand.vec_id = e.vec_id
+      JOIN q qq ON cand.qid = qq.qid)
+    SELECT query_id, vec_id,
+           floor(raw*10000 + 0.5)/10000.0 AS score,
+           rank::INTEGER AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY raw DESC, vec_id) AS rank
+          FROM exact)
+    WHERE rank <= 10
+    """
+
+
+_PQ_CACHE: dict[str, tuple] = {}
+
+
+def _shared_pq_index(spark: SparkSession, sf_dir: str):
+    """(codebook, codes) — build-once artifact like the IVF/SRP/SQ caches;
+    at scale the codes table is the 8-bytes-per-vector packed index one
+    materializes next to the corpus."""
+    hit = _PQ_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1], hit[2]
+    if hit is not None:
+        for t in hit[1:]:
+            try:
+                t.unpersist()
+            except Exception:
+                pass
+    emb = __load(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb).persist()
+    cb.count()
+    codes = pq_encode(emb, cb).persist()
+    codes.count()
+    _PQ_CACHE[sf_dir] = (spark, cb, codes)
+    return cb, codes
+
+
+@register("ann_pq_topk", oracle=_pq_oracle())
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ (product-quantization) ANN top-10 for 20 queries — the 4th ANN
+    path, completing IVF / SRP-LSH / int8-SQ / PQ.  Hash-sampled
+    codebooks keep the whole pipeline deterministic and SQL-expressible,
+    so unlike textbook (Lloyd-trained) PQ this entry is verified
+    BIT-EXACTLY against DuckDB: codebook choice, per-subspace code
+    assignment, LUT scores, candidate set, and final ranks.  Recall floor
+    pinned in pytest alongside.  Scale notes in operators/ann.py."""
+    emb = __load(spark, sf_dir, "embeddings")
+    cb, codes = _shared_pq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = pq_topk(emb, codes, cb, queries, k=10)
+    return out.select("query_id", "vec_id", round4("raw").alias("score"), "rank")
