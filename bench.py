@@ -54,7 +54,7 @@ def main() -> None:
         _shared_simhash_sigs, _shared_verified_pairs,
     )
     from vector_search_spark.registry_extensions import (  # noqa: E402
-        _shared_ivf_index, _shared_srp_index,
+        _shared_ivf_index, _shared_pq_index, _shared_sq_index, _shared_srp_index,
     )
     from vector_search_spark.registry_text import _shared_doc_features  # noqa: E402
     from vector_search_spark.registry_relational import _ps  # noqa: E402
@@ -68,6 +68,8 @@ def main() -> None:
     _shared_verified_pairs(spark, sf_dir)
     _shared_ivf_index(spark, sf_dir)
     _shared_srp_index(spark, sf_dir)
+    _shared_pq_index(spark, sf_dir)
+    _shared_sq_index(spark, sf_dir)
     _shared_doc_features(spark, sf_dir)
     setup_sec = round(time.perf_counter() - t0, 3)
     print(f"# setup (shingle/signature/IVF index builds): {setup_sec}s", file=sys.stderr)
