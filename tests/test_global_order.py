@@ -54,3 +54,35 @@ def test_ntile_formula_matches_spark_ntile(spark):
             .collect()
         }
         assert got == ref, (n_rows, tiles)
+
+
+def test_global_order_stats_hypothesis(spark):
+    """Property: for arbitrary (key, value) multisets, distributed rank +
+    exclusive prefix sum equal the sorted-Python reference."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(-50, 50), st.integers(0, 100)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(pairs):
+        rows = [(i, k, v) for i, (k, v) in enumerate(pairs)]
+        df = spark.createDataFrame(rows, "id long, k long, v long").repartition(5)
+        got = {
+            r["id"]: (r["__rank"], r["__prior"])
+            for r in global_order_stats(df, ["k", "id"], sum_col="v", num_ranges=4).collect()
+        }
+        ref = {}
+        run = 0
+        for rank, (i, k, v) in enumerate(
+            sorted(rows, key=lambda t: (t[1], t[0])), start=1
+        ):
+            ref[i] = (rank, run)
+            run += v
+        assert got == ref
+
+    check()

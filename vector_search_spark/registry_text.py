@@ -1446,3 +1446,77 @@ def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_vocab",
         round4(F.log("cum_vocab") / F.log("cum_tokens")).alias("heaps_beta"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Per-shard packing: the shuffle-free variant of packing_plan.
+# ---------------------------------------------------------------------------
+PACK_SHARDS = 16
+
+
+@register(
+    "packing_plan_sharded",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))::BIGINT AS n_tok,
+             ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 8))::BIGINT
+               % {PACK_SHARDS} AS shard
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok, shard,
+             coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM t)
+    SELECT doc_id, n_tok, shard::BIGINT AS shard,
+           (prior // 2048)::BIGINT AS local_bin,
+           (prior % 2048)::BIGINT AS bin_offset
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_packing_plan_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with SHARD-LOCAL bin numbering: docs are md5-
+    assigned to {PACK_SHARDS} shards and each shard packs its own 2048-
+    token bins independently — global bin ids become (shard, local_bin)
+    pairs.  This is the variant `packing_plan` points at for when global
+    bin numbering isn't required: ONE hash exchange on shard and a
+    per-shard window — no range repartition, no offset broadcast, no
+    cross-shard coordination of any kind, so 1000 executors pack 1000
+    shards with zero serialization points.  The trade is bin-count
+    imbalance across shards (bounded by shard-size concentration, which
+    the md5 assignment keeps tight).
+    """
+    feats = _shared_doc_features(spark, sf_dir)
+    from pyspark.sql import Window
+
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % PACK_SHARDS
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        feats.select(
+            "doc_id",
+            F.col("n_tokens_bpe").cast("long").alias("n_tok"),
+            shard.alias("shard"),
+        )
+        .withColumn("prior", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tok",
+            "shard",
+            F.expr("prior DIV 2048").alias("local_bin"),
+            (F.col("prior") % 2048).alias("bin_offset"),
+        )
+        .orderBy("doc_id")
+    )
