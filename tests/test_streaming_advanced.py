@@ -252,3 +252,34 @@ def test_streaming_cms_no_undercount(spark):
             sub.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").first()
         )
         assert row.top_est >= true_top["count"]  # CMS never undercounts
+
+
+def test_streaming_session_funnel_equals_batch(spark):
+    """Drained streaming session funnel == the batch `event_funnel`
+    numbers: same session count and same strict-order stage counts.
+    Stream state is 5 longs/user; emissions are monotone snapshots, so the
+    per-(user, sid) final stage times are the per-column max."""
+    import pandas as pd
+
+    from conftest import SF_TEST
+    from vector_search_spark import registry
+    from vector_search_spark.streaming.events import stream_events_from_parquet
+    from vector_search_spark.streaming.stateful import streaming_session_funnel
+
+    out = streaming_session_funnel(stream_events_from_parquet(spark, SF_TEST))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pdf = spark.sql("SELECT * FROM funnel_stream").toPandas()
+    final = pdf.groupby(["user_id", "sid"])[["v_us", "c_us", "p_us"]].max()
+
+    batch = registry.QUERIES["event_funnel"](spark, SF_TEST).collect()[0]
+    assert len(final) == batch["n_sessions"] > 0
+    assert int((final["v_us"] >= 0).sum()) == batch["n_view"]
+    assert int((final["c_us"] >= 0).sum()) == batch["n_view_click"]
+    assert int((final["p_us"] >= 0).sum()) == batch["n_full_funnel"]

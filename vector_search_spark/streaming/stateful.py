@@ -346,3 +346,66 @@ def streaming_cms_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming session funnel: gaps-and-islands sessionization + strict-order
+# stage tracking, O(1) state per user.
+# ---------------------------------------------------------------------------
+FUNNEL_SCHEMA = "user_id long, sid long, v_us long, c_us long, p_us long"
+FUNNEL_STATE = "last_us long, sid long, v long, c long, p long"
+FUNNEL_GAP_US = 600_000_000
+
+
+def _update_funnel(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    last_us, sid, v, c, p = state.get if state.exists else (-1, -1, -1, -1, -1)
+    snap: dict[int, tuple[int, int, int]] = {}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for eid, ts, et in zip(pdf["event_id"], pdf["ts_us"], pdf["event_type"]):
+            ts = int(ts)
+            if last_us < 0 or ts - last_us >= FUNNEL_GAP_US:
+                sid += 1
+                v = c = p = -1
+            last_us = ts
+            if et == "view" and v < 0:
+                v = ts
+            elif et == "click" and v >= 0 and ts > v and c < 0:
+                c = ts
+            elif et == "purchase" and c >= 0 and ts > c and p < 0:
+                p = ts
+            snap[sid] = (v, c, p)
+    state.update((last_us, sid, v, c, p))
+    yield pd.DataFrame(
+        [(key[0], s, *vcp) for s, vcp in sorted(snap.items())],
+        columns=["user_id", "sid", "v_us", "c_us", "p_us"],
+    )
+
+
+def streaming_session_funnel(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``event_funnel`` sessionized funnel:
+    10-minute-gap sessions with strict-order stage times (first view →
+    first click strictly after it → first purchase strictly after that),
+    maintained as FIVE longs of state per user — O(1) forever, regardless
+    of history (the batch query's windows become a single left-fold).
+
+    Emits, per micro-batch, the latest (v_us, c_us, p_us) snapshot of every
+    session the batch touched (−1 sentinels until a stage fires); fields
+    are monotone (−1 → timestamp, set once), so the final value per
+    (user, sid) is the per-column MAX over emissions — the reduction the
+    stream≡batch test applies.  Ordering contract identical to the other
+    stateful twins: per-user event-time order across micro-batches, rows
+    sorted within each batch here.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "user_id", "event_id", "event_type", F.expr("ts_ns DIV 1000").alias("ts_us")
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
