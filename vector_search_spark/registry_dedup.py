@@ -1562,3 +1562,189 @@ def q_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained_id", "container_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verified dedup: Levenshtein over LSH candidates.
+# ---------------------------------------------------------------------------
+# Shared oracle fragment: LSH candidate pairs whose minhash signatures agree
+# on >= 0.5 of components (the same prefilter the cascade uses).
+_SQL_CAND05_PAIRS = f"""
+    cand05 AS (
+      SELECT c.id_1, c.id_2
+      FROM (SELECT DISTINCT id_1, id_2 FROM cand) c
+      JOIN sig s1 ON c.id_1 = s1.doc_id
+      JOIN sig s2 ON c.id_2 = s2.doc_id
+      WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5)
+"""
+
+EDIT_SIM_THRESHOLD = 0.6
+EDIT_CMP_CHARS = 1000  # compare at most this many leading chars per side
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    {_SQL_CAND05_PAIRS},
+    t AS (SELECT doc_id, substr(text, 1, {EDIT_CMP_CHARS}) AS t FROM documents),
+    scored AS (
+      SELECT p.id_1, p.id_2,
+             levenshtein(a.t, b.t)::BIGINT AS edit_dist,
+             greatest(length(a.t), length(b.t))::BIGINT AS max_len
+      FROM cand05 p
+      JOIN t a ON p.id_1 = a.doc_id
+      JOIN t b ON p.id_2 = b.doc_id)
+    SELECT id_1, id_2, edit_dist,
+           floor((1.0 - edit_dist * 1.0 / max_len) * 10000 + 0.5) / 10000.0
+             AS edit_sim
+    FROM scored
+    WHERE max_len > 0 AND 1.0 - edit_dist * 1.0 / max_len >= {EDIT_SIM_THRESHOLD}
+    ORDER BY id_1, id_2
+    """,
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level (Levenshtein) verification of LSH near-dup
+    candidates — the fuzzy-dedup verifier for edits shingle Jaccard is
+    blind to (in-word typos, small substitutions shift every overlapping
+    shingle but few characters).  edit_sim = 1 − dist / max(len), kept at
+    >= 0.6.
+
+    Scale: Levenshtein is O(len²) per pair, so the contract is (a) it runs
+    ONLY on the session-shared LSH candidate pairs (O(near-dups), never a
+    corpus square — same input as the cascade verify), and (b) both sides
+    are capped at the first 1,000 chars (declared semantics, mirrored in
+    the oracle) so per-pair cost is bounded regardless of document length.
+    The pair join ships only (doc_id, capped prefix) — never full texts of
+    non-candidates.  Both engines use unit-cost character Levenshtein, so
+    the distances — and the one float expression per row — are identical.
+    """
+    docs = __load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.col("text"), 1, EDIT_CMP_CHARS).alias("t")
+    )
+    pairs = (
+        _shared_lsh_candidates(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("id_1", "id_2")
+    )
+    a = docs.select(F.col("doc_id").alias("id_1"), F.col("t").alias("t1"))
+    b = docs.select(F.col("doc_id").alias("id_2"), F.col("t").alias("t2"))
+    scored = (
+        pairs.join(a, "id_1")
+        .join(b, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            F.levenshtein("t1", "t2").cast("long").alias("edit_dist"),
+            F.greatest(F.length("t1"), F.length("t2")).cast("long").alias("max_len"),
+        )
+    )
+    sim = 1.0 - F.col("edit_dist") * 1.0 / F.col("max_len")
+    return (
+        scored.filter((F.col("max_len") > 0) & (sim >= EDIT_SIM_THRESHOLD))
+        .select("id_1", "id_2", "edit_dist", round4(sim).alias("edit_sim"))
+        .orderBy("id_1", "id_2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction on the dup graph: neighborhood Jaccard similarity.
+# ---------------------------------------------------------------------------
+_SQL_VERIFIED_BLOCK = f"""
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*) AS shared
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT s.id_1, s.id_2
+      FROM shared s
+      JOIN sizes n1 ON s.id_1 = n1.doc_id
+      JOIN sizes n2 ON s.id_2 = n2.doc_id
+      JOIN (SELECT DISTINCT id_1, id_2 FROM cand) c
+        ON c.id_1 = s.id_1 AND c.id_2 = s.id_2
+      JOIN sig s1 ON c.id_1 = s1.doc_id
+      JOIN sig s2 ON c.id_2 = s2.doc_id
+      WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
+        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8)
+"""
+
+
+@register(
+    "dup_neighbor_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    {_SQL_VERIFIED_BLOCK},
+    edges AS (SELECT id_1 AS a, id_2 AS b FROM verified
+              UNION ALL SELECT id_2, id_1 FROM verified),
+    deg AS (SELECT a AS n, count(*)::BIGINT AS degree FROM edges GROUP BY 1),
+    wedges AS (
+      SELECT x.a AS id_1, y.a AS id_2, count(*)::BIGINT AS common_neighbors
+      FROM edges x JOIN edges y ON x.b = y.b AND x.a < y.a
+      GROUP BY 1, 2)
+    SELECT w.id_1, w.id_2, w.common_neighbors,
+           d1.degree AS degree_1, d2.degree AS degree_2,
+           floor((w.common_neighbors * 1.0
+                  / (d1.degree + d2.degree - w.common_neighbors)) * 10000 + 0.5)
+             / 10000.0 AS nbr_jaccard,
+           (CASE WHEN v.id_1 IS NULL THEN 0 ELSE 1 END)::INTEGER AS is_edge
+    FROM wedges w
+    JOIN deg d1 ON w.id_1 = d1.n
+    JOIN deg d2 ON w.id_2 = d2.n
+    LEFT JOIN verified v ON v.id_1 = w.id_1 AND v.id_2 = w.id_2
+    ORDER BY w.id_1, w.id_2
+    """,
+)
+def q_dup_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the verified near-dup
+    graph: for every node pair sharing >= 1 neighbor, J = |N(u) ∩ N(w)| /
+    |N(u) ∪ N(w)|.  High-J non-edges (is_edge = 0) are duplicates the
+    pairwise verify *missed* (both similar to the same template but their
+    direct comparison fell under the threshold) — the standard structural
+    second pass over a dedup graph.
+
+    Scale: the wedge self-join keys on the SHARED NEIGHBOR of the verified
+    pair artifact — O(Σ deg²) over the near-dup graph, never the corpus;
+    degrees are one narrow explode+groupBy; the union size needs no set
+    materialization (|A∪B| = deg_u + deg_w − common by
+    inclusion-exclusion).  Exactly one float expression per output row.
+    """
+    pairs = _shared_verified_pairs(spark, sf_dir).select("id_1", "id_2")
+    edges = pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b")).unionAll(
+        pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b"))
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    x, y = edges.alias("x"), edges.alias("y")
+    wedges = (
+        x.join(y, (F.col("x.b") == F.col("y.b")) & (F.col("x.a") < F.col("y.a")))
+        .groupBy(F.col("x.a").alias("id_1"), F.col("y.a").alias("id_2"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    d1 = deg.select(F.col("a").alias("id_1"), F.col("degree").alias("degree_1"))
+    d2 = deg.select(F.col("a").alias("id_2"), F.col("degree").alias("degree_2"))
+    is_edge = pairs.withColumn("__e", F.lit(1)).select("id_1", "id_2", "__e")
+    return (
+        wedges.join(d1, "id_1")
+        .join(d2, "id_2")
+        .join(is_edge, ["id_1", "id_2"], "left")
+        .select(
+            "id_1",
+            "id_2",
+            "common_neighbors",
+            "degree_1",
+            "degree_2",
+            round4(
+                F.col("common_neighbors")
+                * 1.0
+                / (F.col("degree_1") + F.col("degree_2") - F.col("common_neighbors"))
+            ).alias("nbr_jaccard"),
+            F.coalesce(F.col("__e"), F.lit(0)).cast("int").alias("is_edge"),
+        )
+        .orderBy("id_1", "id_2")
+    )
