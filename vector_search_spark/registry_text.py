@@ -1520,3 +1520,258 @@ def q_packing_plan_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram language model: the perplexity-filter upgrade.
+# ---------------------------------------------------------------------------
+LM_LAMBDA = 0.75  # bigram weight; (1 - LM_LAMBDA) backs off to the unigram
+
+
+@register(
+    "bigram_lm_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS ord
+      FROM documents WHERE trim(text) != ''),
+    big AS (
+      SELECT a.doc_id, a.tok AS a, b.tok AS b
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+    uni AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT sum(cnt)::BIGINT AS total FROM uni),
+    bcnt AS (SELECT a, b, count(*)::BIGINT AS c_ab FROM big GROUP BY 1, 2),
+    term AS (
+      SELECT bc.a, bc.b,
+             floor(ln({LM_LAMBDA} * bc.c_ab / ua.cnt
+                      + {1 - LM_LAMBDA} * ub.cnt / ((SELECT total FROM tot) * 1.0))
+                   * 1000000 + 0.5)::BIGINT AS lp_micro
+      FROM bcnt bc
+      JOIN uni ua ON bc.a = ua.tok
+      JOIN uni ub ON bc.b = ub.tok),
+    tf AS (SELECT doc_id, a, b, count(*)::BIGINT AS tf FROM big GROUP BY 1, 2, 3)
+    SELECT tf.doc_id,
+           sum(tf.tf)::BIGINT AS n_bigrams,
+           floor((((sum(tf.tf * term.lp_micro)::BIGINT) / 1000000.0)
+                  / (sum(tf.tf)::BIGINT)) * 10000 + 0.5) / 10000.0 AS avg_logprob
+    FROM tf JOIN term ON tf.a = term.a AND tf.b = term.b
+    GROUP BY tf.doc_id ORDER BY doc_id
+    """,
+)
+def q_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under a corpus-fit INTERPOLATED
+    bigram LM — p(b|a) = λ·c(a,b)/c(a) + (1−λ)·c(b)/N — the step from
+    `unigram_logprob` toward the KenLM perplexity filter CCNet actually
+    ships: sequence-aware (scrambled token soup scores far below fluent
+    text with the same vocabulary), yet still fully inside the engine.
+
+    Scale/determinism contract (same as the unigram twin): the LM "fit" is
+    two partial-agg'd counts (unigram and bigram types — Zipf keeps both
+    tiny vs the corpus); each bigram TYPE's interpolated ln(p) is
+    quantized ONCE to integer micro-nats; per-doc scores are exact BIGINT
+    sums of tf × micro-nats (addition-order-free under any partitioning);
+    exactly one float expression per output row.  The bigram build is a
+    linear array `transform` over the token array — no self-join, no
+    window, no shuffle before the type-count aggregate.
+    """
+    docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    big = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))")
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").cast("long").alias("total"))
+    bcnt = big.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("cnt").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("cnt").alias("c_b"))
+    term = (
+        bcnt.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.log(
+                    F.lit(LM_LAMBDA) * F.col("c_ab") / F.col("c_a")
+                    + F.lit(1 - LM_LAMBDA) * F.col("c_b") / (F.col("total") * 1.0)
+                )
+                * 1000000
+                + 0.5
+            ).cast("long").alias("lp_micro"),
+        )
+    )
+    tf = big.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    return (
+        tf.join(term, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lp_micro")).cast("long").alias("s_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            round4((F.col("s_micro") / 1000000.0) / F.col("n_bigrams")).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search: exact trigram phrase via positional postings.
+# ---------------------------------------------------------------------------
+@register(
+    "phrase_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS ord
+      FROM documents WHERE trim(text) != ''),
+    tri AS (
+      SELECT a.doc_id, a.ord AS pos,
+             a.tok || ' ' || b.tok || ' ' || c.tok AS phrase
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2),
+    top1 AS (
+      SELECT phrase FROM (
+        SELECT phrase, count(*) AS n FROM tri GROUP BY 1
+        ORDER BY n DESC, phrase LIMIT 1)),
+    hits AS (SELECT t.doc_id, t.pos FROM tri t JOIN top1 USING (phrase))
+    SELECT h.doc_id,
+           (SELECT phrase FROM top1) AS phrase,
+           count(*)::BIGINT AS n_matches,
+           min(h.pos)::BIGINT AS first_pos
+    FROM hits h
+    GROUP BY h.doc_id
+    ORDER BY h.doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over positional postings: find every document
+    containing the corpus's most frequent word trigram (count desc, then
+    lexicographic — a deterministic, data-derived query phrase), with
+    per-doc match counts and the first match position.
+
+    Scale: the positional trigram table is built LINEARLY from each token
+    array (`transform` over index `sequence` — no self-join, no window);
+    phrase selection is a partial-agg'd type count + TakeOrdered(1); the
+    probe is a broadcast semi-join of that 1-row phrase against the
+    postings, so only matching postings survive the scan — the same
+    posting-list-probe shape an inverted index gives a search engine,
+    with 1-based positions mirrored in both engines.
+    """
+    docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    tri = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> struct(i AS pos, concat_ws(' ', t[i-1], t[i], t[i+1]) AS phrase))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.phrase").alias("phrase"))
+    )
+    top1 = (
+        tri.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("phrase"))
+        .limit(1)
+        .select("phrase")
+    )
+    return (
+        tri.join(F.broadcast(top1), "phrase")
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .select("doc_id", "phrase", "n_matches", "first_pos")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (Efraimidis-Spirakis).
+# ---------------------------------------------------------------------------
+WS_SAMPLE_K = 20
+
+
+@register(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((('0x' || substr(md5('es:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                / 1152921504606846976.0) / n_chars AS raw_key
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars AS weight,
+           floor(raw_key * 10000 + 0.5) / 10000.0 AS es_key,
+           row_number() OVER (ORDER BY raw_key DESC, doc_id)::INTEGER AS sample_rank
+    FROM keyed
+    ORDER BY raw_key DESC, doc_id
+    LIMIT {WS_SAMPLE_K}
+    """,
+)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each doc gets key = ln(u) / w with
+    u ∈ (0,1] md5-derived (never rand()) and weight w = n_chars; the
+    global top-k by key IS an exact weighted sample — the standard way a
+    training pipeline takes a reproducible quality- or length-weighted
+    subsample of a 100 TB corpus in ONE scan.
+
+    Scale: keys are embarrassingly parallel expressions; selection is
+    TakeOrderedAndProject (per-partition top-k, k rows to the driver —
+    no global sort, no shuffle of the corpus).  Determinism: u has 60
+    md5 bits, so key ties are impossible in practice and doc_id breaks
+    them anyway; both engines evaluate the identical ln expression and
+    the emitted key is rounded AFTER ordering.
+    """
+    from pyspark.sql import Window
+
+    docs = __load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u60 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long")
+        + 1
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        (F.log(u60 / F.lit(1152921504606846976.0)) / F.col("n_chars")).alias("__key"),
+    )
+    w = Window.orderBy(F.desc("__key"), F.asc("doc_id"))
+    return (
+        keyed.orderBy(F.desc("__key"), F.asc("doc_id"))
+        .limit(WS_SAMPLE_K)
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .select(
+            "doc_id",
+            "weight",
+            round4("__key").alias("es_key"),
+            "sample_rank",
+        )
+    )
