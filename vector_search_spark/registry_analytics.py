@@ -1336,3 +1336,149 @@ def q_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in slices[1:]:
         acc = merge_rollup(acc, daily_type_rollup(s))
     return acc.orderBy("day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users — the classic hard-at-scale window distinct.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_7d_distinct_users",
+    oracle="""
+    WITH g AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    dc AS (SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n FROM events GROUP BY 1)
+    SELECT g.day,
+           (SELECT count(DISTINCT p.user_id) FROM p
+             WHERE p.day <= g.day AND p.day >= g.day - 6)::BIGINT AS users_7d,
+           (SELECT sum(dc.n) FROM dc
+             WHERE dc.day <= g.day AND dc.day >= g.day - 6)::BIGINT AS events_7d
+    FROM g ORDER BY g.day
+    """,
+)
+def q_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users (plus event volume) per day —
+    the rolling-window COUNT DISTINCT no engine's window operator can do
+    without materializing per-window sets.
+
+    Scale contract: never a range/theta join of days × events.  Events are
+    first deduped to (day, user) pairs (one partial-agg'd distinct — the
+    only corpus-sized shuffle), then each pair is expanded to the ≤ 7
+    window-END days it contributes to (`explode(sequence(day, day+6))` —
+    a LINEAR ×7 fanout of the already-tiny daily-distinct table, the
+    window/slide ratio, not the data), and a second distinct-count keyed
+    by window day finishes.  Rolling event counts ride the same shape over
+    the per-day count table.  The DuckDB twin states the same semantics
+    as correlated range subqueries.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    days = ev.select("day").distinct()
+    pairs = ev.distinct()
+    expanded = pairs.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("wday"), "user_id"
+    )
+    users = (
+        expanded.groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
+    )
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ev7 = (
+        daily.select(
+            F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("wday"), "n"
+        )
+        .groupBy("wday")
+        .agg(F.sum("n").cast("long").alias("events_7d"))
+    )
+    return (
+        days.join(users, days.day == users.wday)
+        .drop("wday")
+        .join(ev7, days.day == ev7.wday)
+        .select("day", "users_7d", "events_7d")
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew audit: the distribution diagnostic behind salting decisions.
+# ---------------------------------------------------------------------------
+_GINI_EXPR = "(2.0 * s_rc) / (n_keys * 1.0 * total) - (n_keys + 1.0) / n_keys"
+
+
+@register(
+    "join_key_skew_audit",
+    oracle=f"""
+    WITH kc AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+    rk AS (SELECT user_id, cnt,
+                  row_number() OVER (ORDER BY cnt, user_id) AS r FROM kc),
+    agg AS (SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS total,
+                   max(cnt)::BIGINT AS max_cnt, sum(r * cnt)::BIGINT AS s_rc
+            FROM rk)
+    SELECT a.n_keys, a.total AS total_events, a.max_cnt,
+           r50.cnt AS p50_cnt, r99.cnt AS p99_cnt,
+           floor((a.max_cnt * 1.0 / a.total) * 10000 + 0.5) / 10000.0 AS top1_share,
+           floor(({_GINI_EXPR.replace('s_rc', 'a.s_rc').replace('n_keys', 'a.n_keys').replace('total', 'a.total')})
+                 * 10000 + 0.5) / 10000.0 AS gini
+    FROM agg a
+    JOIN rk r50 ON r50.r = (50 * a.n_keys + 99) // 100
+    JOIN rk r99 ON r99.r = (99 * a.n_keys + 99) // 100
+    """,
+)
+def q_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key distribution audit for `events.user_id`: key count, hottest
+    key's share, p50/p99 per-key counts, and the Gini coefficient of the
+    key-frequency distribution — the report that decides whether a join
+    needs salting/AQE skew handling BEFORE it runs at 100 TB.
+
+    Gini uses the rank identity G = 2·Σ(r·c_r)/(n·Σc) − (n+1)/n over
+    counts ranked ascending.  The global rank comes from
+    `partitioning.global_order_stats` (range repartition → per-range
+    row_number → broadcast offsets) — NO single-partition window anywhere,
+    demonstrating the distributed total-order primitive as a first-class
+    registry operator.  Σ(r·c) is an exact BIGINT fold; exactly two float
+    expressions, both in the final 1-row projection.  The percentile rows
+    are filtered from the ranked table by the same ceil(q·n/100) rank
+    formula in both engines.
+    """
+    from .partitioning import global_order_stats
+
+    kc = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rk = global_order_stats(kc, ["cnt", "user_id"]).select(
+        "user_id", "cnt", F.col("__rank").alias("r")
+    )
+    agg = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.sum(F.col("r") * F.col("cnt")).cast("long").alias("s_rc"),
+    )
+    p50 = (
+        rk.crossJoin(F.broadcast(agg.select("n_keys")))
+        .filter(F.col("r") == F.expr("(50 * n_keys + 99) DIV 100"))
+        .select(F.col("cnt").alias("p50_cnt"))
+    )
+    p99 = (
+        rk.crossJoin(F.broadcast(agg.select(F.col("n_keys").alias("__n99"))))
+        .filter(F.col("r") == F.expr("(99 * __n99 + 99) DIV 100"))
+        .select(F.col("cnt").alias("p99_cnt"))
+    )
+    gini = (F.lit(2.0) * F.col("s_rc")) / (F.col("n_keys") * 1.0 * F.col("total")) - (
+        F.col("n_keys") + 1.0
+    ) / F.col("n_keys")
+    return (
+        agg.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "n_keys",
+            F.col("total").alias("total_events"),
+            "max_cnt",
+            "p50_cnt",
+            "p99_cnt",
+            round4(F.col("max_cnt") * 1.0 / F.col("total")).alias("top1_share"),
+            round4(gini).alias("gini"),
+        )
+    )

@@ -535,3 +535,77 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20)
     out = pq_topk(emb, codes, cb, queries, k=10)
     return out.select("query_id", "vec_id", round4("raw").alias("score"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN: metadata predicate applied BEFORE the approximate scan.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_filtered_topk",
+    oracle="""
+    WITH dims AS (SELECT unnest(range(1, 65)) AS j),
+    st AS (
+      SELECT j, min(embedding[j]::DOUBLE) AS mn, max(embedding[j]::DOUBLE) AS mx
+      FROM embeddings, dims GROUP BY j),
+    sc AS (SELECT j, mn, (mx - mn) / 255.0 AS s FROM st),
+    filt AS (SELECT vec_id FROM embeddings WHERE label BETWEEN 2 AND 5),
+    cd AS (
+      SELECT e.vec_id, sc.j, sc.mn, sc.s,
+             CASE WHEN sc.s = 0.0 THEN 0.0
+                  ELSE least(255, greatest(0,
+                         floor((e.embedding[sc.j]::DOUBLE - sc.mn) / sc.s + 0.5))) END AS c
+      FROM embeddings e JOIN filt f ON e.vec_id = f.vec_id, sc),
+    dql AS (SELECT vec_id, list(mn + c * s ORDER BY j) AS dq FROM cd GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+    ap AS (
+      SELECT q.query_id, d.vec_id,
+             list_dot_product(d.dq, q.embedding::DOUBLE[]) AS approx_score
+      FROM dql d CROSS JOIN q),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_score DESC, vec_id) AS cr
+        FROM ap)
+      WHERE cr <= 40),
+    ex AS (
+      SELECT c.query_id, c.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q2.embedding::DOUBLE[]) AS raw
+      FROM cand c
+      JOIN embeddings e ON c.vec_id = e.vec_id
+      JOIN embeddings q2 ON c.query_id = q2.vec_id)
+    SELECT query_id, vec_id,
+           floor(raw * 10000 + 0.5) / 10000.0 AS score,
+           rank::INTEGER AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY raw DESC, vec_id) AS rank
+          FROM ex)
+    WHERE rank <= 10
+    """,
+)
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (the production ANN shape: "nearest docs
+    WHERE label ∈ [2,5]") on the int8-SQ path, done the correct way —
+    PRE-filtering: the metadata predicate restricts the code table BEFORE
+    the approximate scan, so top-k is always full (post-filtering an
+    unfiltered top-k under-fills or misses matches — the classic filtered
+    -ANN bug).  Quantization constants stay CORPUS-level: the index is
+    built once and serves every predicate; only the probe is filtered.
+
+    Scale: the predicate lands on a narrow (vec_id, label) join against
+    the session-shared code table — at 100 TB, labels live alongside codes
+    in the index parquet and the filter pushes down to the scan; the
+    approximate pass then touches only surviving codes (broadcast queries,
+    WindowGroupLimit top-40), and the exact rescore touches O(queries ×
+    40) float vectors.  Bit-exact DuckDB twin for the whole pipeline."""
+    from .operators.ann import sq_topk
+
+    emb = __load(spark, sf_dir, "embeddings")
+    mins, scales, codes = _shared_sq_index(spark, sf_dir)
+    keep = emb.filter(F.col("label").between(2, 5)).select("vec_id")
+    fcodes = codes.join(keep, "vec_id")
+    femb = emb.join(keep, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sq_topk(fcodes, femb, queries, mins, scales, k=10, rescore=40)
+    return out.select("query_id", "vec_id", round4("score").alias("score"), "rank")

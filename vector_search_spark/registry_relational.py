@@ -1369,3 +1369,66 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Native PIVOT: order counts + revenue by month x status (wide matrix).
+# ---------------------------------------------------------------------------
+@register(
+    "order_status_pivot",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS cnt_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS cnt_o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS cnt_p,
+           sum(CASE WHEN o_orderstatus = 'F'
+                    THEN floor(o_totalprice * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT
+             AS rev_f_cents,
+           sum(CASE WHEN o_orderstatus = 'O'
+                    THEN floor(o_totalprice * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT
+             AS rev_o_cents,
+           sum(CASE WHEN o_orderstatus = 'P'
+                    THEN floor(o_totalprice * 100 + 0.5)::BIGINT ELSE 0 END)::BIGINT
+             AS rev_p_cents
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide month × order-status matrix via Spark's native `pivot` with an
+    EXPLICIT value list — counts and integer-cents revenue per status.
+    Long→wide is the inverse of `corpus_metrics_long`'s unpivot; together
+    they close the reshape pair.
+
+    Scale: pivoting with declared values ('F','O','P') compiles to ONE
+    partial-agg'd hash aggregate of conditional sums (no second
+    values-discovery scan, no per-status shuffle — the same plan the
+    oracle's CASE formulation states).  Revenue is summed in exact integer
+    cents; outputs are NULL-free by construction (absent cells aggregate
+    zero rows → coalesced to 0).
+    """
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    wide = (
+        o.groupBy("month")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("cents").alias("rev"),
+        )
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return wide.select(
+        "month",
+        z("F_cnt").alias("cnt_f"),
+        z("O_cnt").alias("cnt_o"),
+        z("P_cnt").alias("cnt_p"),
+        z("F_rev").alias("rev_f_cents"),
+        z("O_rev").alias("rev_o_cents"),
+        z("P_rev").alias("rev_p_cents"),
+    ).orderBy("month")
