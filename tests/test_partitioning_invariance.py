@@ -49,6 +49,13 @@ QUERIES = [
     # distributed global-rank consumers (range-sampling must not leak into results)
     "packing_plan",
     "quality_deciles",
+    # round-3b float emitters / order-sensitive additions
+    "bigram_lm_logprob",
+    "join_key_skew_audit",
+    "weighted_sample_topk",
+    "dedup_edit_distance",
+    "dup_neighbor_jaccard",
+    "phrase_search",
 ]
 
 REGIMES = [
