@@ -56,6 +56,9 @@ QUERIES = [
     "dedup_edit_distance",
     "dup_neighbor_jaccard",
     "phrase_search",
+    "bpe_top_merges",
+    "hard_negative_mining",
+    "exp_decay_daily_value",
 ]
 
 REGIMES = [

@@ -1482,3 +1482,132 @@ def q_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(gini).alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive/metric learning.
+# ---------------------------------------------------------------------------
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neg_id,
+             list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS raw
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label != q.q_label)
+    SELECT query_id, neg_id,
+           floor(raw * 10000 + 0.5) / 10000.0 AS score,
+           rank::INTEGER AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY raw DESC, neg_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each anchor (vec_id < 10), the top-5 most
+    similar vectors with a DIFFERENT label — the pairs a contrastive /
+    metric-learning trainer wants, because random negatives are too easy
+    to teach a margin.
+
+    Scale: identical shape to batched KNN (broadcast anchors, one scan of
+    the vector table, WindowGroupLimit top-5 — vectors never shuffle); the
+    label-mismatch predicate is applied during the scan, before any
+    ranking state.  Scores use the same ordered dot-product fold as exact
+    KNN, so ranks are bit-reproducible (ties by neg_id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            dot_product("embedding", "query_vec").alias("raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("raw"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neg_id", round4("raw").alias("score"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed daily value: the feature-store freshness op.
+# ---------------------------------------------------------------------------
+DECAY_LAMBDA = 0.9
+DECAY_HORIZON = 30  # days of lookback (weight < 5% beyond)
+# Per-offset weights quantized ONCE to integer micro-units; both engines
+# consume the identical literals, so the whole fold is exact BIGINT math.
+DECAY_W_MICRO = [int(DECAY_LAMBDA**d * 1000000 + 0.5) for d in range(DECAY_HORIZON)]
+
+_SQL_DECAY_VALUES = ", ".join(f"({d}, {w})" for d, w in enumerate(DECAY_W_MICRO))
+
+
+@register(
+    "exp_decay_daily_value",
+    oracle=f"""
+    WITH dc AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1),
+    decay(d, w) AS (VALUES {_SQL_DECAY_VALUES}),
+    g AS (SELECT DISTINCT day FROM dc)
+    SELECT g.day,
+           sum(dc.cents * dec.w)::BIGINT AS decayed_micro_cents,
+           floor((sum(dc.cents * dec.w) / 100000000.0) * 10000 + 0.5) / 10000.0
+             AS decayed_value
+    FROM g
+    JOIN dc ON dc.day <= g.day AND dc.day >= g.day - {DECAY_HORIZON - 1}
+    JOIN decay dec ON dec.d = g.day - dc.day
+    GROUP BY g.day ORDER BY g.day
+    """,
+)
+def q_exp_decay_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event value per day (λ=0.9/day, 30-day
+    horizon) — the recency-weighted rolling feature every feature store
+    serves ("decayed spend", "decayed engagement").
+
+    Determinism contract: λ^d is quantized ONCE per offset into the
+    DECAY_W_MICRO integer literal list — both engines consume the same 30
+    constants, so the decayed sum is an exact BIGINT inner product
+    (micro-weight × integer cents), addition-order-free; one float per
+    output row.  Scale: same bounded-fanout shape as the rolling-distinct
+    query — each DAILY total (already one partial-agg'd row per day)
+    explodes to its ≤30 contribution days; never a theta-join of events ×
+    days, and the horizon bounds state exactly like a stream's watermark
+    would."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    dc = ev.groupBy("day").agg(F.sum("cents").cast("long").alias("cents"))
+    wlit = F.array(*[F.lit(w) for w in DECAY_W_MICRO])
+    contrib = dc.select(
+        F.posexplode(F.expr(f"sequence(day, date_add(day, {DECAY_HORIZON - 1}))")).alias(
+            "d", "wday"
+        ),
+        (F.col("cents") * F.element_at(wlit, F.col("d") + 1)).alias("wcents"),
+    )
+    days = dc.select(F.col("day").alias("wday"))
+    return (
+        contrib.join(days, "wday")
+        .groupBy("wday")
+        .agg(F.sum("wcents").cast("long").alias("decayed_micro_cents"))
+        .select(
+            F.col("wday").alias("day"),
+            "decayed_micro_cents",
+            round4(F.col("decayed_micro_cents") / 100000000.0).alias("decayed_value"),
+        )
+        .orderBy("day")
+    )

@@ -1432,3 +1432,68 @@ def q_order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         z("O_rev").alias("rev_o_cents"),
         z("P_rev").alias("rev_p_cents"),
     ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) cell map: the 2-D clustering key, oracle-verified.
+# ---------------------------------------------------------------------------
+ZORDER_BITS = 4
+
+
+@register(
+    "zorder_cells",
+    oracle=None,  # assigned below — built from the shared morton generator
+)
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) cell statistics for orders bucketed by (custkey %
+    16, order month % 16): the interleaved code `zorder_rewrite` clusters
+    files on, emitted per cell with order counts and integer-cents revenue
+    so the clustering key itself is value-verified cross-engine.
+
+    Scale: the code is pure codegen'd bit arithmetic on two bucket ints —
+    no UDF, no shuffle beyond the final per-cell aggregate (256 cells at
+    any data size: the exchange is O(cells), map-side combined).  The
+    locality property (file-level 2-D pruning) is exercised by
+    `tests/test_maintenance.py::test_zorder_rewrite_bounds_both_dims`."""
+    from pyspark.sql import functions as F
+
+    from .plans.maintenance import morton_sql
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 16).alias("xb"),
+        ((F.year("o_orderdate") * 12 + F.month("o_orderdate")) % 16).alias("yb"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    code = F.expr(morton_sql("xb", "yb", ZORDER_BITS)).cast("long")
+    return (
+        o.withColumn("morton", code)
+        .groupBy("morton", "xb", "yb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .orderBy("morton")
+    )
+
+
+def _zorder_oracle() -> str:
+    from .plans.maintenance import morton_sql_duckdb
+
+    xb = "(o_custkey % 16)"
+    yb = "(((year(o_orderdate) * 12) + month(o_orderdate)) % 16)"
+    code = morton_sql_duckdb(xb, yb, ZORDER_BITS)
+    return f"""
+    WITH o AS (
+      SELECT {xb} AS xb, {yb} AS yb,
+             {code}::BIGINT AS morton,
+             floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+      FROM orders)
+    SELECT morton, xb, yb,
+           count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS rev_cents
+    FROM o GROUP BY 1, 2, 3 ORDER BY morton
+    """
+
+
+from .registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["zorder_cells"] = _zorder_oracle()

@@ -1775,3 +1775,126 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training: the tokenizer-fitting loop, run inside the engine.
+# ---------------------------------------------------------------------------
+BPE_MERGE_ROUNDS = 3
+
+# Shared declared semantics (identical in both engines): symbol sequences
+# are space-separated strings; one merge round rewrites every LEFTMOST
+# NON-OVERLAPPING ' L R ' occurrence to ' LR ' (replace() scan semantics —
+# occurrences sharing a separator space resolve leftmost-first).
+
+
+def _bpe_sql_round(k: int) -> str:
+    """One unrolled DuckDB merge round: pair counts -> best pair -> rewrite."""
+    return f"""
+    sy{k} AS (
+      SELECT word, freq,
+             unnest(regexp_split_to_array(trim(seq), ' ')) AS sym,
+             generate_subscripts(regexp_split_to_array(trim(seq), ' '), 1) AS ord
+      FROM s{k - 1}),
+    c{k} AS (
+      SELECT a.sym AS a, b.sym AS b, sum(a.freq)::BIGINT AS cnt
+      FROM sy{k} a JOIN sy{k} b ON a.word = b.word AND b.ord = a.ord + 1
+      GROUP BY 1, 2),
+    b{k} AS (SELECT a, b, cnt FROM c{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    s{k} AS (
+      SELECT s.word, s.freq,
+             replace(s.seq, ' ' || m.a || ' ' || m.b || ' ',
+                     ' ' || m.a || m.b || ' ') AS seq
+      FROM s{k - 1} s, b{k} m)"""
+
+
+@register(
+    "bpe_top_merges",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents WHERE trim(text) != ''),
+    wt AS (SELECT word, count(*)::BIGINT AS freq FROM toks GROUP BY 1),
+    s0 AS (SELECT word, freq,
+                  ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+           FROM wt),
+    {",".join(_bpe_sql_round(k) for k in range(1, BPE_MERGE_ROUNDS + 1))}
+    {" UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS left_sym, b AS right_sym, cnt FROM b{k}"
+        for k in range(1, BPE_MERGE_ROUNDS + 1)
+    )}
+    ORDER BY merge_rank
+    """,
+)
+def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {BPE_MERGE_ROUNDS} BPE merges, trained on the corpus inside
+    the engine: count corpus-frequency-weighted adjacent symbol pairs, take
+    the best pair (count desc, then lexicographic), rewrite every sequence,
+    repeat — the exact loop a BPE tokenizer trainer runs before a training
+    corpus is tokenized.
+
+    Scale: BPE training NEVER touches the corpus after the first pass — it
+    operates on the WORD-TYPE table (word, freq), which Zipf keeps tiny
+    relative to the data (one partial-agg'd count is the only corpus-sized
+    shuffle).  Each round is a bounded pair-count aggregate over the type
+    table + a 1-row broadcast of the winning pair into the rewrite.
+    Determinism: counts are exact BIGINT sums; the winner is
+    integer/lexicographic-tie-broken; the rewrite uses replace()'s
+    leftmost-non-overlapping scan — identical in both engines (declared
+    semantics; occurrences sharing a separator space resolve leftmost-
+    first, the one place this differs from textbook all-occurrence BPE).
+    """
+    docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    wt = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    seqs = wt.select(
+        "word",
+        "freq",
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+    )
+    merges = []
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        syms = seqs.select(
+            "freq", F.split(F.trim(F.col("seq")), " ").alias("t")
+        ).filter(F.size("t") >= 2)
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))")
+            ).alias("p"),
+        ).select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(k).cast("int").alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                "cnt",
+            )
+        )
+        seqs = (
+            seqs.crossJoin(F.broadcast(best.select(F.col("a").alias("__ma"), F.col("b").alias("__mb"))))
+            .select(
+                "word",
+                "freq",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit(" "), F.col("__ma"), F.lit(" "), F.col("__mb"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("__ma"), F.col("__mb"), F.lit(" ")),
+                ).alias("seq"),
+            )
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("merge_rank")
