@@ -343,3 +343,79 @@ def test_zorder_cells_bijective_and_complete(spark):
     assert len({(r["xb"], r["yb"]) for r in rows}) == len(rows)
     assert sum(r["n_orders"] for r in rows) == load_table(spark, SF_TEST, "orders").count()
     assert all(0 <= r["morton"] < 256 for r in rows)
+
+
+# --- media_phash_neardup ----------------------------------------------------
+
+
+def test_phash_banding_is_pigeonhole_complete(spark):
+    """Banded candidates must recover EVERY pair with hamming <= 1 (brute
+    force over all hash pairs), and the emitted set equals that set."""
+    from vector_search_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_image_phash,
+    )
+    from vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_TEST, "documents")
+    ph = {
+        r["doc_id"]: r["phash"]
+        for r in decode_image_phash(attach_binary_payload(docs)).collect()
+    }
+    ids = sorted(ph)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(ph[a] ^ ph[b]).count("1") <= 1
+    }
+    out = registry.QUERIES["media_phash_neardup"](spark, SF_TEST)
+    got = {(r["id_1"], r["id_2"]) for r in out.collect()}
+    assert got == brute
+    # the planted exact dups must appear (hamming 0 pairs exist)
+    assert any(ph[a] == ph[b] for a, b in got)
+
+
+def test_phash_exact_dups_hash_identically(spark):
+    """Byte-identical payloads -> identical pHash (the stub's guarantee)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_image_phash,
+    )
+    from vector_search_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_TEST, "documents")
+    ph = decode_image_phash(attach_binary_payload(docs))
+    joined = (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .join(ph, "doc_id")
+        .groupBy("fp")
+        .agg(F.countDistinct("phash").alias("n"))
+    )
+    assert joined.filter(F.col("n") > 1).count() == 0
+
+
+# --- span_corruption_plan ---------------------------------------------------
+
+
+def test_span_plan_nonoverlapping_within_bounds(spark):
+    from collections import defaultdict
+
+    out = registry.QUERIES["span_corruption_plan"](spark, SF_TEST).collect()
+    by_doc = defaultdict(list)
+    for r in out:
+        by_doc[r["doc_id"]].append(r)
+    assert by_doc, "plan must cover docs"
+    for doc, spans in by_doc.items():
+        spans.sort(key=lambda r: r["span_idx"])
+        n_tok = spans[0]["n_tok"]
+        prev_end = 0
+        for r in spans:
+            assert r["start_tok"] >= prev_end + 1
+            assert r["start_tok"] + r["span_len"] - 1 <= n_tok
+            prev_end = r["start_tok"] + r["span_len"] - 1
+        # ~15% corruption at the declared density
+        masked = sum(r["span_len"] for r in spans)
+        assert masked == 3 * (n_tok // 20)

@@ -158,3 +158,37 @@ def segment_audio(
         "seg_end_sec",
         F.least(F.col("seg_start_sec") + segment_sec, F.col(duration_col).cast("long")),
     )
+
+
+def decode_image_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual-hash leg of the decode seam: emit a 16-bit pHash per
+    payload from the decoded feature bytes — bit i set iff 16·b_i > Σb
+    (sign-vs-mean, the classic pHash reduction, stated in pure INTEGER
+    arithmetic so the DuckDB twin is bit-exact).
+
+    STUB decode like `decode_image_features` (md5 digest stands in for
+    DCT coefficients of real pixels); the hash->band->hamming pipeline
+    downstream is the real production shape.  Runs in the same Arrow-
+    batched ``mapInPandas`` seam; payloads never shuffle."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            phashes = []
+            for p in pdf[payload_col]:
+                d = hashlib.md5(bytes(p)).digest()[:FEATURE_DIM]
+                tot = sum(d)
+                phashes.append(
+                    sum((1 << i) for i, b in enumerate(d) if 16 * b > tot)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].to_numpy(), "phash": phashes},
+                columns=["doc_id", "phash"],
+            )
+
+    from ..partitioning import fan_out
+
+    return fan_out(df, id_col).mapInPandas(decode, schema="doc_id long, phash long")

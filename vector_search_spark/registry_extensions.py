@@ -609,3 +609,77 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sq_topk(fcodes, femb, queries, mins, scales, k=10, rescore=40)
     return out.select("query_id", "vec_id", round4("score").alias("score"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Media perceptual-hash near-dup: the multimodal arm of the dedup family.
+# ---------------------------------------------------------------------------
+PHASH_BITS = 16
+PHASH_BANDS = 2  # 8-bit bands: pigeonhole-complete for hamming <= 1
+PHASH_MAX_HAMMING = 1
+
+_SQL_PHASH_BYTES = ", ".join(
+    f"('0x' || substr(md5(text), {2 * i + 1}, 2))::BIGINT AS b{i}"
+    for i in range(PHASH_BITS)
+)
+_SQL_PHASH_TOT = " + ".join(f"b{i}" for i in range(PHASH_BITS))
+_SQL_PHASH_VAL = " + ".join(
+    f"(CASE WHEN 16 * b{i} > tot THEN {1 << i} ELSE 0 END)" for i in range(PHASH_BITS)
+)
+_SQL_PHASH_CAND = " UNION ".join(
+    f"SELECT x.doc_id AS id_1, y.doc_id AS id_2 FROM ph x "
+    f"JOIN ph y ON ((x.phash >> {8 * k}) & 255) = ((y.phash >> {8 * k}) & 255) "
+    f"AND x.doc_id < y.doc_id"
+    for k in range(PHASH_BANDS)
+)
+
+
+@register(
+    "media_phash_neardup",
+    oracle=f"""
+    WITH bt AS (SELECT doc_id, {_SQL_PHASH_BYTES} FROM documents),
+    tt AS (SELECT doc_id, ({_SQL_PHASH_TOT}) AS tot,
+                  {", ".join(f"b{i}" for i in range(PHASH_BITS))} FROM bt),
+    ph AS (SELECT doc_id, ({_SQL_PHASH_VAL})::BIGINT AS phash FROM tt),
+    cand AS ({_SQL_PHASH_CAND})
+    SELECT c.id_1, c.id_2,
+           bit_count(xor(p1.phash, p2.phash))::BIGINT AS hamming
+    FROM (SELECT DISTINCT id_1, id_2 FROM cand) c
+    JOIN ph p1 ON c.id_1 = p1.doc_id
+    JOIN ph p2 ON c.id_2 = p2.doc_id
+    WHERE bit_count(xor(p1.phash, p2.phash)) <= {PHASH_MAX_HAMMING}
+    ORDER BY c.id_1, c.id_2
+    """,
+)
+def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for media payloads — the
+    multimodal twin of SimHash dedup: Arrow-batched decode emits a 16-bit
+    pHash (sign-vs-mean over decoded feature bytes, integer-exact), hashes
+    are banded into two 8-bit segments (pigeonhole: hamming <= 1 ⟹ some
+    band equal), candidates equal on >= 1 band are verified with an exact
+    XOR popcount.  With the honest stub decoder only byte-identical
+    payloads hash close (hamming 0); with a real DCT the same pipeline
+    finds re-encoded/resized images — ONLY the UDF body changes.
+
+    Scale: the hash table is (doc_id, int64) — 16 bytes/doc regardless of
+    media size; band equi-joins replace any pairwise comparison (same
+    contract as `dedup_simhash`, plan-gated there); payloads are read once
+    in the decode seam and never shuffled."""
+    from .operators.multimodal import attach_binary_payload, decode_image_phash
+
+    docs = __load(spark, sf_dir, "documents")
+    ph = decode_image_phash(attach_binary_payload(docs)).persist()
+    cands = None
+    for k in range(PHASH_BANDS):
+        band = (F.shiftright(F.col("phash"), 8 * k) % 256).alias("band")
+        x = ph.select(F.col("doc_id").alias("id_1"), F.col("phash").alias("ph_1"), band)
+        y = ph.select(F.col("doc_id").alias("id_2"), F.col("phash").alias("ph_2"), band)
+        c = x.join(y, "band").filter(F.col("id_1") < F.col("id_2")).drop("band")
+        cands = c if cands is None else cands.unionAll(c)
+    ham = F.bit_count(F.col("ph_1").bitwiseXOR(F.col("ph_2")))
+    return (
+        cands.distinct()
+        .filter(ham <= PHASH_MAX_HAMMING)
+        .select("id_1", "id_2", ham.cast("long").alias("hamming"))
+        .orderBy("id_1", "id_2")
+    )

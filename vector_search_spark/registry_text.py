@@ -1898,3 +1898,93 @@ def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out.orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption (T5-style) masking schedule — deterministic augmentation.
+# ---------------------------------------------------------------------------
+SPAN_LEN = 3
+SPAN_TOKENS_PER_SPAN = 20  # 1 span per 20 tokens ≈ 15% mask at len 3
+
+
+@register(
+    "span_corruption_plan",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+'))::BIGINT AS n_tok
+      FROM documents WHERE trim(text) != ''),
+    spans AS (
+      SELECT doc_id, n_tok,
+             n_tok // {SPAN_TOKENS_PER_SPAN} AS n_spans,
+             n_tok // (n_tok // {SPAN_TOKENS_PER_SPAN}) AS stride,
+             unnest(range(n_tok // {SPAN_TOKENS_PER_SPAN})) AS s
+      FROM base WHERE n_tok >= {SPAN_TOKENS_PER_SPAN})
+    SELECT doc_id, n_tok, s::INTEGER AS span_idx,
+           (s * stride
+            + (('0x' || substr(md5('span:' || doc_id::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT
+               % (stride - {SPAN_LEN - 1}))
+            + 1)::BIGINT AS start_tok,
+           {SPAN_LEN}::BIGINT AS span_len
+    FROM spans
+    ORDER BY doc_id, span_idx
+    """,
+)
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption SCHEDULE: for every document, a
+    deterministic list of non-overlapping mask spans (1 span of
+    {SPAN_LEN} tokens per {SPAN_TOKENS_PER_SPAN} tokens ≈ 15% corruption)
+    — the augmentation plan a denoising-pretraining pipeline materializes
+    so every epoch, worker, and retry masks identically (md5-positioned,
+    never rand()).
+
+    Non-overlap by construction: the doc is cut into ``n_spans`` strides
+    and each span starts at an md5-derived offset within its own stride
+    (offset ≤ stride − {SPAN_LEN}), so spans cannot cross stride
+    boundaries.  Scale: one linear pass — token counts are a codegen'd
+    split/size, spans explode from an integer `sequence` (bounded ×
+    n_tok/{SPAN_TOKENS_PER_SPAN} fanout), zero joins, zero shuffles
+    except the final order.  Pure integer/md5 arithmetic — bit-exact
+    cross-engine."""
+    docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") >= SPAN_TOKENS_PER_SPAN)
+    spans = base.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"n_tok DIV {SPAN_TOKENS_PER_SPAN}").alias("n_spans"),
+        F.expr(f"n_tok DIV (n_tok DIV {SPAN_TOKENS_PER_SPAN})").alias("stride"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "stride",
+        F.explode(F.expr("sequence(0, n_spans - 1)")).alias("s"),
+    )
+    off = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("span:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("s").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (F.col("stride") - (SPAN_LEN - 1))
+    )
+    return spans.select(
+        "doc_id",
+        "n_tok",
+        F.col("s").cast("int").alias("span_idx"),
+        (F.col("s") * F.col("stride") + off + 1).cast("long").alias("start_tok"),
+        F.lit(SPAN_LEN).cast("long").alias("span_len"),
+    ).orderBy("doc_id", "span_idx")
