@@ -1515,8 +1515,13 @@ def q_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle table); the df cap bounds every posting list the probe join
     can touch (the standard stop-shingle cut — frequent shingles carry no
     containment signal anyway); exact verify runs only on candidate
-    pairs, cascade-shaped.  All hash-ordered, so the whole approximate
-    pipeline — probe choice, candidates, ranks — is bit-exact vs DuckDB.
+    pairs, cascade-shaped.  The verify itself joins each candidate pair
+    to the two PER-DOC SHINGLE-SET ARRAYS and counts `array_intersect`
+    in codegen — O(pairs) shuffled rows, instead of exploding pairs ×
+    |A's shingles| back through the posting table (which was the
+    dominant cost: ~50× the pair count in shuffled rows).  All
+    hash-ordered, so the whole approximate pipeline — probe choice,
+    candidates, ranks — is bit-exact vs DuckDB.
     """
     sh = _shared_shingles(spark, sf_dir)
     from pyspark.sql import Window
@@ -1536,22 +1541,31 @@ def q_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("inner_id", "outer_id")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("inner_id"), "shingle")
-    b = sh.select(F.col("doc_id").alias("outer_id"), "shingle")
-    shared = (
-        cand.join(a, "inner_id")
-        .join(b, ["outer_id", "shingle"])
-        .groupBy("inner_id", "outer_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("arr"),
+        F.count(F.lit(1)).alias("n_sh"),
     )
-    ni = sizes.select(F.col("doc_id").alias("inner_id"), F.col("n_sh").alias("n_sh_contained"))
-    no = sizes.select(F.col("doc_id").alias("outer_id"), F.col("n_sh").alias("n_sh_container"))
+    sa = sets.select(
+        F.col("doc_id").alias("inner_id"),
+        F.col("arr").alias("a_arr"),
+        F.col("n_sh").alias("n_sh_contained"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("outer_id"),
+        F.col("arr").alias("b_arr"),
+        F.col("n_sh").alias("n_sh_container"),
+    )
+    shared = (
+        cand.join(sa, "inner_id")
+        .join(sb, "outer_id")
+        .withColumn(
+            "shared", F.size(F.array_intersect("a_arr", "b_arr")).cast("long")
+        )
+        .drop("a_arr", "b_arr")
+    )
     ratio = F.col("shared") * 1.0 / F.col("n_sh_contained")
     return (
-        shared.join(ni, "inner_id")
-        .join(no, "outer_id")
-        .filter(ratio >= CONTAINMENT_THRESHOLD)
+        shared.filter(ratio >= CONTAINMENT_THRESHOLD)
         .select(
             F.col("inner_id").alias("contained_id"),
             F.col("outer_id").alias("container_id"),
