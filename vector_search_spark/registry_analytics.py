@@ -1611,3 +1611,158 @@ def q_exp_decay_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Clickstream path mining: top 3-step event paths within sessions.
+# ---------------------------------------------------------------------------
+@register(
+    "top_event_paths",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+      FROM events),
+    m AS (
+      SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                             ORDER BY us, event_id)
+                          >= 600000000 THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+    tri AS (
+      SELECT event_type || '>' ||
+             lead(event_type, 1) OVER w || '>' ||
+             lead(event_type, 2) OVER w AS path
+      FROM s
+      WINDOW w AS (PARTITION BY user_id, sid ORDER BY us, event_id)),
+    pc AS (SELECT path, count(*)::BIGINT AS n FROM tri
+           WHERE path IS NOT NULL GROUP BY 1)
+    SELECT path, n, row_number() OVER (ORDER BY n DESC, path)::INTEGER AS rank
+    FROM pc ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event-type paths WITHIN sessions (same 10-minute
+    gaps-and-islands sessionization as the funnel family) — the
+    clickstream-mining query behind "what do users actually do", with
+    paths never crossing a session boundary.
+
+    Scale: sessionization + both lead() steps share ONE (user_id)-keyed
+    exchange (chained window operators over the same sort); path counting
+    is a partial-agg'd groupBy over tiny (path, n) state; top-10 is
+    TakeOrderedAndProject.  The final rank window runs on 10 rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns DIV 1000").alias("us"), "event_type"
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = F.when(
+        (F.col("us") - F.lag("us").over(wo)) >= 600_000_000, F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "sid", F.sum("new_s").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    tri = sess.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(ws),
+            F.lead("event_type", 2).over(ws),
+        ).alias("path"),
+        F.lead("event_type", 2).over(ws).alias("__ok"),
+    ).filter(F.col("__ok").isNotNull())
+    pc = tri.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top = pc.orderBy(F.desc("n"), F.asc("path")).limit(10)
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("int")).orderBy(
+        F.desc("n"), F.asc("path")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation: quintile scores via distributed global rank.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+    per AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(o_orderdate), (SELECT mx FROM anchor))::BIGINT
+               AS days_since,
+             count(*)::BIGINT AS n_orders,
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT custkey, days_since, n_orders, cents,
+             6 - ntile(5) OVER (ORDER BY days_since, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY n_orders, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY cents, custkey) AS m_score
+      FROM per)
+    SELECT custkey, days_since, n_orders, cents,
+           r_score::INTEGER AS r_score, f_score::INTEGER AS f_score,
+           m_score::INTEGER AS m_score,
+           r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+    FROM scored ORDER BY custkey
+    """,
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order, vs
+    the corpus-max anchor date), frequency, and integer-cents monetary
+    value, each scored into quintiles (5 = best) and concatenated into
+    the classic 'rfm' segment label.
+
+    Scale: the three quintile ranks come from
+    `partitioning.global_order_stats` + `ntile_from_rank` — three range
+    exchanges over the ALREADY-AGGREGATED per-customer table (never the
+    orders fact), no single-partition window anywhere; the anchor date is
+    a 1-row broadcast.  ntile_from_rank implements SQL ntile's exact
+    bucket arithmetic, so quintile boundaries are bit-identical to the
+    oracle's ntile(5) under the same (metric, custkey) total order."""
+    from .partitioning import global_order_stats, ntile_from_rank
+
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    per = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff(F.col("mx"), F.col("last_order")).cast("long").alias("days_since"),
+            "n_orders",
+            "cents",
+        )
+    )
+    n_total = per.count()
+
+    def quintile(df, metric: str, out: str):
+        ranked = global_order_stats(df, [metric, "custkey"])
+        return ranked.withColumn(
+            out, ntile_from_rank("__rank", F.lit(n_total), 5)
+        ).drop("__rank", "__pid")
+
+    scored = quintile(per, "days_since", "__r_tile")
+    scored = quintile(scored, "n_orders", "f_score")
+    scored = quintile(scored, "cents", "m_score")
+    scored = scored.withColumn("r_score", (F.lit(6) - F.col("__r_tile")).cast("int"))
+    return scored.select(
+        "custkey",
+        "days_since",
+        "n_orders",
+        "cents",
+        "r_score",
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    ).orderBy("custkey")

@@ -1762,3 +1762,103 @@ def q_dup_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_1", "id_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document dedup REWRITE: drop non-canonical duplicated blocks.
+# ---------------------------------------------------------------------------
+@register(
+    "subdoc_dedup_rewrite",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS ord
+      FROM documents),
+    blocks AS (
+      SELECT doc_id, (ord - 1) // {BLOCK_TOKENS} AS block_id,
+             md5(string_agg(tok, ' ' ORDER BY ord)) AS block_hash,
+             string_agg(tok, ' ' ORDER BY ord) AS block_text,
+             count(*)::BIGINT AS n_toks
+      FROM toks GROUP BY 1, 2),
+    freq AS (
+      SELECT block_hash, count(DISTINCT doc_id) AS n_docs,
+             min(doc_id) AS canon_doc
+      FROM blocks GROUP BY 1),
+    tagged AS (
+      SELECT b.*, (f.n_docs = 1 OR f.canon_doc = b.doc_id) AS kept
+      FROM blocks b JOIN freq f ON b.block_hash = f.block_hash)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_blocks,
+           sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS kept_blocks,
+           sum(CASE WHEN kept THEN n_toks ELSE 0 END)::BIGINT AS clean_tokens,
+           md5(coalesce(string_agg(block_text, ' ' ORDER BY block_id)
+                          FILTER (WHERE kept), '')) AS clean_md5
+    FROM tagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_subdoc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM arm of sub-document dedup: rebuild every document with
+    corpus-duplicated {BLOCK_TOKENS}-token blocks REMOVED, keeping exactly
+    one canonical copy corpus-wide (the lowest doc_id owning the block) —
+    what a CCNet-style pipeline actually writes out, vs
+    `subdoc_block_dedup`'s keep/drop scoring.  Emits the rebuilt text as
+    md5 + token counts so result rows stay narrow under the driver's
+    hash gate; a production sink would write the text column itself.
+
+    Scale: identical economics to the scorer — block assembly is bounded
+    groupBy state, duplication is found by GROUPING block hashes (16-byte
+    keys), the canonical owner is a min() on the same aggregate, and the
+    rebuild is a per-doc sort-by-position fold; no pair joins anywhere.
+    """
+    docs = __load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("pos", "tok"),
+    )
+    blocks = (
+        toks.withColumn("block_id", F.expr(f"pos DIV {BLOCK_TOKENS}"))
+        .groupBy("doc_id", "block_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("block_text"),
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+        )
+        .withColumn("block_hash", F.md5("block_text"))
+    )
+    freq = blocks.groupBy("block_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("canon_doc"),
+    )
+    tagged = blocks.join(freq, "block_hash").withColumn(
+        "kept", (F.col("n_docs") == 1) | (F.col("canon_doc") == F.col("doc_id"))
+    )
+    rebuilt = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("kept_blocks"),
+        F.sum(F.when(F.col("kept"), F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("clean_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("block_id", "block_text", "kept"))
+                        ),
+                        lambda s: s.kept,
+                    ),
+                    lambda s: s.block_text,
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    return rebuilt.select(
+        "doc_id", "n_blocks", "kept_blocks", "clean_tokens", "clean_md5"
+    ).orderBy("doc_id")
