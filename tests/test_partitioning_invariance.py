@@ -59,6 +59,11 @@ QUERIES = [
     "bpe_top_merges",
     "hard_negative_mining",
     "exp_decay_daily_value",
+    "subdoc_dedup_rewrite",
+    "customer_rfm_segments",
+    "bpe_apply_stats",
+    "seasonal_naive_backtest",
+    "containment_bottomk",
 ]
 
 REGIMES = [

@@ -1766,3 +1766,76 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest: the baseline every forecaster must beat.
+# ---------------------------------------------------------------------------
+BACKTEST_DAYS = 14
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle=f"""
+    WITH dc AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2),
+    anchor AS (SELECT max(day) AS mx FROM dc),
+    paired AS (
+      SELECT a.event_type, a.day, a.n AS actual, p.n AS predicted
+      FROM dc a
+      JOIN dc p ON a.event_type = p.event_type AND p.day = a.day - 7
+      WHERE a.day > (SELECT mx FROM anchor) - {BACKTEST_DAYS})
+    SELECT event_type,
+           count(*)::BIGINT AS n_days,
+           sum(abs(actual - predicted))::BIGINT AS abs_err_sum,
+           floor((sum(abs(actual - predicted)) * 1.0 / count(*)) * 10000 + 0.5)
+             / 10000.0 AS mae,
+           floor((sum(abs(actual - predicted)) * 1.0 / sum(actual)) * 10000 + 0.5)
+             / 10000.0 AS wape
+    FROM paired GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict day d with day
+    d−7) over the last {BACKTEST_DAYS} days, per event type: MAE and WAPE
+    — the baseline any demand/traffic forecasting model must beat, and
+    the shape of every batch backtest harness (join actuals to lagged
+    predictions, never a model server in the loop).
+
+    Scale: daily counts are one partial-agg'd groupBy; the
+    actual-vs-prediction pairing is a self equi-join on (type, day−7) —
+    keyed, never a range scan; the anchor date is a 1-row broadcast.
+    Errors are exact BIGINT sums; two float expressions per output row.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    dc = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    anchor = dc.agg(F.max("day").alias("mx"))
+    a = dc.select("event_type", "day", F.col("n").alias("actual"))
+    p = dc.select(
+        "event_type", F.date_add("day", 7).alias("day"), F.col("n").alias("predicted")
+    )
+    paired = (
+        a.join(p, ["event_type", "day"])
+        .crossJoin(F.broadcast(anchor))
+        .filter(F.col("day") > F.date_sub(F.col("mx"), BACKTEST_DAYS))
+    )
+    err = F.abs(F.col("actual") - F.col("predicted"))
+    return (
+        paired.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(err).cast("long").alias("abs_err_sum"),
+            F.sum("actual").cast("long").alias("__act"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "abs_err_sum",
+            round4(F.col("abs_err_sum") * 1.0 / F.col("n_days")).alias("mae"),
+            round4(F.col("abs_err_sum") * 1.0 / F.col("__act")).alias("wape"),
+        )
+        .orderBy("event_type")
+    )

@@ -1988,3 +1988,116 @@ def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") * F.col("stride") + off + 1).cast("long").alias("start_tok"),
         F.lit(SPAN_LEN).cast("long").alias("span_len"),
     ).orderBy("doc_id", "span_idx")
+
+
+# ---------------------------------------------------------------------------
+# BPE application: tokenize with the learned merges, compression per source.
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_apply_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents WHERE trim(text) != ''),
+    wt AS (SELECT word, count(*)::BIGINT AS freq
+           FROM (SELECT word FROM toks) GROUP BY 1),
+    s0 AS (SELECT word, freq,
+                  ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
+           FROM wt),
+    {",".join(_bpe_sql_round(k) for k in range(1, BPE_MERGE_ROUNDS + 1))},
+    wlen AS (
+      SELECT word,
+             len(regexp_split_to_array(trim(seq), ' '))::BIGINT AS n_sym,
+             length(word)::BIGINT AS n_chars
+      FROM s{BPE_MERGE_ROUNDS}),
+    per_doc AS (
+      SELECT t.doc_id, d.source,
+             sum(w.n_sym)::BIGINT AS n_sym,
+             sum(w.n_chars)::BIGINT AS n_chars
+      FROM toks t JOIN wlen w ON t.word = w.word
+      JOIN documents d ON t.doc_id = d.doc_id
+      GROUP BY 1, 2)
+    SELECT source,
+           sum(n_sym)::BIGINT AS total_symbols,
+           sum(n_chars)::BIGINT AS total_chars,
+           floor((sum(n_chars) * 1.0 / sum(n_sym)) * 10000 + 0.5) / 10000.0
+             AS chars_per_symbol
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def q_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the {BPE_MERGE_ROUNDS} learned BPE merges back to the corpus:
+    per-source symbol counts and chars-per-symbol compression — the
+    train-tokenizer → tokenize-corpus loop closed inside the engine (the
+    number every tokenizer change is judged by: how many symbols does the
+    same corpus cost now?).
+
+    Scale: tokenization-by-merges happens on the WORD-TYPE table (the
+    same rewrite chain `bpe_top_merges` builds — Zipf-tiny); the corpus
+    pass is one (doc, word) explode joined to the per-word symbol length
+    on the word key, partial-agg'd to sources.  The corpus is never
+    re-scanned per merge round."""
+    docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    )
+    wt = toks.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    seqs = wt.select(
+        "word",
+        "freq",
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+    )
+    for _ in range(BPE_MERGE_ROUNDS):
+        syms = seqs.select("freq", F.split(F.trim(F.col("seq")), " ").alias("t")).filter(
+            F.size("t") >= 2
+        )
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))")
+            ).alias("p"),
+        ).select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        seqs = (
+            seqs.crossJoin(
+                F.broadcast(best.select(F.col("a").alias("__ma"), F.col("b").alias("__mb")))
+            )
+            .select(
+                "word",
+                "freq",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit(" "), F.col("__ma"), F.lit(" "), F.col("__mb"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("__ma"), F.col("__mb"), F.lit(" ")),
+                ).alias("seq"),
+            )
+        )
+    wlen = seqs.select(
+        "word",
+        F.size(F.split(F.trim(F.col("seq")), " ")).cast("long").alias("n_sym"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    return (
+        toks.join(wlen, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("n_sym").cast("long").alias("total_symbols"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "total_symbols",
+            "total_chars",
+            round4(F.col("total_chars") * 1.0 / F.col("total_symbols")).alias(
+                "chars_per_symbol"
+            ),
+        )
+        .orderBy("source")
+    )
