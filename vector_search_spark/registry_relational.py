@@ -1497,3 +1497,101 @@ def _zorder_oracle() -> str:
 from .registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["zorder_cells"] = _zorder_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Data profiling (deequ/dbt-docs style): per-column stats in one pass.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = [
+    ("event_id", "CAST(event_id AS VARCHAR)"),
+    ("user_id", "CAST(user_id AS VARCHAR)"),
+    ("event_type", "event_type"),
+    ("props", "props"),
+]
+
+
+@register(
+    "table_profile_events",
+    oracle=f"""
+    WITH long AS (
+      {" UNION ALL ".join(
+          f"SELECT '{name}' AS column_name, {expr} AS val FROM events"
+          for name, expr in _PROFILE_COLS
+      )}),
+    vc AS (
+      SELECT column_name, val, count(*)::BIGINT AS cnt
+      FROM long WHERE val IS NOT NULL GROUP BY 1, 2),
+    per AS (
+      SELECT column_name,
+             sum(cnt)::BIGINT AS n_filled,
+             count(*)::BIGINT AS n_distinct
+      FROM vc GROUP BY 1),
+    tops AS (
+      SELECT column_name, val AS top_value, cnt AS top_count FROM (
+        SELECT *, row_number() OVER (PARTITION BY column_name
+                                     ORDER BY cnt DESC, val) AS rn
+        FROM vc)
+      WHERE rn = 1),
+    nr AS (SELECT count(*)::BIGINT AS n_rows FROM events)
+    SELECT p.column_name,
+           (SELECT n_rows FROM nr) AS n_rows,
+           ((SELECT n_rows FROM nr) - p.n_filled)::BIGINT AS n_null,
+           p.n_distinct,
+           t.top_value, t.top_count
+    FROM per p JOIN tops t USING (column_name)
+    ORDER BY p.column_name
+    """,
+)
+def q_table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profile of the `events` table (deequ/dbt-docs shape):
+    per column — row count, null count, exact distinct count, and the
+    most frequent value (ties broken lexicographically).  The report a
+    catalog publishes next to every dataset, produced by the engine
+    itself.
+
+    Scale: the table unpivots to (column, value) via one `stack` pass (no
+    per-column rescans), value counts partial-agg on (column, value), and
+    the per-column fold + top-1 (WindowGroupLimit keyed by column) run on
+    the already-aggregated value-count table — the only corpus-sized work
+    is the single scan.  Exact distinct via grouping, not sketches, so
+    the oracle matches bit-for-bit; the HLL family covers the approximate
+    path where exactness can be traded."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    stack_args = ", ".join(
+        f"'{name}', CAST({name} AS STRING)" for name, _ in _PROFILE_COLS
+    )
+    long = ev.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, val)")
+    )
+    vc = (
+        long.filter(F.col("val").isNotNull())
+        .groupBy("column_name", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    per = vc.groupBy("column_name").agg(
+        F.sum("cnt").cast("long").alias("n_filled"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    w = Window.partitionBy("column_name").orderBy(F.desc("cnt"), F.asc("val"))
+    tops = (
+        vc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("column_name", F.col("val").alias("top_value"), F.col("cnt").alias("top_count"))
+    )
+    nr = ev.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    return (
+        per.join(tops, "column_name")
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "column_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_filled")).cast("long").alias("n_null"),
+            "n_distinct",
+            "top_value",
+            "top_count",
+        )
+        .orderBy("column_name")
+    )
