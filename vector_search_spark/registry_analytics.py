@@ -1740,16 +1740,22 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
-    n_total = per.count()
+    total = per.agg(F.count(F.lit(1)).cast("long").alias("__n_total"))
+    # Materialize the per-customer feature table once (eager localCheckpoint)
+    # so the three range-repartition passes — each of which runs a SAMPLING
+    # job over its input — never re-execute the orders aggregate or one
+    # another's exchanges.  This is the RFM feature-table materialization a
+    # production pipeline does anyway before scoring.
+    per = per.crossJoin(F.broadcast(total)).localCheckpoint(eager=True)
 
     def quintile(df, metric: str, out: str):
         ranked = global_order_stats(df, [metric, "custkey"])
         return ranked.withColumn(
-            out, ntile_from_rank("__rank", F.lit(n_total), 5)
+            out, ntile_from_rank("__rank", F.col("__n_total"), 5)
         ).drop("__rank", "__pid")
 
-    scored = quintile(per, "days_since", "__r_tile")
-    scored = quintile(scored, "n_orders", "f_score")
+    scored = quintile(per, "days_since", "__r_tile").localCheckpoint(eager=True)
+    scored = quintile(scored, "n_orders", "f_score").localCheckpoint(eager=True)
     scored = quintile(scored, "cents", "m_score")
     scored = scored.withColumn("r_score", (F.lit(6) - F.col("__r_tile")).cast("int"))
     return scored.select(
