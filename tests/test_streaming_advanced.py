@@ -283,3 +283,34 @@ def test_streaming_session_funnel_equals_batch(spark):
     assert int((final["v_us"] >= 0).sum()) == batch["n_view"]
     assert int((final["c_us"] >= 0).sum()) == batch["n_view_click"]
     assert int((final["p_us"] >= 0).sum()) == batch["n_full_funnel"]
+
+
+def test_streaming_exp_decay_equals_batch(spark):
+    """Drained streaming exp-decay == the batch registry query, value for
+    value (same quantized integer weights, linear/commutative fold)."""
+    from vector_search_spark.registry import QUERIES
+    from vector_search_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events_from_parquet,
+    )
+    from vector_search_spark.streaming.stateful import streaming_exp_decay
+
+    SF = "/root/testdata/sf0.001"
+    stream = stream_events_from_parquet(spark, SF)
+    run_stream_to_memory(streaming_exp_decay(stream), "expdecay_test", mode="update")
+    got = {
+        r["day"]: r["decayed_micro_cents"]
+        for r in spark.sql(
+            """SELECT day, decayed_micro_cents FROM (
+                 SELECT *, row_number() OVER (PARTITION BY day
+                                              ORDER BY decayed_micro_cents DESC) rn
+                 FROM expdecay_test) WHERE rn = 1"""
+        ).collect()
+    }
+    import datetime
+
+    batch = {
+        r["day"].toordinal(): r["decayed_micro_cents"]
+        for r in QUERIES["exp_decay_daily_value"](spark, SF).collect()
+    }
+    assert got == batch

@@ -409,3 +409,65 @@ def streaming_session_funnel(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EXPDECAY_SCHEMA = "grp int, day long, decayed_micro_cents long"
+EXPDECAY_STATE = "days array<long>, cents array<long>"
+
+
+def _update_expdecay(key, pdfs, state: GroupState):
+    """Fold each micro-batch's integer cents into the per-day map, then
+    re-emit the decayed inner product for EVERY day in state — late or
+    reordered events only ever ADD to a day's cents, and the decayed
+    value is a linear function of them, so the last emission per day
+    after a drain equals the batch fold (commutative, order-free)."""
+    import math
+
+    from ..registry_analytics import DECAY_HORIZON, DECAY_W_MICRO
+
+    if state.exists:
+        days, cents = state.get
+        d = dict(zip(days, cents))
+    else:
+        d = {}
+    for pdf in pdfs:
+        for day, v in zip(pdf["day"], pdf["value"]):
+            dd = day.toordinal()
+            d[dd] = d.get(dd, 0) + int(math.floor(float(v) * 100.0 + 0.5))
+    state.update((list(d.keys()), list(d.values())))
+    rows = []
+    for day in sorted(d):
+        s = 0
+        for off in range(DECAY_HORIZON):
+            prev = day - off
+            if prev in d:
+                s += d[prev] * DECAY_W_MICRO[off]
+        rows.append((key[0], day, s))
+    yield pd.DataFrame(rows, columns=["grp", "day", "decayed_micro_cents"])
+
+
+def streaming_exp_decay(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``exp_decay_daily_value`` feature: the
+    λ-decayed daily value maintained incrementally from the same quantized
+    integer weights, so the drained stream reproduces the batch result
+    EXACTLY (the decayed sum is linear in per-day cents, and cents folds
+    are commutative integers — micro-batch order cannot matter).
+
+    State is the (day → cents) map.  The fixture keeps every day (30
+    distinct days); at scale the production knob is the stream's
+    watermark: days more than `DECAY_HORIZON` behind the watermark are
+    frozen (their windows can no longer change), emitted once, and
+    evicted — bounding state to O(horizon) per key like every other
+    stateful twin here."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        F.lit(1).alias("grp"), F.col("ts").cast("date").alias("day"), "value"
+    ).groupBy("grp")
+    return keyed.applyInPandasWithState(
+        _update_expdecay,
+        outputStructType=EXPDECAY_SCHEMA,
+        stateStructType=EXPDECAY_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
