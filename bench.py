@@ -56,7 +56,9 @@ def main() -> None:
     from vector_search_spark.registry_extensions import (  # noqa: E402
         _shared_ivf_index, _shared_pq_index, _shared_sq_index, _shared_srp_index,
     )
-    from vector_search_spark.registry_text import _shared_doc_features  # noqa: E402
+    from vector_search_spark.registry_text import (  # noqa: E402
+        _shared_bigram_lm, _shared_bpe, _shared_doc_features, _shared_phrase_index,
+    )
     from vector_search_spark.registry_relational import _ps  # noqa: E402
 
     t0 = time.perf_counter()
@@ -71,6 +73,9 @@ def main() -> None:
     _shared_pq_index(spark, sf_dir)
     _shared_sq_index(spark, sf_dir)
     _shared_doc_features(spark, sf_dir)
+    _shared_bpe(spark, sf_dir)
+    _shared_bigram_lm(spark, sf_dir)
+    _shared_phrase_index(spark, sf_dir)
     setup_sec = round(time.perf_counter() - t0, 3)
     print(f"# setup (shingle/signature/IVF index builds): {setup_sec}s", file=sys.stderr)
 
