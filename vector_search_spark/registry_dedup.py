@@ -36,7 +36,13 @@ _SHINGLE_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 _SIG_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
-def _session_cached(cache, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+def _session_cached(
+    cache, spark: SparkSession, sf_dir: str, build, checkpoint: bool = False
+) -> DataFrame:
+    """``checkpoint=True`` materializes via eager ``localCheckpoint`` —
+    same storage as persist, but the LOGICAL plan is truncated too, so
+    consumers of a deep build (the banded self-join, the cascade verify)
+    don't re-analyze the whole artifact lineage on every query plan."""
     hit = cache.get(sf_dir)
     if hit is not None and hit[0] is spark:
         return hit[1]
@@ -45,8 +51,11 @@ def _session_cached(cache, spark: SparkSession, sf_dir: str, build) -> DataFrame
             hit[1].unpersist()
         except Exception:
             pass  # old session already stopped — nothing to release
-    df = build().persist()
-    df.count()
+    if checkpoint:
+        df = build().localCheckpoint(eager=True)
+    else:
+        df = build().persist()
+        df.count()
     cache[sf_dir] = (spark, df)
     return df
 
@@ -88,6 +97,7 @@ def _shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingled=_shared_shingles(spark, sf_dir),
             signatures=_shared_signatures(spark, sf_dir),
         ),
+        checkpoint=True,
     )
 
 
@@ -124,6 +134,7 @@ def _shared_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             signatures=_shared_signatures(spark, sf_dir), est_floor=0.5,
             candidates=_shared_lsh_candidates(spark, sf_dir),
         ),
+        checkpoint=True,
     )
 
 
