@@ -541,3 +541,36 @@ def test_rfm_quintiles_balanced_and_consistent(spark):
     top_m = max(out, key=lambda r: (r["cents"], -r["custkey"]))
     assert top_m["m_score"] == 5
     assert n > 0
+
+
+# --- synthetic_value_sampler ------------------------------------------------
+
+
+def test_synthetic_sampler_is_distribution_faithful(spark):
+    out = registry.QUERIES["synthetic_value_sampler"](spark, SF_TEST).collect()
+    assert sum(r["synth_cnt"] for r in out) == 1000
+    # inverse-CDF over uniform draws: total variation distance small
+    tv = sum(abs(r["orig_frac"] - r["synth_frac"]) for r in out) / 2
+    # E[TV] for 1000 uniform draws over ~20 buckets is ~0.05; 0.1 is a
+    # comfortable deterministic bound (the draws are md5-fixed, so this
+    # value never varies run to run anyway)
+    assert tv < 0.1, tv
+
+
+def test_quantile_normalization_equalizes_sources(spark):
+    """All sources have equal size in the fixture, so after quantile
+    normalization every source must carry the IDENTICAL multiset of
+    normalized values; and norm_value must be monotone in src_rank."""
+    from collections import defaultdict
+
+    out = registry.QUERIES["quantile_normalize_scores"](spark, SF_TEST).collect()
+    by_src = defaultdict(list)
+    for r in out:
+        by_src[r["source"]].append((r["src_rank"], r["norm_value"]))
+    multisets = set()
+    for src, rows in by_src.items():
+        rows.sort()
+        ranks = [v for _, v in rows]
+        assert ranks == sorted(ranks), f"non-monotone mapping in {src}"
+        multisets.add(tuple(sorted(ranks)))
+    assert len(multisets) == 1, "sources ended with different distributions"

@@ -1845,3 +1845,212 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic data: inverse-CDF sampling from a fitted histogram.
+# ---------------------------------------------------------------------------
+SYNTH_BUCKETS = 20
+SYNTH_N = 1000
+
+
+@register(
+    "synthetic_value_sampler",
+    oracle=f"""
+    WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    b AS (
+      SELECT least({SYNTH_BUCKETS - 1},
+                   floor((value - mm.mn) / ((mm.mx - mm.mn) / {SYNTH_BUCKETS})))::BIGINT
+               AS bucket
+      FROM events, mm),
+    hist AS (SELECT bucket, count(*)::BIGINT AS cnt FROM b GROUP BY 1),
+    cdf AS (
+      SELECT bucket, cnt,
+             (sum(cnt) OVER (ORDER BY bucket) - cnt)::BIGINT AS cum_lo,
+             sum(cnt) OVER (ORDER BY bucket)::BIGINT AS cum_hi
+      FROM hist),
+    tot AS (SELECT sum(cnt)::BIGINT AS n FROM hist),
+    draws AS (
+      SELECT i,
+             ('0x' || substr(md5('syn:' || i::VARCHAR), 1, 15))::BIGINT
+               % (SELECT n FROM tot) AS target
+      FROM (SELECT unnest(range({SYNTH_N})) AS i)),
+    assigned AS (
+      SELECT d.i, c.bucket
+      FROM draws d JOIN cdf c ON d.target >= c.cum_lo AND d.target < c.cum_hi),
+    synth AS (SELECT bucket, count(*)::BIGINT AS synth_cnt FROM assigned GROUP BY 1)
+    SELECT c.bucket, c.cnt AS orig_cnt,
+           coalesce(s.synth_cnt, 0)::BIGINT AS synth_cnt,
+           floor((c.cnt * 1.0 / (SELECT n FROM tot)) * 10000 + 0.5) / 10000.0
+             AS orig_frac,
+           floor((coalesce(s.synth_cnt, 0) * 1.0 / {SYNTH_N}) * 10000 + 0.5) / 10000.0
+             AS synth_frac
+    FROM cdf c LEFT JOIN synth s ON c.bucket = s.bucket
+    ORDER BY c.bucket
+    """,
+)
+def q_synthetic_value_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SYNTHETIC DATA generation: fit an equi-width
+    {SYNTH_BUCKETS}-bucket histogram over `events.value`, then draw
+    {SYNTH_N} samples by inverse-CDF lookup of md5-derived uniforms —
+    distribution-faithful synthetic rows with NO RNG, so every run,
+    engine, and worker generates the identical dataset (the property that
+    makes synthetic test fixtures and privacy-preserving shareable
+    samples reproducible).  Emits original-vs-synthetic bucket fractions
+    so the fidelity is visible in the result.
+
+    Scale: the fit is one min/max broadcast + one bucket groupBy (the
+    histogram pattern `event_value_histogram` proves); the CDF window
+    runs over {SYNTH_BUCKETS} rows; generation is a pure `sequence`
+    explode joined to the ≤{SYNTH_BUCKETS}-row broadcast CDF on a range
+    predicate — a nested-loop over a tiny broadcast side, never a
+    corpus-sized join.  All draw math is integer md5 mod total."""
+    ev = _t(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = ev.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(SYNTH_BUCKETS - 1),
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / SYNTH_BUCKETS)
+            ),
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    hist = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = hist.select(
+        "bucket",
+        "cnt",
+        (F.sum("cnt").over(wc) - F.col("cnt")).cast("long").alias("cum_lo"),
+        F.sum("cnt").over(wc).cast("long").alias("cum_hi"),
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    draws = (
+        spark.range(SYNTH_N)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("syn:"), F.col("i").cast("string"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("target"),
+        )
+    )
+    assigned = draws.join(
+        F.broadcast(cdf),
+        (F.col("target") >= F.col("cum_lo")) & (F.col("target") < F.col("cum_hi")),
+    )
+    synth = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("synth_cnt")
+    )
+    return (
+        cdf.join(synth, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("cnt").alias("orig_cnt"),
+            F.coalesce(F.col("synth_cnt"), F.lit(0)).cast("long").alias("synth_cnt"),
+            round4(F.col("cnt") * 1.0 / F.col("n")).alias("orig_frac"),
+            round4(
+                F.coalesce(F.col("synth_cnt"), F.lit(0)) * 1.0 / SYNTH_N
+            ).alias("synth_frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (batch-effect correction).
+# ---------------------------------------------------------------------------
+@register(
+    "quantile_normalize_scores",
+    oracle="""
+    WITH per AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS src_rank,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM documents),
+    g AS (
+      SELECT n_chars AS norm_value,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS g_rank
+      FROM documents),
+    tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+    mapped AS (
+      SELECT p.doc_id, p.source, p.n_chars, p.src_rank, p.n_src,
+             CASE WHEN p.n_src = 1 THEN 1
+                  ELSE (2 * (p.src_rank - 1) * ((SELECT n FROM tot) - 1)
+                        + (p.n_src - 1)) // (2 * (p.n_src - 1)) + 1
+             END AS target_rank
+      FROM per p)
+    SELECT m.doc_id, m.source, m.n_chars,
+           m.src_rank::BIGINT AS src_rank,
+           g.norm_value::BIGINT AS norm_value
+    FROM mapped m JOIN g ON m.target_rank = g.g_rank
+    ORDER BY m.doc_id
+    """,
+)
+def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document feature (n_chars) ACROSS
+    sources — each doc's within-source quantile is mapped onto the
+    corpus-wide distribution, so every source ends up with the same
+    normalized-feature distribution (the batch-effect correction a
+    mixture pipeline applies before comparing quality scores from
+    heterogeneous feeds).
+
+    The rank mapping is EXACT integer math: target_rank =
+    round((src_rank−1)·(N−1)/(n_src−1)) + 1 computed as
+    (2ab + c) DIV 2c — no float quantiles, so the normalized values are
+    bit-stable under any partitioning.  Scale: within-source ranks are
+    windows PARTITIONED by source (a natural, bounded partition key);
+    the global rank comes from `partitioning.global_order_stats` (range
+    repartition, no single-partition window); the final lookup is an
+    equi-join on the target rank."""
+    from .partitioning import global_order_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    per = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(wsrc).alias("src_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
+    )
+    g = global_order_stats(
+        docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"]
+    ).select(F.col("n_chars").alias("norm_value"), F.col("__rank").alias("g_rank"))
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mapped = per.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "src_rank",
+        F.when(F.col("n_src") == 1, F.lit(1))
+        .otherwise(
+            F.expr(
+                "(2 * (src_rank - 1) * (n - 1) + (n_src - 1)) DIV (2 * (n_src - 1)) + 1"
+            )
+        )
+        .alias("target_rank"),
+    )
+    return (
+        mapped.join(g, mapped.target_rank == g.g_rank)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("src_rank").cast("long").alias("src_rank"),
+            F.col("norm_value").cast("long").alias("norm_value"),
+        )
+        .orderBy("doc_id")
+    )
