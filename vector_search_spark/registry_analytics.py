@@ -2054,3 +2054,105 @@ def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency percentiles: exact distributed order statistics.
+# ---------------------------------------------------------------------------
+@register(
+    "conversion_latency_percentiles",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+      FROM events),
+    m AS (
+      SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                             ORDER BY us, event_id)
+                          >= 600000000 THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+    v1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                  OVER (PARTITION BY user_id, sid) AS v_us
+      FROM s),
+    v2 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND us > v_us THEN us END)
+                  OVER (PARTITION BY user_id, sid) AS p_us
+      FROM v1),
+    lat AS (
+      SELECT user_id, sid, max(p_us) - max(v_us) AS delta_us
+      FROM v2 GROUP BY user_id, sid
+      HAVING max(p_us) IS NOT NULL AND max(v_us) IS NOT NULL),
+    rk AS (
+      SELECT delta_us, row_number() OVER (ORDER BY delta_us, user_id, sid) AS r
+      FROM lat),
+    tot AS (SELECT count(*)::BIGINT AS n FROM rk)
+    SELECT (SELECT n FROM tot) AS n_conversions,
+           r50.delta_us::BIGINT AS p50_us,
+           r90.delta_us::BIGINT AS p90_us,
+           r99.delta_us::BIGINT AS p99_us
+    FROM (SELECT delta_us FROM rk WHERE r = (50 * (SELECT n FROM tot) + 99) // 100) r50,
+         (SELECT delta_us FROM rk WHERE r = (90 * (SELECT n FROM tot) + 99) // 100) r90,
+         (SELECT delta_us FROM rk WHERE r = (99 * (SELECT n FROM tot) + 99) // 100) r99
+    """,
+)
+def q_conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of view→purchase conversion latency per session
+    (same 10-minute sessionization and strict-order stage times as the
+    funnel) — the latency-distribution readout product teams watch, with
+    exact order statistics instead of an approx sketch (the HDR family
+    covers the mergeable/approximate path; this is the exact one).
+
+    Scale: stage times ride the funnel's ONE user-keyed exchange; the
+    latency table is O(converting sessions); its global rank comes from
+    `partitioning.global_order_stats` (range repartition, never a
+    single-partition window), and each percentile row is filtered by the
+    same ceil(q·n/100) rank formula in both engines.  All integers."""
+    from .partitioning import global_order_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns DIV 1000").alias("us"), "event_type"
+    )
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sess = ev.withColumn(
+        "new_s",
+        F.when((F.col("us") - F.lag("us").over(wo)) >= 600_000_000, 1).otherwise(0),
+    ).withColumn("sid", F.sum("new_s").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+    ws = Window.partitionBy("user_id", "sid")
+    staged = sess.withColumn(
+        "v_us", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(ws)
+    )
+    staged = staged.withColumn(
+        "p_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("us") > F.col("v_us")),
+                F.col("us"),
+            )
+        ).over(ws),
+    )
+    lat = (
+        staged.groupBy("user_id", "sid")
+        .agg(F.max("p_us").alias("p"), F.max("v_us").alias("v"))
+        .filter(F.col("p").isNotNull() & F.col("v").isNotNull())
+        .select("user_id", "sid", (F.col("p") - F.col("v")).alias("delta_us"))
+    )
+    rk = global_order_stats(lat, ["delta_us", "user_id", "sid"]).select(
+        "delta_us", F.col("__rank").alias("r")
+    )
+    tot = rk.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def at_q(q: int, out: str):
+        return (
+            rk.crossJoin(F.broadcast(tot))
+            .filter(F.col("r") == F.expr(f"({q} * n + 99) DIV 100"))
+            .select(F.col("delta_us").cast("long").alias(out))
+        )
+
+    return (
+        tot.select(F.col("n").alias("n_conversions"))
+        .crossJoin(F.broadcast(at_q(50, "p50_us")))
+        .crossJoin(F.broadcast(at_q(90, "p90_us")))
+        .crossJoin(F.broadcast(at_q(99, "p99_us")))
+    )
