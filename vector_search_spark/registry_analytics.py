@@ -2138,8 +2138,13 @@ def q_conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("p").isNotNull() & F.col("v").isNotNull())
         .select("user_id", "sid", (F.col("p") - F.col("v")).alias("delta_us"))
     )
-    rk = global_order_stats(lat, ["delta_us", "user_id", "sid"]).select(
-        "delta_us", F.col("__rank").alias("r")
+    # The ranked latency table is consumed four times (count + three
+    # percentile probes); materialize it once (it is O(conversions) narrow
+    # rows) so the funnel windows don't re-execute per probe.
+    rk = (
+        global_order_stats(lat, ["delta_us", "user_id", "sid"])
+        .select("delta_us", F.col("__rank").alias("r"))
+        .localCheckpoint(eager=True)
     )
     tot = rk.agg(F.count(F.lit(1)).cast("long").alias("n"))
 
