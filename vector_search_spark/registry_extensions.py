@@ -683,3 +683,84 @@ def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_1", "id_2", ham.cast("long").alias("hamming"))
         .orderBy("id_1", "id_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN index-quality evaluation: SRP recall@10 vs exact KNN, in-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_srp_recall_eval",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, ({_SQL_SRP_SIG}) AS sig FROM embeddings),
+    qb AS (SELECT vec_id AS query_id, {_SQL_SRP_BANDS} FROM sig WHERE vec_id < 20),
+    ib AS (SELECT vec_id, {_SQL_SRP_BANDS} FROM sig),
+    cand AS ({_SQL_SRP_CAND}),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT c.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY c.query_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                 c.vec_id) AS rank
+        FROM cand c
+        JOIN embeddings e ON c.vec_id = e.vec_id
+        JOIN embeddings q ON c.query_id = q.vec_id)
+      WHERE rank <= 10),
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                 e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN q)
+      WHERE rank <= 10)
+    SELECT x.query_id,
+           count(a.vec_id)::BIGINT AS hits,
+           floor((count(a.vec_id) / 10.0) * 10000 + 0.5) / 10000.0 AS recall_at_10
+    FROM exact x
+    LEFT JOIN approx a ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+    GROUP BY x.query_id
+    ORDER BY x.query_id
+    """,
+)
+def q_ann_srp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation run INSIDE the engine: per-query recall@10
+    of the SRP-LSH path against exact KNN ground truth — the health check
+    an ANN deployment runs after every index rebuild (recall drift is how
+    quantization/banding bugs and distribution shift surface in
+    production).  Because BOTH pipelines are deterministic md5-math, the
+    whole evaluation — candidates, ranks, hit counts — has a bit-exact
+    DuckDB twin, which is exactly what makes this a trustworthy gate.
+
+    Scale: ground truth is the broadcast-queries exact scan (bounded by
+    the query set, not the corpus); the approx side reuses the
+    session-shared SRP band table; the comparison is a narrow
+    (query_id, vec_id) left join over 10·|queries| rows."""
+    from .operators.ann import srp_topk
+    from .operators.knn import similarity_join
+
+    emb = __load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = srp_topk(
+        emb, queries, k=10, n_bits=_SRP_BITS, bands=_SRP_BANDS, dim=_SRP_DIM,
+        index_bands=_shared_srp_index(spark, sf_dir),
+    ).select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vec"))
+    exact = similarity_join(emb, queries, k=10).select("query_id", "vec_id")
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.a_qid) & (exact.vec_id == approx.a_vec),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_vec").cast("long").alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            round4(F.col("hits") / 10.0).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
