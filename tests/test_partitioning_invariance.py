@@ -64,6 +64,10 @@ QUERIES = [
     "bpe_apply_stats",
     "seasonal_naive_backtest",
     "containment_bottomk",
+    "synthetic_value_sampler",
+    "quantile_normalize_scores",
+    "conversion_latency_percentiles",
+    "ann_srp_recall_eval",
 ]
 
 REGIMES = [
