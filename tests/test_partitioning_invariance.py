@@ -68,6 +68,7 @@ QUERIES = [
     "quantile_normalize_scores",
     "conversion_latency_percentiles",
     "ann_srp_recall_eval",
+    "value_drift_psi",
 ]
 
 REGIMES = [

@@ -574,3 +574,17 @@ def test_quantile_normalization_equalizes_sources(spark):
         assert ranks == sorted(ranks), f"non-monotone mapping in {src}"
         multisets.add(tuple(sorted(ranks)))
     assert len(multisets) == 1, "sources ended with different distributions"
+
+
+# --- value_drift_psi --------------------------------------------------------
+
+
+def test_psi_total_is_sum_of_terms_and_nonnegative(spark):
+    out = registry.QUERIES["value_drift_psi"](spark, SF_TEST).collect()
+    total = [r for r in out if r["bucket"] == -1][0]
+    terms = [r for r in out if r["bucket"] >= 0]
+    assert len(terms) == 10
+    assert total["term_micro"] == sum(r["term_micro"] for r in terms)
+    assert all(r["term_micro"] >= 0 for r in terms)  # (p-q)·ln(p/q) ≥ 0
+    assert total["c_ref"] == sum(r["c_ref"] for r in terms)
+    assert total["c_cur"] == sum(r["c_cur"] for r in terms)

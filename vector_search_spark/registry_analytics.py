@@ -2161,3 +2161,142 @@ def q_conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
         .crossJoin(F.broadcast(at_q(90, "p90_us")))
         .crossJoin(F.broadcast(at_q(99, "p99_us")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data drift: population stability index between time windows.
+# ---------------------------------------------------------------------------
+PSI_BUCKETS = 10
+PSI_SPLIT_DAYS = 15
+# Shared term expression (identical string both engines): add-1 smoothed
+# fractions, one float expression per bucket row.
+# ln of the smoothed odds ratio, quantized ONCE to integer micro-nats (the
+# repo's proven ln pattern); (p - q) stays an exact integer rational
+# (num/den), so each term is pure non-negative integer arithmetic:
+# term_micro = num * L_micro DIV den  (num and L always share sign).
+_PSI_LN = (
+    "ln(((c_ref + 1.0) * (n_cur + {b}.0)) / ((c_cur + 1.0) * (n_ref + {b}.0)))"
+).format(b=PSI_BUCKETS)
+
+
+@register(
+    "value_drift_psi",
+    oracle=f"""
+    WITH mm AS (SELECT min(value) AS mn, max(value) AS mx,
+                       min(CAST(ts AS DATE)) AS d0 FROM events),
+    tagged AS (
+      SELECT least({PSI_BUCKETS - 1},
+                   floor((value - mm.mn) / ((mm.mx - mm.mn) / {PSI_BUCKETS})))::BIGINT
+               AS bucket,
+             CASE WHEN CAST(ts AS DATE) < mm.d0 + {PSI_SPLIT_DAYS}
+                  THEN 'ref' ELSE 'cur' END AS win
+      FROM events, mm),
+    spine AS (SELECT unnest(range({PSI_BUCKETS})) AS bucket),
+    cnt AS (
+      SELECT s.bucket,
+             coalesce(sum(CASE WHEN t.win = 'ref' THEN 1 END), 0)::BIGINT AS c_ref,
+             coalesce(sum(CASE WHEN t.win = 'cur' THEN 1 END), 0)::BIGINT AS c_cur
+      FROM spine s LEFT JOIN tagged t ON s.bucket = t.bucket
+      GROUP BY s.bucket),
+    tot AS (SELECT sum(c_ref)::BIGINT AS n_ref, sum(c_cur)::BIGINT AS n_cur FROM cnt),
+    terms AS (
+      SELECT bucket, c_ref, c_cur,
+             (((c_ref + 1) * (n_cur + {PSI_BUCKETS}) - (c_cur + 1) * (n_ref + {PSI_BUCKETS}))
+              * floor(({_PSI_LN}) * 1000000 + 0.5)::BIGINT)
+               // ((n_ref + {PSI_BUCKETS}) * (n_cur + {PSI_BUCKETS})) AS term_micro
+      FROM cnt, tot)
+    SELECT bucket, c_ref, c_cur, term_micro::BIGINT AS term_micro,
+           floor((term_micro / 1000000.0) * 10000 + 0.5) / 10000.0 AS psi_term
+    FROM terms
+    UNION ALL
+    SELECT -1 AS bucket, (SELECT n_ref FROM tot), (SELECT n_cur FROM tot),
+           (SELECT sum(term_micro) FROM terms)::BIGINT,
+           floor(((SELECT sum(term_micro) FROM terms) / 1000000.0) * 10000 + 0.5)
+             / 10000.0
+    ORDER BY bucket
+    """,
+)
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of `events.value` between the first
+    {PSI_SPLIT_DAYS} days (reference window) and the rest (current
+    window), over {PSI_BUCKETS} equi-width buckets — the ML-ops drift
+    alarm every serving pipeline computes before trusting a model's
+    inputs (PSI > 0.2 ⇒ investigate).  Per-bucket terms plus a bucket=-1
+    TOTAL row.
+
+    Determinism contract: each bucket's add-1-smoothed (p−q)·ln(p/q) term
+    is exactly ONE float expression from exact BIGINT counts, quantized
+    via a micro-nat-quantized ln times an exact integer rational
+    (p−q = num/den); the total PSI is a SUM OF INTEGERS — so the
+    headline number is addition-order-free under any partitioning, unlike
+    a naive float sum of terms.  Scale: one min/max/min-day broadcast,
+    one bucket×window partial-agg'd count ({PSI_BUCKETS}×2 cells at any
+    data size), and a {PSI_BUCKETS}-row spine join for zero-count
+    buckets."""
+    ev = _t(spark, sf_dir, "events")
+    mm = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.min(F.col("ts").cast("date")).alias("d0"),
+    )
+    tagged = ev.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(PSI_BUCKETS - 1),
+            F.floor(
+                (F.col("value") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / PSI_BUCKETS)
+            ),
+        )
+        .cast("long")
+        .alias("bucket"),
+        F.when(
+            F.col("ts").cast("date") < F.date_add(F.col("d0"), PSI_SPLIT_DAYS), "ref"
+        )
+        .otherwise("cur")
+        .alias("win"),
+    )
+    spine = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    cnt = (
+        spine.join(tagged, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("win") == "ref", 1)), F.lit(0))
+            .cast("long")
+            .alias("c_ref"),
+            F.coalesce(F.sum(F.when(F.col("win") == "cur", 1)), F.lit(0))
+            .cast("long")
+            .alias("c_cur"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    l_micro = F.floor(F.expr(_PSI_LN) * 1000000 + 0.5).cast("long")
+    num = (F.col("c_ref") + 1) * (F.col("n_cur") + PSI_BUCKETS) - (
+        F.col("c_cur") + 1
+    ) * (F.col("n_ref") + PSI_BUCKETS)
+    den = (F.col("n_ref") + PSI_BUCKETS) * (F.col("n_cur") + PSI_BUCKETS)
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "c_ref",
+        "c_cur",
+        F.expr(
+            f"(((c_ref + 1) * (n_cur + {PSI_BUCKETS}) - (c_cur + 1) * (n_ref + {PSI_BUCKETS}))"
+            f" * (floor(({_PSI_LN}) * 1000000 + 0.5)))"
+            f" DIV ((n_ref + {PSI_BUCKETS}) * (n_cur + {PSI_BUCKETS}))"
+        ).cast("long").alias("term_micro"),
+    )
+    total = terms.crossJoin(F.broadcast(tot)).agg(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.max("n_ref").alias("c_ref"),
+        F.max("n_cur").alias("c_cur"),
+        F.sum("term_micro").cast("long").alias("term_micro"),
+    )
+    out = terms.unionAll(total)
+    return out.select(
+        "bucket",
+        "c_ref",
+        "c_cur",
+        "term_micro",
+        round4(F.col("term_micro") / 1000000.0).alias("psi_term"),
+    ).orderBy("bucket")
