@@ -69,6 +69,14 @@ QUERIES = [
     "conversion_latency_percentiles",
     "ann_srp_recall_eval",
     "value_drift_psi",
+    # round-4 float emitters / order-sensitive additions
+    "ips_policy_value",
+    "calibration_bins",
+    "annotator_agreement",
+    "kmv_distinct_overlap",
+    "bloom_fp_audit",
+    "skyline_orders",
+    "dup_substring_runs",
 ]
 
 REGIMES = [

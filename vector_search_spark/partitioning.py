@@ -162,3 +162,44 @@ def ntile_from_rank(rank, n_total, n_tiles: int):
         .otherwise(r + idiv(rank - cutoff - 1, F.greatest(small, F.lit(1))) + 1)
         .cast("int")
     )
+
+
+def global_prefix_min(
+    df: DataFrame,
+    order_cols: list,
+    min_col: str,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Exclusive running MIN of ``min_col`` over a TOTAL order — the
+    prefix-scan sibling of ``global_order_stats`` (same two-phase shape,
+    same reason: a partition-less window is a one-task sort at scale).
+
+    1. ``repartitionByRange(order_cols)`` — contiguous ranges of the order
+       (``order_cols`` may contain ``F.col(...).desc()`` expressions);
+    2. per-partition exclusive running min (one task per range);
+    3. per-partition TOTAL mins (num_ranges rows) → exclusive prefix over
+       that tiny table via a window, broadcast back and combined with
+       ``least``.
+
+    Adds ``__prior_min`` (null for the global first row).  The result
+    depends only on the total order, not the sampled range bounds —
+    ``order_cols`` must be a total order (include a tiebreaker).  The
+    classic consumer is the 2-D skyline: a point is non-dominated iff the
+    running min of dim-2 over all better dim-1 points exceeds its own.
+    """
+    from pyspark.sql import Window
+
+    parts = df.repartitionByRange(num_ranges, *order_cols)
+    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    totals = tagged.groupBy("__pid").agg(F.min(min_col).alias("__pmin"))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select("__pid", F.min("__pmin").over(wo).alias("__min_off"))
+    wp = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = (
+        tagged.withColumn("__pm", F.min(min_col).over(wp))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn("__prior_min", F.least("__pm", "__min_off"))
+    )
+    return out.drop("__pid", "__pm", "__min_off")

@@ -241,6 +241,7 @@ from . import (  # noqa: E402, F401
     registry_dedup,
     registry_extensions,
     registry_relational,
+    registry_round4,
     registry_search,
     registry_text,
 )

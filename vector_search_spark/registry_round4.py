@@ -1,0 +1,999 @@
+"""Round-4 registry additions: ML-pipeline evaluation + sketch operators.
+
+Five families, all bit-exact against DuckDB (house invariants: md5-derived
+pseudo-randomness only, integer/cents accumulators, per-term micro
+quantization BEFORE any float sum, one round4 on every emitted float,
+identical operand order in both engines):
+
+- ``ips_policy_value``     — off-policy evaluation (IPS / SNIPS / ESS) of a
+                             target action policy from logged events.
+- ``calibration_bins``     — reliability diagram + per-bin calibration gap
+                             for a deterministic document-quality scorer.
+- ``annotator_agreement``  — Cohen's kappa between two synthetic annotators
+                             (integer contingency math, one final division).
+- ``kmv_distinct_overlap`` — K-minimum-values (theta) sketches per event
+                             type + pairwise intersection/Jaccard estimates
+                             vs exact audits.
+- ``bloom_fp_audit``       — deterministic Bloom-filter membership probe
+                             with exact false-positive accounting.
+
+The reference (p1va/3-2-1-vector-search) has no evaluation or sketch
+surface at all (SURVEY.md §2.6); these extend the north-star
+training-data-pipeline families (sketches: operators/sketches.py; A/B +
+drift: registry_analytics.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import round4
+from .registry import register
+from .sources.tables import load_table as __load
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return __load(spark, sf_dir, name)
+
+
+def _h64(prefix: str, col):
+    """60-bit positive integer from md5(prefix || col) — the house
+    cross-engine hash (DuckDB: ('0x' || substr(md5(...), 1, 15))::BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def _h32(prefix: str, col):
+    """32-bit variant (8 hex digits) for mod-bucket draws."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation: IPS / SNIPS / effective sample size.
+# ---------------------------------------------------------------------------
+@register(
+    "ips_policy_value",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, floor(value*100 + 0.5)::BIGINT AS cents FROM events),
+    tot AS (SELECT count(*)::BIGINT AS n, count(DISTINCT event_type)::BIGINT AS k
+            FROM base),
+    acts AS (
+      SELECT event_type, count(*)::BIGINT AS n_a, sum(cents)::BIGINT AS r_a
+      FROM base GROUP BY 1),
+    terms AS (
+      SELECT
+        floor((CASE WHEN a.event_type = 'purchase' THEN 0.5
+                    ELSE 0.5 / (t.k - 1) END)
+              * (t.n::DOUBLE / a.n_a) * (a.r_a / 100.0) / t.n * 1000000 + 0.5
+             )::BIGINT AS ips_micro,
+        floor((CASE WHEN a.event_type = 'purchase' THEN 0.5
+                    ELSE 0.5 / (t.k - 1) END)
+              * (t.n::DOUBLE / a.n_a) * a.n_a * 1000000 + 0.5)::BIGINT AS w_micro,
+        floor((CASE WHEN a.event_type = 'purchase' THEN 0.5
+                    ELSE 0.5 / (t.k - 1) END)
+              * (t.n::DOUBLE / a.n_a)
+              * (CASE WHEN a.event_type = 'purchase' THEN 0.5
+                      ELSE 0.5 / (t.k - 1) END)
+              * (t.n::DOUBLE / a.n_a) * a.n_a * 1000000 + 0.5)::BIGINT AS w2_micro
+      FROM acts a CROSS JOIN tot t),
+    s AS (
+      SELECT sum(ips_micro)::BIGINT AS ips_u, sum(w_micro)::BIGINT AS w_u,
+             sum(w2_micro)::BIGINT AS w2_u
+      FROM terms)
+    SELECT t.n AS n_events, t.k AS n_actions,
+           floor((s.ips_u / 1000000.0) * 10000 + 0.5) / 10000.0 AS ips_value,
+           floor(((s.ips_u::DOUBLE / s.w_u) * t.n) * 10000 + 0.5) / 10000.0
+             AS snips_value,
+           floor(((s.w_u::DOUBLE * s.w_u) / (s.w2_u::DOUBLE * 1000000.0))
+                 * 10000 + 0.5) / 10000.0 AS ess
+    FROM s CROSS JOIN tot t
+    """,
+)
+def q_ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a counterfactual action policy from the
+    logged `events` stream — the estimator a training-data pipeline uses to
+    score a new ranking/serving policy before deployment (no reference
+    counterpart; evaluation-family extension).
+
+    Logged (behavior) propensity is the empirical action frequency
+    p_b(a) = n_a/N; the target policy puts 1/2 on 'purchase' and splits
+    1/2 uniformly over the other K-1 actions.  Emits the IPS value
+    (1/N)Σ r_i·π(a_i)/p_b(a_i), the self-normalized SNIPS value, and the
+    effective sample size (Σw)²/Σw².
+
+    Because propensities are per-ACTION constants, every per-event sum
+    collapses to a per-action term: one groupBy(event_type) with cents
+    sums (map-side combined, K output rows), then K float terms quantized
+    to integer micro-units BEFORE the final sum — the house pattern that
+    makes the float fold partitioning-invariant.  At 100 TB this is a
+    single partial-agg'd scan; nothing else shuffles.
+    """
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("k"),
+    )
+    acts = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum("cents").cast("long").alias("r_a"),
+    )
+    pi = F.when(F.col("event_type") == "purchase", F.lit(0.5)).otherwise(
+        F.lit(0.5) / (F.col("k") - 1)
+    )
+    w = pi * (F.col("n").cast("double") / F.col("n_a"))
+    terms = acts.crossJoin(F.broadcast(tot)).select(
+        F.floor(w * (F.col("r_a") / 100.0) / F.col("n") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("ips_micro"),
+        F.floor(w * F.col("n_a") * 1_000_000 + F.lit(0.5)).cast("long").alias("w_micro"),
+        F.floor(w * w * F.col("n_a") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("w2_micro"),
+    )
+    s = terms.agg(
+        F.sum("ips_micro").cast("long").alias("ips_u"),
+        F.sum("w_micro").cast("long").alias("w_u"),
+        F.sum("w2_micro").cast("long").alias("w2_u"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_actions"),
+        round4(F.col("ips_u") / 1_000_000.0).alias("ips_value"),
+        round4((F.col("ips_u").cast("double") / F.col("w_u")) * F.col("n")).alias(
+            "snips_value"
+        ),
+        round4(
+            (F.col("w_u").cast("double") * F.col("w_u"))
+            / (F.col("w2_u").cast("double") * 1_000_000.0)
+        ).alias("ess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration / reliability bins for a deterministic quality scorer.
+# ---------------------------------------------------------------------------
+@register(
+    "calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('cal:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              % 10000) AS p_tenk,
+             CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END AS label
+      FROM documents),
+    binned AS (
+      SELECT CASE WHEN p_tenk >= 9000 THEN 9 ELSE p_tenk // 1000 END AS bin,
+             p_tenk, label
+      FROM scored)
+    SELECT bin::INTEGER AS bin, count(*)::BIGINT AS n,
+           floor((sum(p_tenk)::BIGINT / (count(*) * 10000.0)) * 10000 + 0.5)
+             / 10000.0 AS avg_pred,
+           floor((sum(label)::BIGINT::DOUBLE / count(*)) * 10000 + 0.5)
+             / 10000.0 AS frac_pos,
+           floor(abs(sum(p_tenk)::BIGINT / (count(*) * 10000.0)
+                     - sum(label)::BIGINT::DOUBLE / count(*)) * 10000 + 0.5)
+             / 10000.0 AS gap
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a deterministic pseudo-classifier over
+    `documents`: predicted probability = md5-uniform in [0,1) (exact
+    1/10000 rationals), outcome = length-based quality label.  Ten
+    equal-width bins emit count, mean prediction, empirical positive rate,
+    and |calibration gap| — the standard model-QC readout a data pipeline
+    runs on every scored corpus snapshot (evaluation-family extension; no
+    reference counterpart).
+
+    Exactness: predictions live on a 1/10000 grid so the per-bin sums are
+    integers; the only float ops are the two final divisions (identical
+    operand order both engines) and one subtraction on their results.
+    Scale: one partial-agg'd groupBy over 10 keys — a single scan.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        (_h32("cal:", F.col("doc_id")) % 10000).alias("p_tenk"),
+        F.when(F.col("n_chars") >= 400, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    binned = scored.withColumn(
+        "bin",
+        F.when(F.col("p_tenk") >= 9000, F.lit(9))
+        .otherwise(F.floor(F.col("p_tenk") / 1000))
+        .cast("int"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p_tenk").cast("long").alias("sp"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    avg_pred = F.col("sp") / (F.col("n") * 10000.0)
+    frac_pos = F.col("pos").cast("double") / F.col("n")
+    return agg.select(
+        "bin",
+        "n",
+        round4(avg_pred).alias("avg_pred"),
+        round4(frac_pos).alias("frac_pos"),
+        round4(F.abs(avg_pred - frac_pos)).alias("gap"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement: Cohen's kappa, integer contingency math.
+# ---------------------------------------------------------------------------
+@register(
+    "annotator_agreement",
+    oracle="""
+    WITH ann AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('an1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 3)
+               AS a1,
+             CASE WHEN (('0x' || substr(md5('an2:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                        % 10) < 7
+                  THEN (('0x' || substr(md5('an1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 3)
+                  ELSE (('0x' || substr(md5('an3:' || doc_id::VARCHAR), 1, 8))::BIGINT % 3)
+             END AS a2
+      FROM documents),
+    marg AS (
+      SELECT sum(CASE WHEN a1 = a2 THEN 1 ELSE 0 END)::BIGINT AS agree,
+             count(*)::BIGINT AS n
+      FROM ann),
+    pe AS (
+      SELECT sum(n1 * n2)::BIGINT AS cross_sum FROM (
+        SELECT k, sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM (
+          SELECT a1 AS k, count(*)::BIGINT AS c1, 0::BIGINT AS c2 FROM ann GROUP BY a1
+          UNION ALL
+          SELECT a2 AS k, 0::BIGINT, count(*)::BIGINT FROM ann GROUP BY a2)
+        GROUP BY k))
+    SELECT m.n AS n_docs,
+           floor((m.agree::DOUBLE / m.n) * 10000 + 0.5) / 10000.0 AS po,
+           floor((p.cross_sum::DOUBLE / (m.n * m.n)) * 10000 + 0.5) / 10000.0 AS pe,
+           floor(((m.n * m.agree - p.cross_sum)::DOUBLE
+                  / (m.n * m.n - p.cross_sum)) * 10000 + 0.5) / 10000.0 AS kappa
+    FROM marg m CROSS JOIN pe p
+    """,
+)
+def q_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic synthetic annotators over
+    `documents` (annotator 2 copies annotator 1 on ~70% of md5 draws, else
+    draws independently) — the label-QC statistic every human-annotation
+    batch gets before entering a training set (evaluation-family
+    extension).
+
+    kappa = (N·agree − Σ_k n1_k·n2_k) / (N² − Σ_k n1_k·n2_k): the whole
+    contingency reduces to three BIGINT scalars, so the single final
+    division is the only float op (identical operand order in both
+    engines).  Scale: two partial-agg'd scans over 3-key groups; marginals
+    merge via a tiny unioned groupBy — nothing wide anywhere.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    a1 = _h32("an1:", F.col("doc_id")) % 3
+    a2 = F.when(_h32("an2:", F.col("doc_id")) % 10 < 7, a1).otherwise(
+        _h32("an3:", F.col("doc_id")) % 3
+    )
+    ann = docs.select(a1.alias("a1"), a2.alias("a2"))
+    marg = ann.agg(
+        F.sum(F.when(F.col("a1") == F.col("a2"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    m1 = ann.groupBy(F.col("a1").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    ).withColumn("c2", F.lit(0).cast("long"))
+    m2 = ann.groupBy(F.col("a2").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    ).withColumn("c1", F.lit(0).cast("long"))
+    pe = (
+        m1.select("k", "c1", "c2")
+        .unionByName(m2.select("k", "c1", "c2"))
+        .groupBy("k")
+        .agg(F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2"))
+        .agg(F.sum(F.col("n1") * F.col("n2")).cast("long").alias("cross_sum"))
+    )
+    return marg.crossJoin(F.broadcast(pe)).select(
+        F.col("n").alias("n_docs"),
+        round4(F.col("agree").cast("double") / F.col("n")).alias("po"),
+        round4(F.col("cross_sum").cast("double") / (F.col("n") * F.col("n"))).alias(
+            "pe"
+        ),
+        round4(
+            (F.col("n") * F.col("agree") - F.col("cross_sum")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("cross_sum"))
+        ).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (theta) sketch: per-type distinct estimates + pairwise overlap.
+# ---------------------------------------------------------------------------
+_KMV_K = 128
+_KMV_H = 16**15  # hash domain size: 60-bit md5 prefix
+
+
+@register(
+    "kmv_distinct_overlap",
+    oracle=f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM events),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM uh),
+    sk AS (SELECT event_type, h, rk FROM ranked WHERE rk <= {_KMV_K}),
+    theta AS (
+      SELECT event_type,
+             CASE WHEN max(rk) < {_KMV_K} THEN {_KMV_H}::BIGINT
+                  ELSE max(h) END AS theta,
+             count(*)::BIGINT AS sk_n
+      FROM sk GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             least(a.theta, b.theta) AS th
+      FROM theta a JOIN theta b ON a.event_type < b.event_type),
+    pa AS (
+      SELECT p.type_a, p.type_b, p.th, s.h
+      FROM pairs p JOIN sk s ON s.event_type = p.type_a AND s.h < p.th),
+    pb AS (
+      SELECT p.type_a, p.type_b, p.th, s.h
+      FROM pairs p JOIN sk s ON s.event_type = p.type_b AND s.h < p.th),
+    inter AS (
+      SELECT pa.type_a, pa.type_b, count(*)::BIGINT AS n_inter
+      FROM pa JOIN pb ON pa.type_a = pb.type_a AND pa.type_b = pb.type_b
+                     AND pa.h = pb.h
+      GROUP BY 1, 2),
+    uni AS (
+      SELECT type_a, type_b, count(DISTINCT h)::BIGINT AS n_union FROM (
+        SELECT type_a, type_b, h FROM pa
+        UNION ALL SELECT type_a, type_b, h FROM pb)
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             count(*)::BIGINT AS exact_inter
+      FROM (SELECT DISTINCT event_type, user_id FROM events) x
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b,
+           coalesce(e.exact_inter, 0)::BIGINT AS exact_inter,
+           floor((coalesce(i.n_inter, 0) * ({_KMV_H}::DOUBLE / p.th))
+                 * 10000 + 0.5) / 10000.0 AS est_inter,
+           floor((coalesce(i.n_inter, 0)::DOUBLE
+                  / CASE WHEN coalesce(u.n_union, 0) = 0 THEN 1
+                         ELSE u.n_union END) * 10000 + 0.5) / 10000.0
+             AS est_jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+    LEFT JOIN uni u ON u.type_a = p.type_a AND u.type_b = p.type_b
+    LEFT JOIN exact e ON e.type_a = p.type_a AND e.type_b = p.type_b
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def q_kmv_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values (theta) sketches over distinct users per event
+    type, then PAIRWISE intersection and Jaccard estimates from the
+    sketches alone — the set-operation sketch family (Theta sketches) that
+    HLL cannot provide (HLL unions but never intersects; see
+    operators/sketches.py for the HLL leg).  The exact intersection rides
+    along as the audit column.
+
+    Mergeability/scale: a KMV sketch is the K smallest 60-bit md5 values —
+    per-type state is bounded at K=128 rows, built with one
+    partial-agg'd distinct + per-type bounded window (5 types × ≤128
+    rows); every pairwise estimate then runs on the ≤640-row sketch table
+    (driver-broadcast-size).  The exact audit uses a per-user type-set
+    groupBy (≤5 types per user, never a pair explosion over users).
+    est_inter = |A∩B below θ| · (H/θ), θ = min(θ_A, θ_B) — one float
+    multiply per pair row, round4 at the end.
+    """
+    ev = _t(spark, sf_dir, "events")
+    uh = ev.select(
+        "event_type", _h64("kmv:", F.col("user_id")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = uh.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _KMV_K)
+    sk = sk.persist()
+    theta = sk.groupBy("event_type").agg(
+        F.when(F.max("rk") < _KMV_K, F.lit(_KMV_H).cast("long"))
+        .otherwise(F.max("h"))
+        .alias("theta"),
+    )
+    pairs = (
+        theta.alias("a")
+        .join(theta.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.least(F.col("a.theta"), F.col("b.theta")).alias("th"),
+        )
+    )
+    pa = pairs.join(
+        sk.select(F.col("event_type").alias("type_a"), "h"), "type_a"
+    ).filter(F.col("h") < F.col("th"))
+    pb = pairs.join(
+        sk.select(F.col("event_type").alias("type_b"), "h"), "type_b"
+    ).filter(F.col("h") < F.col("th"))
+    inter = (
+        pa.select("type_a", "type_b", "h")
+        .join(pb.select("type_a", "type_b", "h"), ["type_a", "type_b", "h"])
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    uni = (
+        pa.select("type_a", "type_b", "h")
+        .unionByName(pb.select("type_a", "type_b", "h"))
+        .distinct()
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union"))
+    )
+    # exact audit: per-user sorted type set -> unordered type pairs
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    upairs = per_user.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("types"),
+                        lambda x: F.transform(
+                            F.col("types"), lambda y: F.struct(x.alias("ta"), y.alias("tb"))
+                        ),
+                    )
+                ),
+                lambda s: s.ta < s.tb,
+            )
+        ).alias("p")
+    )
+    exact = upairs.groupBy(
+        F.col("p.ta").alias("type_a"), F.col("p.tb").alias("type_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    out = (
+        pairs.join(inter, ["type_a", "type_b"], "left")
+        .join(uni, ["type_a", "type_b"], "left")
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce(F.col("exact_inter"), F.lit(0)).cast("long").alias("exact_inter"),
+            round4(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                * (F.lit(float(_KMV_H)) / F.col("th"))
+            ).alias("est_inter"),
+            round4(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / F.when(F.coalesce(F.col("n_union"), F.lit(0)) == 0, F.lit(1))
+                .otherwise(F.col("n_union"))
+            ).alias("est_jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership probe with exact false-positive audit.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 8192
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(expr: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT uid, ('0x' || substr(md5('bf{j}:' || uid::VARCHAR), 1, 15))::BIGINT"
+        f" % {_BLOOM_M} AS pos FROM {expr}"
+        for j in range(_BLOOM_K)
+    )
+
+
+@register(
+    "bloom_fp_audit",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT user_id AS uid FROM events WHERE event_type = 'purchase'),
+    probes AS (
+      SELECT DISTINCT user_id AS uid FROM events WHERE event_type = 'click'
+      UNION
+      SELECT DISTINCT user_id + 5000000 AS uid FROM events
+      WHERE event_type = 'click'),
+    bits AS (
+      SELECT DISTINCT pos FROM ({_bloom_pos_sql('members')})),
+    probe_pos AS ({_bloom_pos_sql('probes')}),
+    hits AS (
+      SELECT p.uid, count(DISTINCT p.pos)::BIGINT AS set_pos,
+             sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hit
+      FROM (SELECT DISTINCT uid, pos FROM probe_pos) p
+      LEFT JOIN bits b ON p.pos = b.pos
+      GROUP BY 1),
+    verdicts AS (
+      SELECT h.uid, CASE WHEN h.hit = h.set_pos THEN 1 ELSE 0 END AS positive,
+             CASE WHEN m.uid IS NOT NULL THEN 1 ELSE 0 END AS is_member
+      FROM hits h LEFT JOIN members m ON h.uid = m.uid)
+    SELECT (SELECT count(*) FROM members)::BIGINT AS n_members,
+           count(*)::BIGINT AS n_probes,
+           (SELECT count(*) FROM bits)::BIGINT AS n_bits_set,
+           sum(positive)::BIGINT AS n_positive,
+           sum(is_member)::BIGINT AS n_true_members,
+           sum(CASE WHEN positive = 1 AND is_member = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_false_pos,
+           CASE WHEN count(*) - sum(is_member) = 0 THEN 0.0 ELSE
+             floor((sum(CASE WHEN positive = 1 AND is_member = 0 THEN 1 ELSE 0 END)::DOUBLE
+                    / (count(*) - sum(is_member))) * 10000 + 0.5) / 10000.0
+           END AS fp_rate,
+           floor(pow((SELECT count(*) FROM bits)::DOUBLE / {_BLOOM_M}, {_BLOOM_K})
+                 * 10000 + 0.5) / 10000.0 AS predicted_fp_rate
+    FROM verdicts
+    """,
+)
+def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom filter (m=8192 bits, k=3 md5-derived
+    hash functions) built over purchase users and probed with click users
+    plus an id-shifted synthetic cohort of guaranteed non-members (so the
+    false-positive denominator is never empty),
+    with EXACT false-positive accounting and the analytic (bits/m)^k
+    prediction side by side — the membership-pruning primitive behind
+    runtime bloom joins (plan-gated in test_plan_quality.py) expressed as
+    an auditable query (sketch-family extension; no reference
+    counterpart).
+
+    Scale: member side folds to ≤m distinct bit positions (one
+    partial-agg'd distinct on an integer key — the filter itself is m/8
+    bytes and broadcastable); probes explode to k=3 integer positions and
+    probe via a broadcast join on the bits table.  No user×user
+    comparisons anywhere; the exact audit is one more broadcast
+    (anti-)join on the bounded member set.
+    """
+    ev = _t(spark, sf_dir, "events")
+    members = (
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("uid")
+        ).distinct()
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    probes = (
+        clicks.select(F.col("user_id").alias("uid"))
+        .union(clicks.select((F.col("user_id") + 5000000).alias("uid")))
+        .distinct()
+    )
+
+    def positions(df: DataFrame) -> DataFrame:
+        pos = [
+            (_h64(f"bf{j}:", F.col("uid")) % _BLOOM_M).alias("pos")
+            for j in range(_BLOOM_K)
+        ]
+        return df.select("uid", F.explode(F.array(*pos)).alias("pos"))
+
+    bits = positions(members).select("pos").distinct()
+    probe_pos = positions(probes).distinct()
+    hits = (
+        probe_pos.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("uid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("set_pos"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("hit"),
+        )
+    )
+    verdicts = hits.join(
+        F.broadcast(members.withColumn("is_m", F.lit(1))), "uid", "left"
+    ).select(
+        F.when(F.col("hit") == F.col("set_pos"), 1).otherwise(0).alias("positive"),
+        F.coalesce(F.col("is_m"), F.lit(0)).alias("is_member"),
+    )
+    n_members = members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    agg = verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("positive").cast("long").alias("n_positive"),
+        F.sum("is_member").cast("long").alias("n_true_members"),
+        F.sum(
+            F.when((F.col("positive") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_members",
+            "n_probes",
+            "n_bits_set",
+            "n_positive",
+            "n_true_members",
+            "n_false_pos",
+            F.when(
+                F.col("n_probes") - F.col("n_true_members") == 0, F.lit(0.0)
+            )
+            .otherwise(
+                round4(
+                    F.col("n_false_pos").cast("double")
+                    / (F.col("n_probes") - F.col("n_true_members"))
+                )
+            )
+            .alias("fp_rate"),
+            round4(
+                F.pow(F.col("n_bits_set").cast("double") / _BLOOM_M, F.lit(_BLOOM_K))
+            ).alias("predicted_fp_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) via distributed prefix-min.
+# ---------------------------------------------------------------------------
+@register(
+    "skyline_orders",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey, floor(o_totalprice*100 + 0.5)::BIGINT AS cents,
+             o_orderdate AS d
+      FROM orders),
+    mins AS (
+      SELECT o_orderkey, cents, d,
+             min(d) OVER (ORDER BY cents DESC, d ASC, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pm
+      FROM pts)
+    SELECT o_orderkey,
+           floor((cents / 100.0) * 10000 + 0.5) / 10000.0 AS price,
+           d AS o_orderdate
+    FROM mins WHERE pm IS NULL OR pm > d
+    ORDER BY o_orderdate, o_orderkey
+    """,
+)
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) operator: orders not dominated by any
+    other order on (totalprice max, orderdate min) — "no earlier order was
+    also worth more".  A classic OLAP operator the reference lacks
+    entirely (SURVEY.md §2.6: no joins/aggregates at all); Spark has no
+    built-in skyline, so this is the canonical 2-D reduction: sort by
+    dim-1 DESC and a point is in the skyline iff the running MIN of dim-2
+    over all strictly-better dim-1 points exceeds its own.
+
+    Scale: the running min uses partitioning.global_prefix_min — a range
+    exchange + per-range window + a 32-row broadcast prefix table — NEVER
+    a partition-less window (the one-task sort trap).  Dominance math is
+    on exact integer cents; (cents, date, orderkey) is a total order so
+    the prefix min is partitioning-invariant (covered by the invariance
+    suite).
+    """
+    from .partitioning import global_prefix_min
+
+    orders = _t(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.col("o_orderdate").alias("d"),
+    )
+    g = global_prefix_min(
+        pts,
+        [F.col("cents").desc(), F.col("d").asc(), F.col("o_orderkey").asc()],
+        "d",
+    )
+    return (
+        g.filter(F.col("__prior_min").isNull() | (F.col("__prior_min") > F.col("d")))
+        .select(
+            "o_orderkey",
+            round4(F.col("cents") / 100.0).alias("price"),
+            F.col("d").alias("o_orderdate"),
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximal duplicated-substring runs between near-dup documents
+# (gaps-and-islands over shared token-block positions).
+# ---------------------------------------------------------------------------
+_RUN_BLOCK = 16
+_RUN_MAXDOCS = 50
+
+
+@register(
+    "dup_substring_runs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS ord
+      FROM documents),
+    blocks AS (
+      SELECT doc_id, (ord - 1) // {_RUN_BLOCK} AS block_id,
+             md5(string_agg(tok, ' ' ORDER BY ord)) AS block_hash
+      FROM toks GROUP BY 1, 2),
+    freq AS (
+      SELECT block_hash FROM (
+        SELECT block_hash, count(DISTINCT doc_id) AS n_docs
+        FROM blocks GROUP BY 1)
+      WHERE n_docs BETWEEN 2 AND {_RUN_MAXDOCS}),
+    hits AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.block_id AS pos_a, y.block_id AS pos_b
+      FROM blocks x
+      JOIN freq f ON x.block_hash = f.block_hash
+      JOIN blocks y ON x.block_hash = y.block_hash AND x.doc_id < y.doc_id),
+    isl AS (
+      SELECT doc_a, doc_b, pos_a, pos_b,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp,
+             pos_a - pos_b AS diag
+      FROM hits),
+    runs AS (
+      SELECT doc_a, doc_b, diag, grp, count(*)::BIGINT AS run_len
+      FROM isl GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b,
+           count(*)::BIGINT AS n_runs,
+           max(run_len)::BIGINT AS longest_run,
+           sum(run_len)::BIGINT AS n_shared_blocks
+    FROM runs GROUP BY 1, 2
+    HAVING sum(run_len) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring RUNS between document pairs: where
+    sub-document block dedup (subdoc_block_dedup) scores isolated repeated
+    16-token blocks, this merges diagonally-consecutive shared blocks into
+    maximal runs — the scalable stand-in for suffix-array substring dedup
+    (Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better"): a shared run of r blocks certifies a duplicated substring of
+    ~r*16 tokens.  Emits per-pair run count, longest run, and total shared
+    blocks.
+
+    Scale: pair generation is keyed on the 16-byte block hash (never a
+    doc×doc join) and pre-filtered to hashes in 2..50 docs — the same
+    df-bound that keeps token_pair_lift's square bounded; ubiquitous
+    boilerplate blocks are excluded BEFORE the join (they belong to
+    boilerplate_ngrams, not pair evidence).  The gaps-and-islands window
+    partitions by (pair, diagonal) — bounded by document length, no
+    global sort anywhere.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    blocks = (
+        toks.withColumn("block_id", F.expr(f"pos DIV {_RUN_BLOCK}"))
+        .groupBy("doc_id", "block_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s.tok,
+                    ),
+                    " ",
+                )
+            ).alias("block_hash")
+        )
+    )
+    freq = (
+        blocks.groupBy("block_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= _RUN_MAXDOCS))
+        .select("block_hash")
+    )
+    fb = blocks.join(freq, "block_hash")
+    hits = (
+        fb.alias("x")
+        .join(
+            fb.alias("y"),
+            (F.col("x.block_hash") == F.col("y.block_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.block_id").alias("pos_a"),
+            F.col("y.block_id").alias("pos_b"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", F.col("pos_a") - F.col("pos_b")).orderBy(
+        "pos_a"
+    )
+    isl = hits.select(
+        "doc_a",
+        "doc_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        (F.col("pos_a") - F.row_number().over(w)).alias("grp"),
+    )
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.sum("run_len").cast("long").alias("n_shared_blocks"),
+        )
+        .filter(F.col("n_shared_blocks") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling) on the near-dup graph.
+# ---------------------------------------------------------------------------
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    from .registry_dedup import (
+        _SQL_BAND_KEYS,
+        _SQL_CAND,
+        _SQL_SHINGLES,
+        _SQL_SIG,
+        _SQL_VERIFIED_BLOCK,
+    )
+
+    rounds = []
+    for r in range(_KCORE_ROUNDS):
+        rounds.append(
+            f"d{r} AS (SELECT a, count(*)::BIGINT AS deg FROM e{r} GROUP BY a),\n"
+            f"    a{r} AS (SELECT a FROM d{r} WHERE deg >= {_KCORE_K}),\n"
+            f"    e{r + 1} AS (SELECT e.a, e.b FROM e{r} e"
+            f" JOIN a{r} x ON e.a = x.a JOIN a{r} y ON e.b = y.a)"
+        )
+    last = _KCORE_ROUNDS
+    return f"""
+    WITH {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    {_SQL_VERIFIED_BLOCK},
+    e0 AS (SELECT id_1 AS a, id_2 AS b FROM verified
+           UNION ALL SELECT id_2, id_1 FROM verified),
+    {",".join(rounds)}
+    SELECT a AS doc_id, count(*)::BIGINT AS core_degree
+    FROM e{last} GROUP BY a ORDER BY doc_id
+    """
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the verified near-duplicate graph by fixed-round peeling
+    (3 rounds): repeatedly drop nodes with degree < 2 and the edges that
+    touch them, then emit the survivors with their residual degree.  The
+    graph-analytics companion to dedup_clusters / dup_graph_pagerank /
+    dup_graph_triangles: the k-core separates genuinely interlinked
+    template families (every member has >= k near-dup partners even after
+    peeling) from star-shaped accretion around one hub doc.  Fixed round
+    count (not to-convergence) keeps both engines bit-identical by
+    construction; on the fixture the peeling converges within 3 rounds.
+
+    Scale: each round is one partial-agg'd degree count over the
+    (near-dup-edge-sized) pair table plus two semi-joins against the
+    shrinking alive set — the same per-round economics as the unrolled
+    pagerank, over an edge table that only ever shrinks.  Eager
+    localCheckpoint between rounds keeps the logical plan constant-size
+    (the iterative-Spark lineage trap).
+    """
+    from .registry_dedup import _shared_verified_pairs
+
+    pairs = _shared_verified_pairs(spark, sf_dir).select("id_1", "id_2")
+    edges = pairs.select(
+        F.col("id_1").alias("a"), F.col("id_2").alias("b")
+    ).unionByName(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= _KCORE_K).select("a")
+        edges = (
+            edges.join(alive, "a")
+            .join(alive.withColumnRenamed("a", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("a").alias("doc_id"), "core_degree")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy counts: two-sided geometric mechanism with
+# alpha = 1/2 (epsilon = ln 2), exact dyadic inverse-CDF — pure integers.
+# ---------------------------------------------------------------------------
+_DP_BITS = 20
+_DP_M = 3 * (1 << _DP_BITS)  # uniform domain: thresholds are exact integers
+
+
+def _dp_rungs() -> list[tuple[int, int]]:
+    """(upper_bound, noise) ladder over u in [0, M): P(0) = 1/3,
+    P(+-j) = (1/3) * 2^-j — the discrete (geometric) Laplace distribution
+    with alpha = 1/2, whose CDF is exactly representable in integers."""
+    rungs = [(1 << _DP_BITS, 0)]
+    off = 1 << _DP_BITS
+    for j in range(1, _DP_BITS + 1):
+        w = 1 << (_DP_BITS - j)
+        off += w
+        rungs.append((off, j))
+        off += w
+        rungs.append((off, -j))
+    return rungs
+
+
+def _dp_noise_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {hi} THEN {noise}" for hi, noise in _dp_rungs()
+    )
+    return f"CASE {cases} ELSE 0 END"
+
+
+def _dp_noise_col(u):
+    expr = None
+    for hi, noise in _dp_rungs():
+        cond = u < hi
+        expr = F.when(cond, noise) if expr is None else expr.when(cond, noise)
+    return expr.otherwise(F.lit(0))
+
+
+@register(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, count(*)::BIGINT AS true_count FROM documents GROUP BY 1),
+    noised AS (
+      SELECT source, true_count,
+             {_dp_noise_sql(f"(('0x' || substr(md5('dp:' || source), 1, 15))::BIGINT % {_DP_M})")}
+               AS noise
+      FROM g)
+    SELECT source, true_count, noise::BIGINT AS noise,
+           greatest(true_count + noise, 0)::BIGINT AS noisy_count,
+           0.6931::DOUBLE AS epsilon
+    FROM noised ORDER BY source
+    """,
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-source document counts via the two-sided
+    geometric (discrete Laplace) mechanism with alpha = 1/2 (epsilon =
+    ln 2 ~ 0.6931) — the release primitive for sharing corpus composition
+    stats without exposing exact counts (privacy-family extension; no
+    reference counterpart).
+
+    The draw is an exact inverse-CDF on a md5-uniform integer in
+    [0, 3*2^20): with alpha = 1/2 every CDF threshold is an exact integer
+    (P(0) = 1/3, P(+-j) = 2^-j/3), so the WHOLE mechanism is integer
+    compares — no ln/exp anywhere, hence bit-exact across engines (the
+    same trick as the precomputed-lambda exp-decay weights).  The ladder
+    is generated ONCE in Python and rendered into both the Spark plan and
+    the oracle SQL.  Deterministic per source (seeded by the group key):
+    reproducible releases, as a pipeline would pin a noise seed per
+    snapshot.
+
+    Scale: one partial-agg'd groupBy + a codegen'd CASE ladder — a single
+    scan.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    u = _h64("dp:", F.col("source")) % _DP_M
+    noised = g.withColumn("noise", _dp_noise_col(u).cast("long"))
+    return noised.select(
+        "source",
+        "true_count",
+        "noise",
+        F.greatest(F.col("true_count") + F.col("noise"), F.lit(0))
+        .cast("long")
+        .alias("noisy_count"),
+        F.lit(0.6931).alias("epsilon"),
+    ).orderBy("source")
