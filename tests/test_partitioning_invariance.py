@@ -77,6 +77,7 @@ QUERIES = [
     "bloom_fp_audit",
     "skyline_orders",
     "dup_substring_runs",
+    "ann_ivfpq_topk",
 ]
 
 REGIMES = [

@@ -221,3 +221,33 @@ def test_ips_reduces_to_reward_mean_under_logging_policy(spark):
     assert lo - 0.01 <= row.snips_value <= hi + 0.01
     assert 0 < row.ess <= row.n_events
     assert mean_reward == pytest.approx(mean_reward)
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """IVF-PQ top-10 recall vs exact brute force. The isotropic fixture is
+    ANN's worst case (see the SRP note in test_multimodal_ann): nprobe=4 of
+    16 cells scans ~25% of the corpus, so random-baseline recall would be
+    ~0.25; the floor guards the composition (probe + ADC + rescore)
+    against wiring bugs, while WHAT it returns is pinned bit-exactly by
+    the `ann_ivfpq_topk` oracle."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.knn import similarity_join
+    from vector_search_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_TEST, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity_join(emb, queries, k=10)
+    approx = registry.QUERIES["ann_ivfpq_topk"](spark, SF_TEST)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall
+    # every returned row that IS a true neighbor carries the exact score
+    ex_scores = {(r["query_id"], r["vec_id"]): r["score"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in ex_scores:
+            assert abs(ex_scores[key] - r["score"]) < 1e-4

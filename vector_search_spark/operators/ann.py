@@ -684,3 +684,162 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "raw", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted-file pruning composed with PQ asymmetric-distance
+# scoring — the FAISS "IVFx,PQy" layout.  Unlike ivf_topk (Lloyd-refined
+# centroids, numpy assignment, hence rows-only checked), the coarse
+# quantizer here is the same reproducible hash-sample used by pq_codebook,
+# so the ENTIRE composed index — cell assignment, probe set, ADC scores,
+# candidate ranks — is SQL-expressible and verified bit-exactly in DuckDB.
+# ---------------------------------------------------------------------------
+IVFPQ_CELLS = 16     # coarse cells (hash-sampled corpus rows)
+IVFPQ_NPROBE = 4     # cells probed per query
+IVFPQ_RESCORE = 40   # ADC candidates exact-rescored per query
+
+
+def coarse_cells(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(cell, cenvec): IVFPQ_CELLS corpus rows with smallest
+    (md5('ivf:'||id), id) — a distinct seed from pq_codebook so the coarse
+    and fine quantizers sample independent rows."""
+    key = F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string")))
+    return (
+        emb.select(F.col(id_col), F.col(vec_col), key.alias("__k"))
+        .orderBy("__k", id_col)
+        .limit(IVFPQ_CELLS)
+        .select(
+            (F.row_number().over(Window.orderBy("__k", id_col)) - 1).alias("cell"),
+            F.col(vec_col).alias("cenvec"),
+        )
+    )
+
+
+def coarse_assign(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): nearest coarse centroid by squared L2 via the
+    |c|² − 2a·c identity (|a|² cancels in argmin), ties on cell — the
+    lexicographic F.min(struct(d, cell)) ≡ DuckDB first(cell ORDER BY d,
+    cell).  Broadcast nested-loop over IVFPQ_CELLS rows; at 100 TB this
+    assignment is the partition key of the index table
+    (write.partitionBy(cell) ⇒ probes become partition pruning)."""
+    cc = dot_product(F.col("cenvec"), F.col("cenvec"))
+    ac = dot_product(F.col(vec_col), F.col("cenvec"))
+    return (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .select(id_col, "cell", (cc - 2.0 * ac).alias("d"))
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("d"), F.col("cell"))).getField("cell").alias("cell")
+        )
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = IVFPQ_NPROBE,
+    rescore: int = IVFPQ_RESCORE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Composed IVF-PQ search: probe the ``nprobe`` nearest coarse cells
+    per query (same L2 identity as assignment), ADC-score ONLY the
+    vectors assigned to probed cells via the PQ LUT, exact-rescore the
+    top-``rescore``, emit top-k.
+
+    Scale: the ADC scan touches |corpus|·nprobe/IVFPQ_CELLS code rows
+    (8 bytes/vector) instead of the corpus — the multiplicative
+    composition of IVF's pruning and PQ's compression; every
+    centroid/LUT/query relation broadcasts, candidates stay narrow id
+    rows, and both windows are WindowGroupLimit-bounded."""
+    qids = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    cc = dot_product(F.col("cenvec"), F.col("cenvec"))
+    qc = dot_product(F.col("qvec"), F.col("cenvec"))
+    wp = Window.partitionBy("qid").orderBy("d", "cell")
+    probe = (
+        qids.crossJoin(F.broadcast(cents))
+        .select("qid", "cell", (cc - 2.0 * qc).alias("d"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cell")
+    )
+    cand_ids = assign.join(F.broadcast(probe), "cell").select("qid", id_col)
+
+    lut_long = (
+        qids.crossJoin(F.broadcast(codebook))
+        .select(
+            "qid",
+            "code",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            dot_product(
+                                _sub(F.col("qvec"), s), _sub(F.col("cvec"), s)
+                            ).alias("l"),
+                        )
+                        for s in range(PQ_SUB)
+                    ]
+                )
+            ).alias("sl"),
+        )
+        .select("qid", F.col("sl.s").alias("s"), "code", F.col("sl.l").alias("l"))
+    )
+    codes_long = codes.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.col(f"c{s}").alias("code"))
+                    for s in range(PQ_SUB)
+                ]
+            )
+        ).alias("sc"),
+    ).select(id_col, F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
+    approx = (
+        cand_ids.join(codes_long, id_col)
+        .join(F.broadcast(lut_long), ["qid", "s", "code"])
+        .groupBy(id_col, "qid")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("l")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["l"],
+            ).alias("a")
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("a"), F.asc(id_col))
+    cand = (
+        approx.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= rescore)
+        .select(id_col, "qid")
+    )
+    exact = (
+        cand.join(emb.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(qids), "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col(id_col),
+            dot_product(vec_col, "qvec").alias("raw"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("raw"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "raw", "rank")
+    )
