@@ -251,3 +251,92 @@ def test_ivfpq_recall_vs_exact(spark):
         key = (r["query_id"], r["vec_id"])
         if key in ex_scores:
             assert abs(ex_scores[key] - r["score"]) < 1e-4
+
+
+def test_streaming_path_trigrams_equal_batch(spark):
+    """Drained streaming path miner == batch `top_event_paths`: identical
+    top-10 (path, n) and identical TOTAL trigram count (checked against
+    DuckDB over the same sessionization SQL)."""
+    from vector_search_spark.streaming.events import stream_events_from_parquet
+    from vector_search_spark.streaming.stateful import streaming_path_trigrams
+
+    out = streaming_path_trigrams(stream_events_from_parquet(spark, SF_TEST))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("paths_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = {
+        r.path: r.n
+        for r in spark.sql(
+            "SELECT path, count(*) AS n FROM paths_stream GROUP BY path"
+        ).collect()
+    }
+    batch = registry.QUERIES["top_event_paths"](spark, SF_TEST).collect()
+    assert batch, "batch path miner returned nothing"
+    for r in batch:  # top-10 rows agree exactly
+        assert counts.get(r.path) == r.n, (r.path, counts.get(r.path), r.n)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_TEST}/events.parquet'")
+    total = con.execute(
+        """
+        WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+                          event_type FROM events),
+        m AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                                     ORDER BY us, event_id)
+                              >= 600000000 THEN 1 ELSE 0 END AS new_s FROM e),
+        s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        tri AS (SELECT event_type || '>' || lead(event_type, 1) OVER w || '>' ||
+                       lead(event_type, 2) OVER w AS path
+                FROM s WINDOW w AS (PARTITION BY user_id, sid ORDER BY us, event_id))
+        SELECT count(*) FROM tri WHERE path IS NOT NULL
+        """
+    ).fetchone()[0]
+    assert sum(counts.values()) == total
+
+
+def test_streaming_kmv_equals_batch_sketch(spark):
+    """Drained streaming KMV sketch == the batch sketch per event type
+    (same K smallest distinct md5 values), verified against a pure-Python
+    rebuild; theta is monotone non-increasing across emissions."""
+    import hashlib
+
+    from vector_search_spark.sources.tables import load_table
+    from vector_search_spark.streaming.events import stream_events_from_parquet
+    from vector_search_spark.streaming.stateful import (
+        _KMV_STREAM_H,
+        _KMV_STREAM_K,
+        streaming_kmv_sketch,
+    )
+
+    out = streaming_kmv_sketch(stream_events_from_parquet(spark, SF_TEST))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pdf = spark.sql("SELECT * FROM kmv_stream").toPandas()
+    final = pdf.groupby("event_type").agg({"theta": "min", "sk_n": "max"})
+
+    ev = load_table(spark, SF_TEST, "events").select("event_type", "user_id").collect()
+    per_type = {}
+    for r in ev:
+        per_type.setdefault(r.event_type, set()).add(
+            int(hashlib.md5(f"kmv:{r.user_id}".encode()).hexdigest()[:15], 16)
+        )
+    for et, hs in per_type.items():
+        sk = sorted(hs)[:_KMV_STREAM_K]
+        theta = _KMV_STREAM_H if len(sk) < _KMV_STREAM_K else sk[-1]
+        assert int(final.loc[et, "sk_n"]) == len(sk)
+        assert int(final.loc[et, "theta"]) == theta
+    # monotone theta per type across emissions
+    for et, grp in pdf.groupby("event_type"):
+        thetas = list(grp["theta"])
+        assert all(a >= b for a, b in zip(thetas, thetas[1:]))

@@ -471,3 +471,98 @@ def streaming_exp_decay(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PATH_SCHEMA = "user_id long, path string"
+PATH_STATE = "last_us long, t1 string, t2 string"
+
+
+def _update_paths(key, pdfs, state: GroupState):
+    """Per-user 3-gram path completion with the batch sessionization rule
+    (gap >= 10 min starts a new session and clears the path context).
+    State: last event time + last two in-session event types — O(1)."""
+    last_us, t1, t2 = state.get if state.exists else (-1, None, None)
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for us, et in zip(pdf["ts_us"], pdf["event_type"]):
+            us = int(us)
+            if last_us >= 0 and us - last_us >= 600_000_000:
+                t1, t2 = None, None
+            if t1 is not None and t2 is not None:
+                rows.append((key[0], f"{t1}>{t2}>{et}"))
+            t1, t2 = t2, et
+            last_us = us
+    state.update((last_us, t1, t2))
+    yield pd.DataFrame(rows, columns=["user_id", "path"])
+
+
+def streaming_path_trigrams(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``top_event_paths`` mining: every
+    session-bounded three-step path emitted AS IT COMPLETES, from three
+    fields of per-user state (last event time + last two event types) —
+    the batch query's two lead() windows become a shift register.
+
+    Drained-stream counts per path equal the batch trigram counts exactly
+    (same gap rule, same strict (us, event_id) order); the stream adds
+    what batch can't give — paths surface with per-event latency, not
+    per-snapshot.  Ordering contract as the other twins: per-user
+    event-time order across micro-batches."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "user_id", "event_id", "event_type", F.expr("ts_ns DIV 1000").alias("ts_us")
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _update_paths,
+        outputStructType=PATH_SCHEMA,
+        stateStructType=PATH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+KMV_SCHEMA = "event_type string, sk_n long, theta long"
+KMV_STATE = "hashes array<long>"
+_KMV_STREAM_K = 128
+_KMV_STREAM_H = 16**15
+
+
+def _update_kmv(key, pdfs, state: GroupState):
+    """Merge each micro-batch's 60-bit md5 user hashes into the K smallest
+    distinct set — the KMV merge is a set-union + truncation, so state is
+    bounded at K longs and ANY merge order yields the same sketch."""
+    import hashlib
+
+    (hashes,) = state.get if state.exists else ([],)
+    s = set(hashes)
+    for pdf in pdfs:
+        for uid in pdf["user_id"]:
+            h = int(
+                hashlib.md5(f"kmv:{int(uid)}".encode()).hexdigest()[:15], 16
+            )
+            s.add(h)
+    merged = sorted(s)[:_KMV_STREAM_K]
+    state.update((merged,))
+    theta = _KMV_STREAM_H if len(merged) < _KMV_STREAM_K else merged[-1]
+    yield pd.DataFrame(
+        [(key[0], len(merged), theta)], columns=["event_type", "sk_n", "theta"]
+    )
+
+
+def streaming_kmv_sketch(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch KMV (theta) sketch behind
+    ``kmv_distinct_overlap``: per event type, the K=128 smallest distinct
+    md5 hash values maintained incrementally.  KMV union is commutative
+    and idempotent (set-union then truncate), so the drained stream's
+    final sketch is bit-identical to the batch sketch regardless of
+    micro-batch boundaries — the mergeability property that makes theta
+    sketches the cross-partition (and cross-stream) distinct/overlap
+    primitive.  theta is monotone non-increasing across emissions."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_kmv,
+        outputStructType=KMV_SCHEMA,
+        stateStructType=KMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
