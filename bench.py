@@ -51,7 +51,7 @@ def main() -> None:
     # Explicit setup phase: build-once artifacts shared across queries.
     from vector_search_spark.registry_dedup import (  # noqa: E402
         _shared_lsh_candidates, _shared_shingles, _shared_signatures,
-        _shared_simhash_sigs, _shared_verified_pairs,
+        _shared_simhash_sigs, _shared_token_blocks, _shared_verified_pairs,
     )
     from vector_search_spark.registry_extensions import (  # noqa: E402
         _shared_ivf_index, _shared_pq_index, _shared_sq_index, _shared_srp_index,
@@ -69,6 +69,7 @@ def main() -> None:
     _shared_simhash_sigs(spark, sf_dir)
     _shared_lsh_candidates(spark, sf_dir)
     _shared_verified_pairs(spark, sf_dir)
+    _shared_token_blocks(spark, sf_dir)
     _shared_ivf_index(spark, sf_dir)
     _shared_srp_index(spark, sf_dir)
     _shared_pq_index(spark, sf_dir)

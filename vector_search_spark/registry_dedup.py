@@ -1287,6 +1287,44 @@ def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 BLOCK_TOKENS = 16
 
+_BLOCKS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _shared_token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, block_id, block_text, n_toks, block_hash): the consecutive
+    16-token block table every sub-document operator consumes
+    (`subdoc_block_dedup`, `subdoc_dedup_rewrite`, `dup_substring_runs`) —
+    one tokenize + one bounded groupBy, built once per (session, sf_dir)
+    like the shingle/signature artifacts.  At 100 TB this is the
+    block-level companion of the shingle table: materialized next to the
+    corpus, ~1 row per 16 tokens."""
+
+    def build() -> DataFrame:
+        docs = __load(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "pos", "tok"
+            ),
+        )
+        return (
+            toks.withColumn("block_id", F.expr(f"pos DIV {BLOCK_TOKENS}"))
+            .groupBy("doc_id", "block_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s.tok,
+                    ),
+                    " ",
+                ).alias("block_text"),
+                F.count(F.lit(1)).cast("long").alias("n_toks"),
+            )
+            .withColumn("block_hash", F.md5("block_text"))
+        )
+
+    return _session_cached(_BLOCKS_CACHE, spark, sf_dir, build)
+
 
 @register(
     "subdoc_block_dedup",
@@ -1332,25 +1370,8 @@ def q_subdoc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc fold is a narrow hash join on block_hash.  No pair joins
     anywhere — cross-doc repetition is found by grouping, not comparing.
     """
-    docs = __load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("pos", "tok"),
-    )
-    blocks = (
-        toks.withColumn("block_id", F.expr(f"pos DIV {BLOCK_TOKENS}"))
-        .groupBy("doc_id", "block_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                        lambda s: s.tok,
-                    ),
-                    " ",
-                )
-            ).alias("block_hash")
-        )
+    blocks = _shared_token_blocks(spark, sf_dir).select(
+        "doc_id", "block_id", "block_hash"
     )
     freq = blocks.groupBy("block_hash").agg(
         F.countDistinct("doc_id").alias("n_docs")
@@ -1822,26 +1843,7 @@ def q_subdoc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys), the canonical owner is a min() on the same aggregate, and the
     rebuild is a per-doc sort-by-position fold; no pair joins anywhere.
     """
-    docs = __load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("pos", "tok"),
-    )
-    blocks = (
-        toks.withColumn("block_id", F.expr(f"pos DIV {BLOCK_TOKENS}"))
-        .groupBy("doc_id", "block_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s.tok,
-                ),
-                " ",
-            ).alias("block_text"),
-            F.count(F.lit(1)).cast("long").alias("n_toks"),
-        )
-        .withColumn("block_hash", F.md5("block_text"))
-    )
+    blocks = _shared_token_blocks(spark, sf_dir)
     freq = blocks.groupBy("block_hash").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.min("doc_id").alias("canon_doc"),

@@ -762,27 +762,10 @@ def q_dup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by (pair, diagonal) — bounded by document length, no
     global sort anywhere.
     """
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
-            "pos", "tok"
-        ),
-    )
-    blocks = (
-        toks.withColumn("block_id", F.expr(f"pos DIV {_RUN_BLOCK}"))
-        .groupBy("doc_id", "block_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                        lambda s: s.tok,
-                    ),
-                    " ",
-                )
-            ).alias("block_hash")
-        )
+    from .registry_dedup import _shared_token_blocks
+
+    blocks = _shared_token_blocks(spark, sf_dir).select(
+        "doc_id", "block_id", "block_hash"
     )
     freq = (
         blocks.groupBy("block_hash")
