@@ -78,6 +78,7 @@ QUERIES = [
     "skyline_orders",
     "dup_substring_runs",
     "ann_ivfpq_topk",
+    "pca_top_component",
 ]
 
 REGIMES = [

@@ -340,3 +340,31 @@ def test_streaming_kmv_equals_batch_sketch(spark):
     for et, grp in pdf.groupby("event_type"):
         thetas = list(grp["theta"])
         assert all(a >= b for a, b in zip(thetas, thetas[1:]))
+
+
+def test_pca_matches_numpy_eigendecomposition(spark):
+    """The fixed-round power iterate must align with numpy's top
+    eigenvector of the SAME integer moment matrix (|cos| > 0.999 after 8
+    rounds on this spectrum) and the Rayleigh estimate must be within
+    rounding of numpy's top eigenvalue."""
+    import numpy as np
+
+    from vector_search_spark.registry_round4 import _PCA_D, _PCA_FEATURES, _PCA_Q
+
+    rows = registry.QUERIES["pca_top_component"](spark, SF_TEST).collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)])
+    lam = rows[0].lambda_est
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF_TEST}/lineitem.parquet'")
+    feats = ", ".join(f"{e} AS x{j}" for j, e in enumerate(_PCA_FEATURES))
+    X = con.execute(f"SELECT {feats} FROM lineitem").df().to_numpy().astype(np.float64)
+    M = np.zeros((_PCA_D, _PCA_D))
+    for j in range(_PCA_D):
+        for k in range(_PCA_D):
+            M[j, k] = np.floor(X[:, j] * X[:, k] * _PCA_Q + 0.5).sum()
+    w, vecs = np.linalg.eigh(M)
+    top = vecs[:, np.argmax(w)]
+    cos = abs(np.dot(v, top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.999, cos
+    assert lam == pytest.approx(w.max() / _PCA_Q, rel=1e-3)
