@@ -1,0 +1,178 @@
+"""Semantic gates for the registry_ml model-fit operators — independent
+reconstructions the oracle hash can't provide: numpy's lstsq for OLS, a
+pandas brute-force split search for the stump, the fixed-point property for
+the Markov stationary law, and a bit-exact pure-Python naive Bayes."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+
+from conftest import SF_TEST
+from vector_search_spark import registry
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in ("lineitem", "events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_TEST}/{t}.parquet'")
+    return con
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    """Cramer-solved betas and R² must agree with numpy's least squares on
+    the same integer design (well-conditioned 3x3 — tight tolerance)."""
+    row = registry.QUERIES["ols_price_model"](spark, SF_TEST).collect()[0]
+    con = _duck()
+    X = con.execute(
+        "SELECT CAST(floor(l_quantity + 0.5) AS BIGINT),"
+        " CAST(floor(l_discount * 100 + 0.5) AS BIGINT),"
+        " CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) FROM lineitem"
+    ).fetchnumpy()
+    x1 = X[list(X)[0]].astype(np.float64)
+    x2 = X[list(X)[1]].astype(np.float64)
+    y = X[list(X)[2]].astype(np.float64)
+    A = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+    assert row.n_rows == len(y)
+    assert row.beta_intercept == pytest.approx(beta[0], rel=1e-6, abs=1e-3)
+    assert row.beta_quantity == pytest.approx(beta[1], rel=1e-6, abs=1e-3)
+    assert row.beta_discount_pct == pytest.approx(beta[2], rel=1e-6, abs=1e-3)
+    resid = y - A @ beta
+    sst = ((y - y.mean()) ** 2).sum()
+    r2 = 1.0 - (resid**2).sum() / sst
+    assert row.r2 == pytest.approx(r2, abs=1e-4)
+
+
+def test_stump_matches_bruteforce_split_search(spark):
+    """For each feature the emitted (threshold, gain) must equal an exact
+    brute-force Gini scan over every candidate split in pandas."""
+    rows = {r.feature: r for r in
+            registry.QUERIES["decision_stump_returns"](spark, SF_TEST).collect()}
+    con = _duck()
+    df = con.execute(
+        "SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS quantity,"
+        " CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS discount_pct,"
+        " CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_pct,"
+        " CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos FROM lineitem"
+    ).df()
+    n, p = len(df), int(df["pos"].sum())
+
+    def gini(cnt, pos):
+        if cnt == 0:
+            return 0.0
+        q = pos / cnt
+        return 1.0 - q * q - (1.0 - q) * (1.0 - q)
+
+    for feat in ("quantity", "discount_pct", "tax_pct"):
+        grp = df.groupby(feat)["pos"].agg(["count", "sum"]).sort_index()
+        best = None
+        cum_n = cum_p = 0
+        parent = gini(n, p)
+        for val, row_ in grp.iterrows():
+            cum_n += int(row_["count"])
+            cum_p += int(row_["sum"])
+            if cum_n >= n:
+                continue
+            gain = parent - (
+                cum_n / n * gini(cum_n, cum_p)
+                + (n - cum_n) / n * gini(n - cum_n, p - cum_p)
+            )
+            key = (math.floor(gain * 1e9 + 0.5), -val)
+            if best is None or key > best[0]:
+                best = (key, val, gain, cum_n, cum_p)
+        r = rows[feat]
+        assert r.threshold == best[1]
+        assert r.gain == pytest.approx(best[2], abs=1e-4)
+        assert (r.n_left, r.pos_left) == (best[3], best[4])
+        assert (r.n_right, r.pos_right) == (n - best[3], p - best[4])
+
+
+def test_markov_stationary_is_a_fixed_point(spark):
+    """The emitted law must satisfy pi = pi·P within quantization error and
+    sum to ~1 (floor quantization loses < 5e-6 mass per round)."""
+    rows = sorted(
+        registry.QUERIES["markov_stationary_events"](spark, SF_TEST).collect(),
+        key=lambda r: r.event_type,
+    )
+    pi = np.array([r.stationary_prob for r in rows])
+    assert pi.sum() == pytest.approx(1.0, abs=1e-3)
+    con = _duck()
+    C = con.execute(
+        """
+        WITH pairs AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev, event_type
+          FROM events)
+        SELECT prev, event_type, count(*)::BIGINT AS c
+        FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2
+        """
+    ).fetchall()
+    types = [r.event_type for r in rows]
+    idx = {t: i for i, t in enumerate(types)}
+    M = np.zeros((5, 5))
+    for a, b, c in C:
+        M[idx[a], idx[b]] = c
+    P = M / M.sum(axis=1, keepdims=True)
+    assert np.abs(pi @ P - pi).max() < 1e-3
+    # out_transitions must be the exact row sums
+    for r in rows:
+        assert r.out_transitions == int(M[idx[r.event_type]].sum())
+
+
+def test_nb_confusion_matches_python_rebuild(spark):
+    """Bit-exact: a pure-Python NB with the same md5 split, micro-nat
+    quantization, and tie-breaks must reproduce the confusion matrix."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    got = {
+        (r.true_lang, r.pred_lang): r.n_docs
+        for r in registry.QUERIES["nb_lang_classifier"](spark, SF_TEST).collect()
+    }
+    con = _duck()
+    docs = con.execute(
+        "SELECT doc_id, lang, text FROM documents WHERE trim(text) != ''"
+    ).fetchall()
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"nbsplit{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) % 5
+
+    def toks(text):
+        return text.strip().lower().split()
+
+    train = [(l, toks(t)) for d, l, t in docs if bucket(d) != 0]
+    test = [(d, l, toks(t)) for d, l, t in docs if bucket(d) == 0]
+    cls_tok = defaultdict(Counter)
+    d_l = Counter()
+    vocab = set()
+    for lang, tk in train:
+        cls_tok[lang].update(tk)
+        d_l[lang] += 1
+        vocab.update(tk)
+    V = len(vocab)
+    d_tot = sum(d_l.values())
+    micro = lambda x: math.floor(math.log(x) * 1_000_000 + 0.5)
+    lsc = {
+        (lang, tok): micro(c + 1)
+        for lang, cnt in cls_tok.items()
+        for tok, c in cnt.items()
+    }
+    norm_u = {lang: micro(sum(cnt.values()) + V) for lang, cnt in cls_tok.items()}
+    prior_u = {lang: micro(d_l[lang]) - micro(d_tot) for lang in cls_tok}
+    conf = Counter()
+    for _, true_lang, tk in test:
+        m_d = len(tk)
+        scores = {}
+        for lang in cls_tok:
+            s = prior_u[lang] - m_d * norm_u[lang]
+            for tok in tk:
+                s += lsc.get((lang, tok), 0)
+            scores[lang] = s
+        pred = min(scores, key=lambda l: (-scores[l], l))
+        conf[(true_lang, pred)] += 1
+    assert got == dict(conf)

@@ -79,6 +79,9 @@ QUERIES = [
     "dup_substring_runs",
     "ann_ivfpq_topk",
     "pca_top_component",
+    "ols_price_model",
+    "decision_stump_returns",
+    "markov_stationary_events",
 ]
 
 REGIMES = [

@@ -1,0 +1,645 @@
+"""In-engine ML training operators — supervised/unsupervised model fits
+executed as declarative Spark plans, each verified BIT-EXACTLY against a
+DuckDB oracle built from the SAME generated SQL expression text.
+
+The point these operators make: classic training-pipeline model fits
+(linear regression, decision stumps, Markov chains, naive Bayes) reduce to
+aggregate + join + window plans whose heavy lifting is ONE partial-agg'd
+scan — i.e. they scale exactly like the relational queries, no ML runtime
+needed.  Companions to ``registry_round4.q_pca_top_component`` (iterative
+power method); this module covers the closed-form / counting estimators:
+
+- ``ols_price_model``       — 3-unknown ordinary least squares via integer
+                              normal equations + Cramer's rule (one scan).
+- ``decision_stump_returns``— exact best-split search per feature by
+                              windowed cumulative Gini gain.
+- ``markov_stationary_events`` — user-journey transition matrix + unrolled
+                              power iteration to the stationary law.
+- ``nb_lang_classifier``    — multinomial naive Bayes train/predict/eval
+                              on an md5 holdout split, micro-nat integers.
+
+House invariants (HANDOFF): md5-derived pseudo-randomness only; per-row /
+per-term quantization to integers BEFORE any distributed sum; wide
+second-moment accumulators in DECIMAL(38,0) on the Spark side (DuckDB sums
+are HUGEINT — same headroom); every emitted float through the shared
+``floor(x*1e4+0.5)/1e4`` portable rounding; float expressions generated
+ONCE as plain SQL text and evaluated by both engines so IEEE-double
+operand order is identical by construction.
+
+The reference (p1va/3-2-1-vector-search) has no model-fit surface at all —
+its only "model" calls are delegated to sentence-transformers
+(`pipeline/encode_assets.py:24-34`); these extend the SURVEY.md §2.6
+training-data-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import round4
+from .registry import register
+from .sources.tables import load_table as __load
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return __load(spark, sf_dir, name)
+
+
+def _r4(expr: str) -> str:
+    """SQL twin of :func:`round4` — portable 4-dp rounding text."""
+    return f"floor(({expr})*10000 + 0.5)/10000.0"
+
+
+# ---------------------------------------------------------------------------
+# OLS: cents(extendedprice) ~ intercept + quantity + discount_pct.
+# ---------------------------------------------------------------------------
+# Integer-valued design: x1 = quantity (integral DOUBLE in the data),
+# x2 = discount in whole percent, y = price in cents.  Every normal-equation
+# moment is then an EXACT integer sum — partitioning-invariant — and the
+# only float arithmetic is the final Cramer solve on ten scalars.
+_OLS_FEATS = (
+    "CAST(floor(l_quantity + 0.5) AS BIGINT) AS x1, "
+    "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2, "
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y"
+)
+
+# moment -> product expression (engine-specific accumulator types are applied
+# around these in _ols_moment_aggs / the oracle; values are identical ints).
+_OLS_MOMENTS = {
+    "s1": "x1",
+    "s2": "x2",
+    "sy": "y",
+    "s11": "x1 * x1",
+    "s12": "x1 * x2",
+    "s22": "x2 * x2",
+    "s1y": "x1 * y",
+    "s2y": "x2 * y",
+    "syy": "y * y",
+}
+# Accumulators that can exceed int64 at 100 TB row counts (HANDOFF headroom
+# rule): anything involving y (<= ~1e7 cents) or a second moment.
+_OLS_WIDE = {"sy", "s11", "s12", "s22", "s1y", "s2y", "syy"}
+
+
+def _det3(a, b, c, d, e, f, g, h, i) -> str:
+    """Determinant of [[a,b,c],[d,e,f],[g,h,i]] — fixed operand order."""
+    return (
+        f"({a})*(({e})*({i}) - ({f})*({h}))"
+        f" - ({b})*(({d})*({i}) - ({f})*({g}))"
+        f" + ({c})*(({d})*({h}) - ({e})*({g}))"
+    )
+
+
+def _ols_final_exprs() -> list[tuple[str, str]]:
+    """[(alias, sql)] over the moment columns — shared by both engines."""
+    nd = "CAST(n_rows AS DOUBLE)"
+    m = {k: f"CAST({k} AS DOUBLE)" for k in _OLS_MOMENTS}
+    # A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]], b = [sy, s1y, s2y]
+    A = [[nd, m["s1"], m["s2"]], [m["s1"], m["s11"], m["s12"]], [m["s2"], m["s12"], m["s22"]]]
+    bv = [m["sy"], m["s1y"], m["s2y"]]
+    det = _det3(*A[0], *A[1], *A[2])
+    betas = []
+    for i in range(3):
+        Ai = [row[:] for row in A]
+        for r in range(3):
+            Ai[r][i] = bv[r]
+        betas.append(f"(({_det3(*Ai[0], *Ai[1], *Ai[2])}) / ({det}))")
+    b0, b1, b2 = betas
+    sse = (
+        f"({m['syy']} - (({b0})*{m['sy']} + ({b1})*{m['s1y']} + ({b2})*{m['s2y']}))"
+    )
+    sst = f"({m['syy']} - ({m['sy']}*{m['sy']}) / {nd})"
+    return [
+        ("n_rows", "n_rows"),
+        ("beta_intercept", _r4(b0)),
+        ("beta_quantity", _r4(b1)),
+        ("beta_discount_pct", _r4(b2)),
+        ("r2", _r4(f"1.0 - ({sse}) / ({sst})")),
+    ]
+
+
+def _ols_oracle() -> str:
+    aggs = ", ".join(
+        f"sum({p})::HUGEINT AS {k}" if k in _OLS_WIDE else f"sum({p})::BIGINT AS {k}"
+        for k, p in _OLS_MOMENTS.items()
+    )
+    finals = ", ".join(f"{sql} AS {alias}" for alias, sql in _ols_final_exprs())
+    return f"""
+    WITH feats AS (SELECT {_OLS_FEATS} FROM lineitem),
+    m AS (SELECT count(*)::BIGINT AS n_rows, {aggs} FROM feats)
+    SELECT {finals} FROM m
+    """
+
+
+@register("ols_price_model", oracle=_ols_oracle())
+def q_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary least squares, price-model flavor: fit
+    ``cents(l_extendedprice) = b0 + b1*quantity + b2*discount_pct`` by the
+    normal equations, solved with Cramer's rule — the canonical in-engine
+    regression every feature-store / data-quality pipeline runs (drift of
+    b1/b2/R² per snapshot flags schema or distribution breaks).
+
+    Exactness: the design is integer-valued, so all ten X'X / X'y moments
+    are exact integer sums (order-free); the Cramer solve + R² is ONE
+    generated expression string evaluated by both engines on the same ten
+    scalars (identical IEEE operand order by construction).
+
+    Scale: ONE scan with partial aggregation — ten numbers of state per
+    task, no shuffle of data rows; row-count-free final math.  Wide
+    moments accumulate in DECIMAL(38,0) on the Spark side (DuckDB's
+    HUGEINT twin), so Σy² keeps headroom past 1e12 rows where BIGINT
+    would wrap (VERDICT-r2 item 4's rule applied from birth).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    feats = li.selectExpr(*_OLS_FEATS.split(", "))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for k, p in _OLS_MOMENTS.items():
+        if k in _OLS_WIDE:
+            aggs.append(
+                F.sum(F.expr(p).cast("decimal(38,0)")).cast("decimal(38,0)").alias(k)
+            )
+        else:
+            aggs.append(F.sum(F.expr(p)).cast("long").alias(k))
+    m = feats.agg(*aggs)
+    # Spark parses the 10000.0 literal in the shared text as DECIMAL, so the
+    # final division would emit DECIMAL columns; the values are exact either
+    # way — pin the emitted type to DOUBLE to match the oracle schema.
+    return m.select(
+        *[
+            F.expr(sql).alias(alias)
+            if alias == "n_rows"
+            else F.expr(sql).cast("double").alias(alias)
+            for alias, sql in _ols_final_exprs()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump: exact best-split search per feature.
+# ---------------------------------------------------------------------------
+# Gini gain of the split (<= v vs > v), generated once for both engines.
+def _gini_gain(nl: str, pl: str, n: str, p: str) -> str:
+    """Gini impurity reduction for a binary split — fixed operand order.
+
+    nl/pl: left-branch total/positive counts; n/p: node totals (BIGINT
+    columns).  All ratios in DOUBLE; no pow() (engine-portable * only).
+    """
+    nd, pd = f"CAST({n} AS DOUBLE)", f"CAST({p} AS DOUBLE)"
+    nld, pld = f"CAST({nl} AS DOUBLE)", f"CAST({pl} AS DOUBLE)"
+    nrd, prd = f"({nd} - {nld})", f"({pd} - {pld})"
+    parent = f"(1.0 - ({pd}/{nd})*({pd}/{nd}) - (({nd}-{pd})/{nd})*(({nd}-{pd})/{nd}))"
+    left = f"(1.0 - ({pld}/{nld})*({pld}/{nld}) - (({nld}-{pld})/{nld})*(({nld}-{pld})/{nld}))"
+    right = f"(1.0 - ({prd}/{nrd})*({prd}/{nrd}) - (({nrd}-{prd})/{nrd})*(({nrd}-{prd})/{nrd}))"
+    return f"({parent} - (({nld}/{nd})*{left} + ({nrd}/{nd})*{right}))"
+
+
+_STUMP_GAIN = _gini_gain("cum_n", "cum_pos", "n_tot", "pos_tot")
+_STUMP_FEATURES = [
+    ("quantity", "CAST(floor(l_quantity + 0.5) AS BIGINT)"),
+    ("discount_pct", "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"),
+    ("tax_pct", "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"),
+]
+_STUMP_LABEL = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+
+
+def _stump_oracle() -> str:
+    branches = "\n      UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr} AS val, {_STUMP_LABEL} AS pos"
+        f" FROM lineitem"
+        for name, expr in _STUMP_FEATURES
+    )
+    return f"""
+    WITH base AS ({branches}),
+    agg AS (
+      SELECT feature, val, count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS pos
+      FROM base GROUP BY 1, 2),
+    cum AS (
+      SELECT feature, val, cnt, pos,
+             (sum(cnt) OVER w)::BIGINT AS cum_n,
+             (sum(pos) OVER w)::BIGINT AS cum_pos,
+             (sum(cnt) OVER (PARTITION BY feature))::BIGINT AS n_tot,
+             (sum(pos) OVER (PARTITION BY feature))::BIGINT AS pos_tot
+      FROM agg
+      WINDOW w AS (PARTITION BY feature ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    scored AS (
+      SELECT feature, val, cum_n, cum_pos, n_tot, pos_tot,
+             floor(({_STUMP_GAIN})*1000000000 + 0.5)::BIGINT AS gain_nano
+      FROM cum WHERE cum_n < n_tot),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY feature
+                                   ORDER BY gain_nano DESC, val) AS rn
+      FROM scored)
+    SELECT feature, val AS threshold,
+           floor((gain_nano / 1000000000.0)*10000 + 0.5)/10000.0 AS gain,
+           cum_n AS n_left, cum_pos AS pos_left,
+           (n_tot - cum_n)::BIGINT AS n_right,
+           (pos_tot - cum_pos)::BIGINT AS pos_right
+    FROM best WHERE rn = 1 ORDER BY feature
+    """
+
+
+@register("decision_stump_returns", oracle=_stump_oracle())
+def q_decision_stump_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decision-stump training: for each candidate feature, the
+    threshold maximizing Gini impurity reduction on the is-return label —
+    the inner loop of tree/GBDT training, run as a declarative plan.  The
+    histogram trick IS the plan: split search needs only per-(feature,
+    value) class counts, never the raw rows.
+
+    Exactness: class counts are exact integers; the gain is ONE generated
+    DOUBLE expression over four BIGINT columns (shared text both engines),
+    ranked on its nano-quantized integer so the argmax (tie-break: lowest
+    threshold) never compares floats.
+
+    Scale: ONE scan explodes each row to 3 (feature, value) pairs, then a
+    partial-agg'd groupBy over at most Σ|domain| ≈ 160 cells; windows and
+    the argmax run on those cells — constant-size state regardless of
+    corpus size.  Adding features/bins grows the cell table, not the
+    shuffle of data rows (this is LightGBM's histogram algorithm expressed
+    relationally).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        F.expr(expr).alias("val"),
+                    )
+                    for name, expr in _STUMP_FEATURES
+                ]
+            )
+        ).alias("fv"),
+        F.expr(_STUMP_LABEL).alias("pos"),
+    ).select("fv.feature", "fv.val", "pos")
+    agg = base.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos"),
+    )
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("feature")
+    cum = agg.select(
+        "feature",
+        "val",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum_n"),
+        F.sum("pos").over(w_cum).cast("long").alias("cum_pos"),
+        F.sum("cnt").over(w_tot).cast("long").alias("n_tot"),
+        F.sum("pos").over(w_tot).cast("long").alias("pos_tot"),
+    )
+    scored = cum.filter(F.col("cum_n") < F.col("n_tot")).withColumn(
+        "gain_nano", F.expr(f"CAST(floor(({_STUMP_GAIN})*1000000000 + 0.5) AS BIGINT)")
+    )
+    w_best = Window.partitionBy("feature").orderBy(
+        F.desc("gain_nano"), F.asc("val")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feature",
+            F.col("val").alias("threshold"),
+            round4(F.col("gain_nano") / 1000000000.0).alias("gain"),
+            F.col("cum_n").alias("n_left"),
+            F.col("cum_pos").alias("pos_left"),
+            (F.col("n_tot") - F.col("cum_n")).cast("long").alias("n_right"),
+            (F.col("pos_tot") - F.col("cum_pos")).cast("long").alias("pos_right"),
+        )
+        .orderBy("feature")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution of the user-journey event chain.
+# ---------------------------------------------------------------------------
+_MK_TYPES = ["click", "error", "purchase", "signup", "view"]  # fixed domain
+_MK_K = len(_MK_TYPES)
+_MK_ITERS = 12
+_MK_SCALE = 1_000_000
+
+
+def _mk_step_exprs() -> list[tuple[str, str]]:
+    """One power-iteration step pi' = pi·P on micro-integer pi — shared SQL
+    text; P_ij = c{i}_{j}/r{i} formed in DOUBLE inside the expression.
+    Row-sum guard: a state with no outgoing transition self-loops (keeps
+    the chain stochastic without data-dependent surprises)."""
+    steps = []
+    for j in range(_MK_K):
+        terms = []
+        for i in range(_MK_K):
+            frac = (
+                f"(CASE WHEN r{i} = 0 THEN (CASE WHEN {i} = {j} THEN 1.0 ELSE 0.0 END)"
+                f" ELSE CAST(c{i}_{j} AS DOUBLE) / CAST(r{i} AS DOUBLE) END)"
+            )
+            terms.append(f"CAST(p{i} AS DOUBLE) * {frac}")
+        steps.append((f"np{j}", f"CAST(floor({' + '.join(terms)}) AS BIGINT)"))
+    return steps
+
+
+def _mk_oracle() -> str:
+    cnt = ", ".join(
+        f"sum(CASE WHEN prev = '{a}' AND event_type = '{b}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS c{i}_{j}"
+        for i, a in enumerate(_MK_TYPES)
+        for j, b in enumerate(_MK_TYPES)
+    )
+    rows = ", ".join(
+        "(" + " + ".join(f"c{i}_{j}" for j in range(_MK_K)) + f") AS r{i}"
+        for i in range(_MK_K)
+    )
+    init = ", ".join(
+        f"{_MK_SCALE // _MK_K}::BIGINT AS p{i}" for i in range(_MK_K)
+    )
+    keep = ", ".join(
+        [f"c{i}_{j}" for i in range(_MK_K) for j in range(_MK_K)]
+        + [f"r{i}" for i in range(_MK_K)]
+    )
+    ctes = [
+        """pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev,
+             event_type
+      FROM events)""",
+        f"c AS (SELECT {cnt} FROM pairs WHERE prev IS NOT NULL)",
+        f"it0 AS (SELECT *, {init} FROM (SELECT *, {rows} FROM c))",
+    ]
+    prev = "it0"
+    for t in range(_MK_ITERS):
+        layer = ", ".join(f"{sql} AS p{name[2:]}" for name, sql in _mk_step_exprs())
+        ctes.append(f"it{t + 1} AS (SELECT {keep}, {layer} FROM {prev})")
+        prev = f"it{t + 1}"
+    sel = "\n      UNION ALL ".join(
+        f"SELECT '{a}' AS event_type, "
+        f"{_r4(f'CAST(p{i} AS DOUBLE) / {_MK_SCALE}.0')} AS stationary_prob, "
+        f"r{i}::BIGINT AS out_transitions FROM {prev}"
+        for i, a in enumerate(_MK_TYPES)
+    )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    {sel}
+    ORDER BY event_type
+    """
+
+
+@register("markov_stationary_events", oracle=_mk_oracle())
+def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order user-journey Markov chain
+    (what fraction of time an endless session spends in each event state) —
+    the classic behavioral summary behind Markov attribution and journey
+    simulation.  Transition counts come from per-user `lag` pairs; the
+    stationary law is 12 unrolled rounds of pi·P on a 1-row frame.
+
+    Exactness: counts are exact integers; every iteration is generated
+    ONCE as SQL text (micro-integer pi, DOUBLE mat-vec with fixed operand
+    order, floor-quantize each round) and evaluated by both engines, the
+    `registry_round4.q_pca_top_component` recipe applied to a stochastic
+    matrix.  The event-type domain is the fixed 5-state enum of the
+    fixture stream (same hardcoding as `ips_policy_value`'s action set).
+
+    Scale: one window over (user_id, ts) — the same single exchange every
+    sessionization query in this engine pays — then a partial-agg'd fold
+    to 25 BIGINT cells; iterations are corpus-size-free.  K states cost
+    K² state columns; for K beyond a few hundred you'd pivot to a long
+    (i,j,c) form and an iterative join (the pagerank shape already in
+    `registry_dedup`).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev"), "event_type"
+    ).filter(F.col("prev").isNotNull())
+    cnt_aggs = [
+        F.sum(
+            F.when(
+                (F.col("prev") == a) & (F.col("event_type") == b), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias(f"c{i}_{j}")
+        for i, a in enumerate(_MK_TYPES)
+        for j, b in enumerate(_MK_TYPES)
+    ]
+    it = pairs.agg(*cnt_aggs)
+    for i in range(_MK_K):
+        it = it.withColumn(
+            f"r{i}", F.expr(" + ".join(f"c{i}_{j}" for j in range(_MK_K)))
+        )
+    for i in range(_MK_K):
+        it = it.withColumn(f"p{i}", F.lit(_MK_SCALE // _MK_K).cast("long"))
+    for _ in range(_MK_ITERS):
+        for name, sql in _mk_step_exprs():
+            it = it.withColumn(name, F.expr(sql))
+        for i in range(_MK_K):
+            it = it.withColumn(f"p{i}", F.col(f"np{i}"))
+        it = it.drop(*[f"np{i}" for i in range(_MK_K)])
+    rows = it.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("event_type"),
+                        round4(
+                            F.col(f"p{i}").cast("double") / float(_MK_SCALE)
+                        ).alias("stationary_prob"),
+                        F.col(f"r{i}").cast("long").alias("out_transitions"),
+                    )
+                    for i, a in enumerate(_MK_TYPES)
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select(
+        "s.event_type", "s.stationary_prob", "s.out_transitions"
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes: train on an md5 80% split, classify the holdout,
+# emit the confusion matrix.  Micro-nat integer log-likelihoods throughout.
+# ---------------------------------------------------------------------------
+_NB_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, lang, text,
+         ('0x' || substr(md5('nbsplit' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5
+           AS bucket
+  FROM documents WHERE trim(text) != ''),
+train_tok AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM docs WHERE bucket != 0),
+cls_tok AS (
+  SELECT lang, tok, count(*)::BIGINT AS c FROM train_tok GROUP BY 1, 2),
+cls AS (
+  SELECT lang, sum(c)::BIGINT AS t_l FROM cls_tok GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM train_tok),
+prior AS (
+  SELECT lang, count(*)::BIGINT AS d_l FROM docs WHERE bucket != 0 GROUP BY 1),
+prior_tot AS (SELECT sum(d_l)::BIGINT AS d_tot FROM prior),
+model AS (
+  SELECT ct.lang, ct.tok,
+         floor(ln(CAST(ct.c + 1 AS DOUBLE))*1000000 + 0.5)::BIGINT AS lsc
+  FROM cls_tok ct),
+norms AS (
+  SELECT c.lang,
+         floor(ln(CAST(c.t_l + v.v AS DOUBLE))*1000000 + 0.5)::BIGINT AS norm_u,
+         floor(ln(CAST(p.d_l AS DOUBLE))*1000000 + 0.5)::BIGINT
+           - floor(ln(CAST(pt.d_tot AS DOUBLE))*1000000 + 0.5)::BIGINT AS prior_u
+  FROM cls c CROSS JOIN vocab v
+  JOIN prior p ON p.lang = c.lang CROSS JOIN prior_tot pt),
+test_tok AS (
+  SELECT doc_id, lang AS true_lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM docs WHERE bucket = 0),
+test_tf AS (
+  SELECT doc_id, true_lang, tok, count(*)::BIGINT AS tf
+  FROM test_tok GROUP BY 1, 2, 3),
+test_len AS (
+  SELECT doc_id, true_lang, sum(tf)::BIGINT AS m_d
+  FROM test_tf GROUP BY 1, 2),
+hits AS (
+  SELECT tf.doc_id, mo.lang, sum(tf.tf * mo.lsc)::BIGINT AS s_u
+  FROM test_tf tf JOIN model mo ON mo.tok = tf.tok
+  GROUP BY 1, 2),
+scores AS (
+  SELECT tl.doc_id, tl.true_lang, n.lang,
+         (n.prior_u - tl.m_d * n.norm_u + COALESCE(h.s_u, 0))::BIGINT AS score_u
+  FROM test_len tl CROSS JOIN norms n
+  LEFT JOIN hits h ON h.doc_id = tl.doc_id AND h.lang = n.lang),
+pred AS (
+  SELECT doc_id, true_lang, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, lang)
+           AS rn
+  FROM scores)
+SELECT true_lang, pred_lang, count(*)::BIGINT AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("nb_lang_classifier", oracle=_NB_ORACLE)
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained and evaluated
+    inside the engine: Laplace-smoothed per-(lang, token) log-likelihoods
+    fit on an md5-derived 80% split, holdout docs classified by argmax,
+    confusion matrix emitted — the supervised-counting complement to the
+    heuristic `lang_id_accuracy` (a real trained model, still pure SQL).
+
+    Exactness: every log-likelihood is quantized ONCE to integer
+    micro-nats (`unigram_logprob` recipe: floor(ln(c+1)*1e6+0.5)); a doc's
+    per-class score is an exact BIGINT sum `prior + Σ tf·lsc − m_d·norm`,
+    so the argmax (tie-break: lang asc) never compares floats.  Unseen
+    (token, class) pairs contribute exactly −norm via the m_d term and a
+    COALESCE(0) join miss — no dense token × class materialization.
+
+    Scale: training is one token-count aggregate (vocab × 5 model rows —
+    Zipf-small); scoring joins holdout (doc, tok, tf) to the model on the
+    token key (the engine's standard shuffle) and folds to doc × 5 score
+    rows.  Both sides stream; no driver-side model object exists at all.
+    """
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("nbsplit"), F.col("doc_id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 5
+            ).alias("bucket"),
+        )
+    )
+    tok_expr = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    train_tok = docs.filter(F.col("bucket") != 0).select("lang", tok_expr)
+    # The model/total/vocab branches would each re-run the tokenize subtree
+    # (3 corpus scans); materialize the Zipf-small count table once and
+    # derive all three from it (localCheckpoint = the house lineage cut).
+    cls_tok = (
+        train_tok.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    cls = cls_tok.groupBy("lang").agg(F.sum("c").cast("long").alias("t_l"))
+    vocab = cls_tok.agg(F.countDistinct("tok").cast("long").alias("v"))
+    prior = (
+        docs.filter(F.col("bucket") != 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_l"))
+    )
+    prior_tot = prior.agg(F.sum("d_l").cast("long").alias("d_tot"))
+    model = cls_tok.select(
+        "lang",
+        "tok",
+        F.floor(F.log(F.col("c").cast("double") + 1.0) * 1000000 + 0.5)
+        .cast("long")
+        .alias("lsc"),
+    )
+    norms = (
+        cls.crossJoin(F.broadcast(vocab))
+        .join(prior, "lang")
+        .crossJoin(F.broadcast(prior_tot))
+        .select(
+            "lang",
+            F.floor(F.log((F.col("t_l") + F.col("v")).cast("double")) * 1000000 + 0.5)
+            .cast("long")
+            .alias("norm_u"),
+            (
+                F.floor(F.log(F.col("d_l").cast("double")) * 1000000 + 0.5).cast("long")
+                - F.floor(F.log(F.col("d_tot").cast("double")) * 1000000 + 0.5).cast(
+                    "long"
+                )
+            ).alias("prior_u"),
+        )
+    )
+    test_tf = (
+        docs.filter(F.col("bucket") == 0)
+        .select("doc_id", F.col("lang").alias("true_lang"), tok_expr)
+        .groupBy("doc_id", "true_lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()  # feeds both the length fold and the model join
+    )
+    test_len = test_tf.groupBy("doc_id", "true_lang").agg(
+        F.sum("tf").cast("long").alias("m_d")
+    )
+    hits = (
+        test_tf.join(model, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tf") * F.col("lsc")).cast("long").alias("s_u"))
+    )
+    scores = (
+        test_len.crossJoin(F.broadcast(norms))
+        .join(hits, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            (
+                F.col("prior_u")
+                - F.col("m_d") * F.col("norm_u")
+                + F.coalesce(F.col("s_u"), F.lit(0))
+            )
+            .cast("long")
+            .alias("score_u"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_u"), F.asc("lang"))
+    pred = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy(F.col("true_lang"), F.col("lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
