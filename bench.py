@@ -61,6 +61,7 @@ def main() -> None:
     )
     from vector_search_spark.registry_relational import _ps  # noqa: E402
     from vector_search_spark.registry_round4 import _shared_ivfpq_coarse  # noqa: E402
+    from vector_search_spark.registry_suffix import _shared_suffix  # noqa: E402
 
     t0 = time.perf_counter()
     _ps(spark, sf_dir)
@@ -79,6 +80,7 @@ def main() -> None:
     _shared_bigram_lm(spark, sf_dir)
     _shared_phrase_index(spark, sf_dir)
     _shared_ivfpq_coarse(spark, sf_dir)
+    _shared_suffix(spark, sf_dir)
     setup_sec = round(time.perf_counter() - t0, 3)
     print(f"# setup (shingle/signature/IVF index builds): {setup_sec}s", file=sys.stderr)
 

@@ -82,6 +82,7 @@ QUERIES = [
     "ols_price_model",
     "decision_stump_returns",
     "markov_stationary_events",
+    "doc_suffix_lrs",
 ]
 
 REGIMES = [

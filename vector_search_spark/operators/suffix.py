@@ -1,0 +1,174 @@
+"""Distributed suffix-array construction by prefix doubling, plus the
+rank-table LCP walk — the exact-substring primitive behind suffix-array
+training-data dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better"), built entirely from joins + the engine's
+range-partitioned global rank (never a one-task sort).
+
+Why prefix doubling and not "sort the suffixes": materializing suffixes is
+O(L²) data (the DuckDB oracle does exactly that — viable only at fixture
+scale); doubling keeps O(N) rows per round and runs log2(cap) rounds of
+{shifted self-join → global order-preserving rank}, each a plain shuffle —
+the textbook PRAM/MapReduce suffix-array construction.
+
+Round compression: level 0 ranks come from a vocabulary join (the rank of
+a single token); levels 1–2 never materialize as rank tables at all —
+the base table carries the next-8 level-0 ranks as lead() columns, so one
+8-column global rank jumps straight to level 3 (prefix 8), and the LCP
+walk tests levels ≤2 by direct element-wise lead-column equality.  That
+cuts the expensive global-rank rounds from 8 to {vocab, level-3, then one
+per doubling 16→32→64→128}.
+
+Rank semantics per level k: ``r_k(doc, pos)`` orders suffixes by their
+first ``2^k`` tokens (ties equal), out-of-range as sentinel -1 (< every
+real rank) so shorter suffixes sort first — exactly the lexicographic
+list order the oracle's native list comparison uses.  Ranks are assigned
+GLOBALLY (across docs) by ``global_order_stats`` + a min-over-group
+window: order-preserving with ties equal is all doubling needs, and it
+avoids any single-partition dense_rank.
+
+Equality-at-level-k implies a REAL 2^k-token match wherever the walk uses
+it: two suffixes of the same document have distinct lengths, so their
+sentinel-padded prefixes can only be equal if no pad position is reached
+— the padded-tie case needs equal lengths and cannot occur.
+
+Every kept table is eagerly localCheckpoint()ed: all of them are read
+again by the LCP walk, and the checkpoint both truncates the iterative
+lineage (the house pattern) and makes the level tables a reusable,
+session-shareable artifact — the classic space/time profile of doubling
+SA builds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..partitioning import global_order_stats
+
+_BASE_W = 8     # lead-column width of the base table (= 2^_BASE_LEVEL)
+_BASE_LEVEL = 3
+
+
+def suffix_ranks(tok: DataFrame, levels: int) -> dict[int, DataFrame]:
+    """Build suffix rank tables from ``tok(doc_id, pos, tok)``.
+
+    Returns ``{"base": DataFrame(doc_id, pos, p0..p7),
+    k: DataFrame(doc_id, pos, r) for k = 3..levels}`` where ``r`` orders
+    suffixes by their first ``2^k`` tokens and ``p_t`` is the level-0
+    (single-token) rank at pos+t, sentinel -1 past the document end.
+    ``levels >= 3`` required; after ``2^levels >= max doc length`` the top
+    level totally orders each document's suffixes.
+    """
+    if levels < _BASE_LEVEL:
+        raise ValueError("levels must be >= 3 (base table covers 8 tokens)")
+    vocab = global_order_stats(tok.select("tok").distinct(), ["tok"]).select(
+        "tok", F.col("__rank").alias("p0")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    base = tok.join(vocab, "tok").select("doc_id", "pos", "p0")
+    for t in range(1, _BASE_W):
+        base = base.withColumn(
+            f"p{t}", F.coalesce(F.lead("p0", t).over(w_doc), F.lit(-1))
+        )
+    base = base.localCheckpoint()
+    ranks: dict = {"base": base}
+
+    pcols = [f"p{t}" for t in range(_BASE_W)]
+    ranked = global_order_stats(base, pcols + ["doc_id", "pos"])
+    grp = Window.partitionBy(*pcols)
+    cur = (
+        ranked.withColumn("rmin", F.min("__rank").over(grp))
+        .select("doc_id", "pos", F.col("rmin").alias("r"))
+        .localCheckpoint()
+    )
+    ranks[_BASE_LEVEL] = cur
+
+    for k in range(_BASE_LEVEL + 1, levels + 1):
+        d = 1 << (k - 1)
+        shifted = cur.select(
+            "doc_id", (F.col("pos") - d).alias("pos"), F.col("r").alias("r2")
+        )
+        paired = cur.join(shifted, ["doc_id", "pos"], "left").withColumn(
+            "r2", F.coalesce(F.col("r2"), F.lit(-1))
+        )
+        ranked = global_order_stats(paired, ["r", "r2", "doc_id", "pos"])
+        grp = Window.partitionBy("r", "r2")
+        cur = (
+            ranked.withColumn("rmin", F.min("__rank").over(grp))
+            .select("doc_id", "pos", F.col("rmin").alias("r"))
+            .localCheckpoint()
+        )
+        ranks[k] = cur
+    return ranks
+
+
+def adjacent_lcp(ranks: dict, levels: int) -> DataFrame:
+    """LCP of suffix-array-adjacent suffix pairs via the rank tables.
+
+    The greedy Karp–Miller–Rosenberg walk: descend k = levels-1..0; when
+    both walk positions (advanced by the accumulated match) still exist
+    and their level-k prefixes are equal, the suffixes match for another
+    ``2^k`` tokens.  Levels ≥3 test rank-table equality (two (doc_id,
+    pos) hash-join lookups each); levels ≤2 test element-wise equality of
+    the base table's lead columns — no token data moves at any point.
+
+    Returns ``(doc_id, i, j, lcp)`` for SA-adjacent suffix starts.
+    """
+    top = ranks[levels]
+    w_sa = Window.partitionBy("doc_id").orderBy("r_sa")
+    adj = (
+        top.select("doc_id", F.col("pos").alias("i"), F.col("r").alias("r_sa"))
+        .withColumn("j", F.lead("i").over(w_sa))
+        .filter(F.col("j").isNotNull())
+        .select("doc_id", "i", "j")
+        .withColumn("lcp", F.lit(0).cast("long"))
+    )
+    base = ranks["base"]
+    for k in range(levels - 1, -1, -1):
+        step = 1 << k
+        if k >= _BASE_LEVEL:
+            rk = ranks[k]
+            left = rk.select(
+                "doc_id", F.col("pos").alias("__ki"), F.col("r").alias("__ri")
+            )
+            right = rk.select(
+                "doc_id", F.col("pos").alias("__kj"), F.col("r").alias("__rj")
+            )
+            match = (
+                F.col("__ri").isNotNull()
+                & F.col("__rj").isNotNull()
+                & (F.col("__ri") == F.col("__rj"))
+            )
+            drop = ["__ki", "__kj", "__ri", "__rj"]
+        else:
+            cols = [f"p{t}" for t in range(step)]
+            left = base.select(
+                "doc_id",
+                F.col("pos").alias("__ki"),
+                *[F.col(c).alias(f"__i{c}") for c in cols],
+            )
+            right = base.select(
+                "doc_id",
+                F.col("pos").alias("__kj"),
+                *[F.col(c).alias(f"__j{c}") for c in cols],
+            )
+            match = F.col("__ip0").isNotNull() & F.col("__jp0").isNotNull()
+            for c in cols:
+                match = match & (F.col(f"__i{c}") == F.col(f"__j{c}"))
+            drop = (
+                ["__ki", "__kj"]
+                + [f"__i{c}" for c in cols]
+                + [f"__j{c}" for c in cols]
+            )
+        adj = (
+            adj.withColumn("__ki", F.col("i") + F.col("lcp"))
+            .withColumn("__kj", F.col("j") + F.col("lcp"))
+            .join(left, ["doc_id", "__ki"], "left")
+            .join(right, ["doc_id", "__kj"], "left")
+            .withColumn(
+                "lcp",
+                F.col("lcp") + F.when(match, F.lit(step)).otherwise(F.lit(0)),
+            )
+            .drop(*drop)
+        )
+    return adj

@@ -244,5 +244,6 @@ from . import (  # noqa: E402, F401
     registry_relational,
     registry_round4,
     registry_search,
+    registry_suffix,
     registry_text,
 )
