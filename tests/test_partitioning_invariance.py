@@ -83,6 +83,7 @@ QUERIES = [
     "decision_stump_returns",
     "markov_stationary_events",
     "doc_suffix_lrs",
+    "corpus_suffix_repeats",
 ]
 
 REGIMES = [

@@ -136,3 +136,35 @@ def test_suffix_build_is_partitioning_invariant(spark):
         for k, v in saved.items():
             spark.conf.set(k, v)
     assert orders[0] == orders[1]
+
+
+def test_corpus_repeats_match_bruteforce_max(spark):
+    """The #1 cross-document repeat must equal the brute-force maximum
+    cross-doc common substring on the smoke corpus, and every emitted
+    phrase must occur verbatim at BOTH stated positions."""
+    toks = _toks(SF_SMOKE)
+    rows = registry.QUERIES["corpus_suffix_repeats"](spark, SF_SMOKE).collect()
+    assert [r.rank_id for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        pa = toks[r.doc_a][r.pos_a : r.pos_a + r.match_len]
+        pb = toks[r.doc_b][r.pos_b : r.pos_b + r.match_len]
+        assert pa == pb
+        assert " ".join(pa) == r.phrase
+    # brute-force global max over doc pairs (seeded by shared first tokens
+    # would be too slow exhaustively at O(n^2 L^2); use suffix sort)
+    import itertools
+
+    sufs = sorted(
+        (tk[p:], d, p) for d, tk in toks.items() for p in range(len(tk))
+    )
+    best = 0
+    for (sa, da, _), (sb, db, _) in itertools.pairwise(sufs):
+        if da == db:
+            continue
+        l = 0
+        for x, y in zip(sa, sb):
+            if x != y:
+                break
+            l += 1
+        best = max(best, l)
+    assert rows[0].match_len == best

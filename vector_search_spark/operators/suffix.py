@@ -102,37 +102,50 @@ def suffix_ranks(tok: DataFrame, levels: int) -> dict[int, DataFrame]:
     return ranks
 
 
-def adjacent_lcp(ranks: dict, levels: int) -> DataFrame:
-    """LCP of suffix-array-adjacent suffix pairs via the rank tables.
+def lcp_walk(pairs: DataFrame, ranks: dict, levels: int) -> DataFrame:
+    """Greedy Karp–Miller–Rosenberg LCP walk over arbitrary suffix pairs.
 
-    The greedy Karp–Miller–Rosenberg walk: descend k = levels-1..0; when
-    both walk positions (advanced by the accumulated match) still exist
-    and their level-k prefixes are equal, the suffixes match for another
-    ``2^k`` tokens.  Levels ≥3 test rank-table equality (two (doc_id,
-    pos) hash-join lookups each); levels ≤2 test element-wise equality of
-    the base table's lead columns — no token data moves at any point.
+    ``pairs`` is ``(doc_i, i, doc_j, j)`` — the two suffixes may live in
+    DIFFERENT documents (ranks are global).  Descend k = levels-1..0;
+    when both walk positions (advanced by the accumulated match) still
+    exist and their level-k prefixes are equal, the suffixes match for
+    another ``least(2^k, remaining_i, remaining_j)`` tokens.  The
+    remaining-length cap matters only cross-document: equal-length
+    suffixes from two docs CAN tie through sentinel padding (identical
+    full suffixes), where the real match is the remaining length, not
+    2^k; within one document suffix lengths always differ, so the cap is
+    a no-op there.  Levels ≥3 test rank-table equality (two (doc, pos)
+    hash-join lookups each); levels ≤2 test element-wise equality of the
+    base table's lead columns — no token data moves at any point.
 
-    Returns ``(doc_id, i, j, lcp)`` for SA-adjacent suffix starts.
+    Returns ``pairs`` plus an exact ``lcp`` column.
     """
-    top = ranks[levels]
-    w_sa = Window.partitionBy("doc_id").orderBy("r_sa")
+    base = ranks["base"]
+    doc_len = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__L"))
     adj = (
-        top.select("doc_id", F.col("pos").alias("i"), F.col("r").alias("r_sa"))
-        .withColumn("j", F.lead("i").over(w_sa))
-        .filter(F.col("j").isNotNull())
-        .select("doc_id", "i", "j")
+        pairs.join(
+            doc_len.select(F.col("doc_id").alias("doc_i"), F.col("__L").alias("__Li")),
+            "doc_i",
+        )
+        .join(
+            doc_len.select(F.col("doc_id").alias("doc_j"), F.col("__L").alias("__Lj")),
+            "doc_j",
+        )
         .withColumn("lcp", F.lit(0).cast("long"))
     )
-    base = ranks["base"]
     for k in range(levels - 1, -1, -1):
         step = 1 << k
         if k >= _BASE_LEVEL:
             rk = ranks[k]
             left = rk.select(
-                "doc_id", F.col("pos").alias("__ki"), F.col("r").alias("__ri")
+                F.col("doc_id").alias("doc_i"),
+                F.col("pos").alias("__ki"),
+                F.col("r").alias("__ri"),
             )
             right = rk.select(
-                "doc_id", F.col("pos").alias("__kj"), F.col("r").alias("__rj")
+                F.col("doc_id").alias("doc_j"),
+                F.col("pos").alias("__kj"),
+                F.col("r").alias("__rj"),
             )
             match = (
                 F.col("__ri").isNotNull()
@@ -143,12 +156,12 @@ def adjacent_lcp(ranks: dict, levels: int) -> DataFrame:
         else:
             cols = [f"p{t}" for t in range(step)]
             left = base.select(
-                "doc_id",
+                F.col("doc_id").alias("doc_i"),
                 F.col("pos").alias("__ki"),
                 *[F.col(c).alias(f"__i{c}") for c in cols],
             )
             right = base.select(
-                "doc_id",
+                F.col("doc_id").alias("doc_j"),
                 F.col("pos").alias("__kj"),
                 *[F.col(c).alias(f"__j{c}") for c in cols],
             )
@@ -160,15 +173,44 @@ def adjacent_lcp(ranks: dict, levels: int) -> DataFrame:
                 + [f"__i{c}" for c in cols]
                 + [f"__j{c}" for c in cols]
             )
+        gain = F.least(
+            F.lit(step).cast("long"),
+            F.col("__Li") - F.col("__ki"),
+            F.col("__Lj") - F.col("__kj"),
+        )
         adj = (
             adj.withColumn("__ki", F.col("i") + F.col("lcp"))
             .withColumn("__kj", F.col("j") + F.col("lcp"))
-            .join(left, ["doc_id", "__ki"], "left")
-            .join(right, ["doc_id", "__kj"], "left")
+            .join(left, ["doc_i", "__ki"], "left")
+            .join(right, ["doc_j", "__kj"], "left")
             .withColumn(
                 "lcp",
-                F.col("lcp") + F.when(match, F.lit(step)).otherwise(F.lit(0)),
+                F.col("lcp") + F.when(match, gain).otherwise(F.lit(0)),
             )
             .drop(*drop)
         )
-    return adj
+    return adj.drop("__Li", "__Lj")
+
+
+def adjacent_lcp(ranks: dict, levels: int) -> DataFrame:
+    """LCP of WITHIN-document SA-adjacent suffix pairs (max = the doc's
+    longest repeated substring).  Adjacency comes from a per-document
+    window over the top-level rank; the walk is :func:`lcp_walk`.
+
+    Returns ``(doc_id, i, j, lcp)`` for SA-adjacent suffix starts.
+    """
+    top = ranks[levels]
+    w_sa = Window.partitionBy("doc_id").orderBy("r_sa")
+    pairs = (
+        top.select("doc_id", F.col("pos").alias("i"), F.col("r").alias("r_sa"))
+        .withColumn("j", F.lead("i").over(w_sa))
+        .filter(F.col("j").isNotNull())
+        .select(
+            F.col("doc_id").alias("doc_i"),
+            "i",
+            F.col("doc_id").alias("doc_j"),
+            "j",
+        )
+    )
+    walked = lcp_walk(pairs, ranks, levels)
+    return walked.select(F.col("doc_i").alias("doc_id"), "i", "j", "lcp")

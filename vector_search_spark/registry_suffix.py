@@ -16,7 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators.suffix import adjacent_lcp, suffix_ranks
+from .operators.suffix import adjacent_lcp, lcp_walk, suffix_ranks
+from .partitioning import global_order_stats
 from .registry import register
 from .sources.tables import load_table as __load
 
@@ -149,3 +150,119 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.trim(F.col("text")) != "")
         .select("doc_id", "text")
     )
+
+
+_CROSS_ORACLE = f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, {_SA_CAP})
+           AS a
+  FROM documents WHERE trim(text) != ''),
+pos AS (
+  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM arr),
+suf AS (SELECT doc_id, a, i, a[i:] AS s FROM pos),
+sa AS (
+  SELECT doc_id, a, i, s,
+         row_number() OVER (ORDER BY s, doc_id, i) AS r
+  FROM suf),
+adj AS (
+  SELECT x.doc_id AS doc_a, x.a AS arr_a, x.i AS pa, x.s AS si,
+         y.doc_id AS doc_b, y.i AS pb, y.s AS sj
+  FROM sa x JOIN sa y ON y.r = x.r + 1
+  WHERE x.doc_id != y.doc_id),
+lcp AS (
+  SELECT doc_a, arr_a, pa, doc_b, pb,
+         COALESCE(
+           NULLIF(list_position(
+                    list_transform(range(1, least(len(si), len(sj)) + 1),
+                                   k -> si[k] = sj[k]),
+                    false), 0) - 1,
+           least(len(si), len(sj))) AS l
+  FROM adj),
+top AS (
+  SELECT doc_a, arr_a, pa, doc_b, pb, l,
+         row_number() OVER (ORDER BY l DESC, doc_a, pa, doc_b, pb) AS rank_id
+  FROM lcp WHERE l >= 2)
+SELECT rank_id::BIGINT AS rank_id, l::BIGINT AS match_len,
+       doc_a, (pa - 1)::BIGINT AS pos_a, doc_b, (pb - 1)::BIGINT AS pos_b,
+       array_to_string(arr_a[pa:pa + l - 1], ' ') AS phrase
+FROM top WHERE rank_id <= 20 ORDER BY rank_id
+"""
+
+
+@register("corpus_suffix_repeats", oracle=_CROSS_ORACLE)
+def q_corpus_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 longest token substrings shared ACROSS documents — the
+    corpus-level output of the suffix-array dedup method (Lee et al.
+    2022): rank the corpus-wide suffix array, take CONSECUTIVE entries
+    from different documents, and walk their exact LCP.  The maximal
+    cross-document repeat is always realized by such an adjacent pair
+    (any suffix between the two occurrences shares at least the same
+    prefix, and somewhere in that SA interval the document id switches),
+    so these are exactly the byte ranges an exact-substring deduper would
+    cut — at any length, any alignment, no fixed block grid
+    (`dup_substring_runs` is the blocked screen; this is the exact tool).
+
+    Plan: the session-shared rank pyramid already orders every suffix
+    globally; corpus-wide adjacency is ONE range-partitioned total rank
+    (`global_order_stats` — never a one-task window) plus a self-join on
+    consecutive rank ids, and the LCP walk is the same (doc, pos) lookup
+    cascade as the per-doc query — cross-document pairs cost nothing
+    extra because ranks were global all along.  The remaining-length cap
+    in `lcp_walk` is load-bearing here: identical equal-length suffixes
+    from two docs tie through sentinel padding, and the cap turns that
+    into the exact remaining length instead of 2^k.
+
+    Exactness: integer ranks, integer tie-breaks (len desc, then doc/pos
+    ids), phrase rebuilt by an ordered fold; the oracle re-derives
+    everything from a native list sort, sharing only the tokenizer.
+    """
+    tok, ranks = _shared_suffix(spark, sf_dir)
+    top = ranks[_SA_LEVELS]
+    sa = global_order_stats(top, ["r", "doc_id", "pos"]).select(
+        "doc_id", "pos", F.col("__rank").alias("sa_r")
+    )
+    nxt = sa.select(
+        (F.col("sa_r") - 1).alias("sa_r"),
+        F.col("doc_id").alias("doc_j"),
+        F.col("pos").alias("j"),
+    )
+    pairs = (
+        sa.select("sa_r", F.col("doc_id").alias("doc_i"), F.col("pos").alias("i"))
+        .join(nxt, "sa_r")
+        .filter(F.col("doc_i") != F.col("doc_j"))
+        .select("doc_i", "i", "doc_j", "j")
+    )
+    walked = lcp_walk(pairs, ranks, _SA_LEVELS).filter(F.col("lcp") >= 2)
+    w_top = Window.orderBy(
+        F.desc("lcp"), F.asc("doc_i"), F.asc("i"), F.asc("doc_j"), F.asc("j")
+    )
+    # Bounded before the global window: keep the 20 best per partition-free
+    # ordering via orderBy+limit (TakeOrderedAndProject — no full sort).
+    top20 = walked.orderBy(
+        F.desc("lcp"), F.asc("doc_i"), F.asc("i"), F.asc("doc_j"), F.asc("j")
+    ).limit(20)
+    ranked = top20.withColumn("rank_id", F.row_number().over(w_top))
+    phrase = (
+        ranked.join(tok, ranked.doc_i == tok.doc_id)
+        .filter((F.col("pos") >= F.col("i")) & (F.col("pos") < F.col("i") + F.col("lcp")))
+        .groupBy("rank_id", "lcp", "doc_i", "i", "doc_j", "j")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+            ).alias("phrase")
+        )
+    )
+    return phrase.select(
+        F.col("rank_id").cast("long").alias("rank_id"),
+        F.col("lcp").cast("long").alias("match_len"),
+        F.col("doc_i").alias("doc_a"),
+        F.col("i").cast("long").alias("pos_a"),
+        F.col("doc_j").alias("doc_b"),
+        F.col("j").cast("long").alias("pos_b"),
+        "phrase",
+    ).orderBy("rank_id")
