@@ -176,3 +176,74 @@ def test_nb_confusion_matches_python_rebuild(spark):
         pred = min(scores, key=lambda l: (-scores[l], l))
         conf[(true_lang, pred)] += 1
     assert got == dict(conf)
+
+
+def test_bootstrap_ci_brackets_mean_and_matches_python(spark):
+    """CI must bracket the point estimate, and a pure-Python replica
+    rebuild (same md5 ladder) must reproduce the replica means exactly."""
+    import hashlib
+
+    from vector_search_spark.registry_ml import _BOOT_B, _POIS_T
+
+    rows = registry.QUERIES["bootstrap_value_ci"](spark, SF_TEST).collect()
+    con = _duck()
+    ev = con.execute(
+        "SELECT event_id, event_type, floor(value*100 + 0.5)::BIGINT FROM events"
+    ).fetchall()
+    by_type = {}
+    for eid, et, cents in ev:
+        by_type.setdefault(et, []).append((eid, cents))
+    for r in rows:
+        assert r.ci_lo <= r.ci_hi
+        assert r.ci_lo <= r.mean_value <= r.ci_hi  # 32 replicas straddle
+        data = by_type[r.event_type]
+        assert r.n_events == len(data)
+        means = []
+        for b in range(_BOOT_B):
+            sw = swc = 0
+            for eid, cents in data:
+                u = int(
+                    hashlib.md5(f"boot{b}:{eid}".encode()).hexdigest()[:8], 16
+                )
+                w = next((k for k, t in enumerate(_POIS_T) if u < t), 7)
+                sw += w
+                swc += w * cents
+            means.append((swc / 100.0) / sw)
+        means.sort()
+        assert r.ci_lo == pytest.approx(means[1], abs=1e-4)
+        assert r.ci_hi == pytest.approx(means[_BOOT_B - 2], abs=1e-4)
+
+
+def test_greedy_coverage_matches_python_greedy(spark):
+    """Bit-exact vs a pure-Python greedy over the same bigram sets, and
+    the gain curve must be non-increasing (submodularity of coverage)."""
+    rows = registry.QUERIES["greedy_coverage_select"](spark, SF_TEST).collect()
+    con = _duck()
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents WHERE trim(text) != ''"
+    ).fetchall()
+    sets = {}
+    for d, t in docs:
+        tk = t.strip().lower().split()
+        sets[d] = {f"{a} {b}" for a, b in zip(tk, tk[1:])}
+    covered = set()
+    chosen = set()
+    want = []
+    for _ in range(8):
+        best = None
+        for d, s in sets.items():
+            if d in chosen:
+                continue
+            g = len(s - covered)
+            if g == 0:
+                continue
+            key = (-g, d)
+            if best is None or key < best[0]:
+                best = (key, d, g)
+        covered |= sets[best[1]]
+        chosen.add(best[1])
+        want.append((best[1], best[2], len(covered)))
+    got = [(r.doc_id, r.gain, r.covered_tokens) for r in sorted(rows, key=lambda r: r.round)]
+    assert got == want
+    gains = [g for _, g, _ in got]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))

@@ -84,6 +84,8 @@ QUERIES = [
     "markov_stationary_events",
     "doc_suffix_lrs",
     "corpus_suffix_repeats",
+    "bootstrap_value_ci",
+    "greedy_coverage_select",
 ]
 
 REGIMES = [

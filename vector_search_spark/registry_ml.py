@@ -643,3 +643,274 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap: CI for mean purchase value per event type.
+# ---------------------------------------------------------------------------
+_BOOT_B = 32
+# floor(CDF_Poisson(1)(k) * 2^32) for k = 0..6 (ELSE branch = 7): the md5
+# uniform is compared against integer thresholds only — no float RNG.
+_POIS_T = [1580030168, 3160060337, 3950075421, 4213413783,
+           4279248373, 4292415291, 4294609777]
+
+
+def _pois_w(u: str) -> str:
+    """Shared CASE ladder: Poisson(1) inverse CDF on a 32-bit uniform."""
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"(CASE {branches} ELSE 7 END)"
+
+
+def _boot_mean(b: int) -> str:
+    return f"((CAST(swc{b} AS DOUBLE) / 100.0) / CAST(sw{b} AS DOUBLE))"
+
+
+def _boot_oracle() -> str:
+    u_cols = ", ".join(
+        f"(('0x' || substr(md5('boot{b}:' || CAST(event_id AS VARCHAR)), 1, 8))"
+        f"::BIGINT) AS u{b}"
+        for b in range(_BOOT_B)
+    )
+    w_cols = ", ".join(f"{_pois_w(f'u{b}')} AS w{b}" for b in range(_BOOT_B))
+    aggs = ", ".join(
+        f"sum(w{b})::BIGINT AS sw{b}, sum(w{b} * cents)::BIGINT AS swc{b}"
+        for b in range(_BOOT_B)
+    )
+    means = ", ".join(_boot_mean(b) for b in range(_BOOT_B))
+    return f"""
+    WITH base AS (
+      SELECT event_type, floor(value*100 + 0.5)::BIGINT AS cents, {u_cols}
+      FROM events),
+    w AS (SELECT event_type, cents, {w_cols} FROM base),
+    agg AS (
+      SELECT event_type, count(*)::BIGINT AS n_events,
+             sum(cents)::BIGINT AS sc, {aggs}
+      FROM w GROUP BY 1)
+    SELECT event_type, n_events,
+           floor(((CAST(sc AS DOUBLE) / 100.0) / CAST(n_events AS DOUBLE))
+                 * 10000 + 0.5) / 10000.0 AS mean_value,
+           floor((list_sort([{means}])[2]) * 10000 + 0.5) / 10000.0 AS ci_lo,
+           floor((list_sort([{means}])[{_BOOT_B - 1}]) * 10000 + 0.5) / 10000.0
+             AS ci_hi
+    FROM agg ORDER BY event_type
+    """
+
+
+@register("bootstrap_value_ci", oracle=_boot_oracle())
+def q_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value per
+    event type — the standard production trick for CIs over distributed
+    data (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams"): each of B=32 replicas reweights every row by a
+    Poisson(1)-distributed integer, so replica statistics are plain
+    weighted aggregates computed in the SAME single scan, no resampling
+    pass.  CI = order statistics (ranks 2 and 31 of 32, ~93% coverage) of
+    the replica means.
+
+    Exactness: weights come from an integer CASE ladder on md5 uniforms
+    (floor(CDF·2^32) thresholds precomputed once — shared literal text,
+    no float RNG, the `dp_noisy_counts` recipe); per-replica numerators/
+    denominators are exact BIGINT sums; the only float math is 32 final
+    divisions and a sort of 32 doubles per group.
+
+    Scale: ONE partial-agg'd scan carrying 2B+2 integer accumulators per
+    event type; B scales the accumulator width, never the shuffled rows.
+    The md5-per-replica hashing is the plan's CPU cost — at B beyond ~100
+    you'd switch to one 128-bit md5 split into four 32-bit lanes.
+    """
+    ev = _t(spark, sf_dir, "events")
+    u_cols = [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"boot{b}:"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias(f"u{b}")
+        for b in range(_BOOT_B)
+    ]
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        *u_cols,
+    )
+    w = base.select(
+        "event_type",
+        "cents",
+        *[F.expr(_pois_w(f"u{b}")).alias(f"w{b}") for b in range(_BOOT_B)],
+    )
+    agg = w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sc"),
+        *[
+            a
+            for b in range(_BOOT_B)
+            for a in (
+                F.sum(f"w{b}").cast("long").alias(f"sw{b}"),
+                F.sum(F.col(f"w{b}") * F.col("cents")).cast("long").alias(f"swc{b}"),
+            )
+        ],
+    )
+    means = ", ".join(_boot_mean(b) for b in range(_BOOT_B))
+    return agg.select(
+        "event_type",
+        "n_events",
+        round4(
+            (F.col("sc").cast("double") / 100.0) / F.col("n_events").cast("double")
+        ).alias("mean_value"),
+        round4(F.expr(f"element_at(array_sort(array({means})), 2)")).alias("ci_lo"),
+        round4(
+            F.expr(f"element_at(array_sort(array({means})), {_BOOT_B - 1})")
+        ).alias("ci_hi"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage data selection (submodular coreset pick).
+# ---------------------------------------------------------------------------
+_COV_K = 8
+
+
+def _cov_oracle() -> str:
+    ctes = [
+        """tokp AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1)
+               AS ord
+      FROM documents WHERE trim(text) != '')""",
+        """dt AS MATERIALIZED (
+      SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok AS tok
+      FROM tokp t1 JOIN tokp t2
+        ON t2.doc_id = t1.doc_id AND t2.ord = t1.ord + 1)"""
+    ]
+    outs = []
+    for t in range(1, _COV_K + 1):
+        if t == 1:
+            gain_src = "SELECT doc_id, count(*)::BIGINT AS c FROM dt GROUP BY 1"
+        else:
+            prev_sel = " UNION ALL ".join(
+                f"SELECT doc_id FROM s{x}" for x in range(1, t)
+            )
+            gain_src = f"""
+          SELECT dt.doc_id, count(*)::BIGINT AS c
+          FROM dt
+          WHERE NOT EXISTS (SELECT 1 FROM cov{t - 1} cv WHERE cv.tok = dt.tok)
+            AND dt.doc_id NOT IN ({prev_sel})
+          GROUP BY 1"""
+        ctes.append(f"g{t} AS MATERIALIZED ({gain_src})")
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT doc_id, c FROM g{t} ORDER BY c DESC, doc_id LIMIT 1)"
+        )
+        cov_new = (
+            f"SELECT DISTINCT dt.tok FROM dt"
+            f" WHERE dt.doc_id IN (SELECT doc_id FROM s{t})"
+        )
+        if t == 1:
+            ctes.append(f"cov{t} AS MATERIALIZED ({cov_new})")
+        else:
+            ctes.append(
+                f"cov{t} AS MATERIALIZED ({cov_new} UNION SELECT tok FROM cov{t - 1})"
+            )
+        outs.append(
+            f"SELECT {t} AS round, doc_id, c AS gain,"
+            f" (SELECT count(*)::BIGINT FROM cov{t}) AS covered_tokens FROM s{t}"
+        )
+    cte_block = ",\n    ".join(ctes)
+    sel = "\n      UNION ALL ".join(outs)
+    return f"""
+    WITH {cte_block}
+    {sel}
+    ORDER BY round
+    """
+
+
+@register("greedy_coverage_select", oracle=_cov_oracle())
+def q_greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection: pick K=8 documents, each
+    round taking the doc that covers the most NOT-yet-covered word BIGRAMS
+    (the unigram vocabulary of the fixture corpus is 31 tokens — saturated
+    by one doc; bigrams give a 916-unit universe with a real
+    diminishing-returns curve) — the classic (1−1/e)-approximate
+    submodular greedy used for coreset / "most informative subset" data
+    selection in training pipelines.
+
+    Emits (round, doc_id, gain, covered_tokens): the marginal gain curve
+    IS the diminishing-returns diagnostic (where it flattens, additional
+    data stops buying vocabulary).
+
+    Exactness: all counts are integers; each round's argmax tie-breaks on
+    doc_id; both engines run the same 8 unrolled rounds (anti-join against
+    the covered set, exclusion of prior picks, 1-row argmax).
+
+    Scale: per round = one anti-join of the (doc, token) distinct table
+    against the covered-token set plus a partial-agg'd count and a global
+    top-1 (TakeOrderedAndProject) — the covered set grows but stays
+    vocabulary-sized (Zipf-small vs the corpus).  The selected-doc row is
+    never collect()ed to the driver: it re-enters the next round as a
+    broadcast join.  K rounds = K sequential passes — the honest cost of
+    greedy; lazier variants (stochastic greedy) subsample dt per round,
+    same plan shape.
+    """
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", "text")
+    )
+    tokp = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    dt = (
+        tokp.withColumn("nxt", F.lead("tok").over(w_doc))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", F.col("tok"), F.col("nxt")).alias("tok"))
+        .distinct()
+        .localCheckpoint()
+    )
+    covered = None
+    selected = None
+    out_rows = []
+    for t in range(1, _COV_K + 1):
+        cand = dt
+        if covered is not None:
+            cand = cand.join(covered, "tok", "left_anti")
+        if selected is not None:
+            cand = cand.join(selected.select("doc_id"), "doc_id", "left_anti")
+        gains = cand.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        sel = (
+            gains.orderBy(F.desc("c"), F.asc("doc_id")).limit(1).localCheckpoint()
+        )
+        new_cov = dt.join(F.broadcast(sel.select("doc_id")), "doc_id").select("tok")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov)
+        ).distinct().localCheckpoint()
+        selected = (
+            sel.select("doc_id")
+            if selected is None
+            else selected.unionByName(sel.select("doc_id"))
+        ).localCheckpoint()
+        cov_cnt = covered.agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
+        out_rows.append(
+            sel.crossJoin(F.broadcast(cov_cnt)).select(
+                F.lit(t).cast("int").alias("round"),
+                "doc_id",
+                F.col("c").alias("gain"),
+                "covered_tokens",
+            )
+        )
+    out = out_rows[0]
+    for df in out_rows[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("round")
