@@ -247,3 +247,134 @@ def test_greedy_coverage_matches_python_greedy(spark):
     assert got == want
     gains = [g for _, g, _ in got]
     assert all(a >= b for a, b in zip(gains, gains[1:]))
+
+
+def test_auc_matches_numpy_rank_formula(spark):
+    """AUC must equal the tie-corrected Mann-Whitney computed with numpy's
+    independent average-rank machinery."""
+    row = registry.QUERIES["scorer_auc"](spark, SF_TEST).collect()[0]
+    con = _duck()
+    df = con.execute(
+        "SELECT floor(value*100 + 0.5)::BIGINT AS cents,"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos FROM events"
+    ).df()
+    # average ranks (tie-corrected) in plain numpy
+    cents = df["cents"].to_numpy()
+    vals, inv, counts = np.unique(cents, return_inverse=True, return_counts=True)
+    ends = np.cumsum(counts)
+    avg_rank_per_val = ends - (counts - 1) / 2.0
+    ranks = avg_rank_per_val[inv]
+    p = int(df["pos"].sum())
+    n = len(df) - p
+    auc = (ranks[df["pos"].to_numpy() == 1].sum() - p * (p + 1) / 2) / (p * n)
+    assert (row.n_pos, row.n_neg) == (p, n)
+    assert row.auc == pytest.approx(auc, abs=1e-4)
+
+
+def test_best_f1_matches_pandas_sweep(spark):
+    """The emitted operating point must equal an exhaustive pandas sweep
+    of every distinct threshold."""
+    row = registry.QUERIES["pr_best_f1"](spark, SF_TEST).collect()[0]
+    con = _duck()
+    df = con.execute(
+        "SELECT floor(value*100 + 0.5)::BIGINT AS cents,"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos FROM events"
+    ).df()
+    p = int(df["pos"].sum())
+    best = None
+    for t in sorted(df["cents"].unique()):
+        pred = df["cents"] >= t
+        tp = int(df.loc[pred, "pos"].sum())
+        fp = int(pred.sum()) - tp
+        fn = p - tp
+        f1 = 2 * tp / (2 * tp + fp + fn)
+        key = (math.floor(f1 * 1e9 + 0.5), -t)
+        if best is None or key > best[0]:
+            best = (key, t, tp, fp, fn, f1)
+    assert row.threshold_cents == best[1]
+    assert (row.tp, row.fp, row.fn) == (best[2], best[3], best[4])
+    assert row.f1 == pytest.approx(best[5], abs=1e-4)
+
+
+def test_cusum_matches_pandas_argmax(spark):
+    """Change day, split sizes, and both-side means must equal a pandas
+    recomputation of the scaled CUSUM argmax."""
+    row = registry.QUERIES["value_cusum_changepoint"](spark, SF_TEST).collect()[0]
+    con = _duck()
+    df = con.execute(
+        "SELECT CAST(ts AS DATE) AS day,"
+        " sum(floor(value*100 + 0.5)::BIGINT)::BIGINT AS cents"
+        " FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
+    ).df()
+    nd, T = len(df), int(df["cents"].sum())
+    prefix = df["cents"].cumsum()
+    dev = nd * prefix - (df.index + 1) * T
+    k = dev.abs().idxmax()
+    import pandas as pd
+
+    assert pd.Timestamp(row.change_day) == pd.Timestamp(df["day"].iloc[k])
+    assert row.days_before == k + 1
+    assert row.days_after == nd - (k + 1)
+    assert row.mean_before == pytest.approx(
+        (prefix.iloc[k] / 100.0) / (k + 1), abs=1e-4
+    )
+    assert row.mean_after == pytest.approx(
+        ((T - prefix.iloc[k]) / 100.0) / (nd - k - 1), abs=1e-4
+    )
+
+
+def test_streaming_stump_histogram_reproduces_batch_split(spark):
+    """Drain the streaming histogram and run the SAME split search on its
+    final counts: the chosen (threshold, gain, counts) per feature must
+    equal the batch `decision_stump_returns` rows — online model training
+    whose sufficient statistics are streaming state."""
+    from vector_search_spark.streaming.events import (
+        stream_lineitem_features_from_parquet,
+        streaming_stump_histogram,
+    )
+
+    out = streaming_stump_histogram(
+        stream_lineitem_features_from_parquet(spark, SF_TEST)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stump_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    hist = spark.sql(
+        "SELECT feature, val, max(cnt) AS cnt, max(pos) AS pos"
+        " FROM stump_stream GROUP BY 1, 2"
+    ).toPandas()
+
+    batch = {r.feature: r for r in
+             registry.QUERIES["decision_stump_returns"](spark, SF_TEST).collect()}
+
+    def gini(cnt, pos):
+        if cnt == 0:
+            return 0.0
+        q_ = pos / cnt
+        return 1.0 - q_ * q_ - (1.0 - q_) * (1.0 - q_)
+
+    for feat, grp in hist.groupby("feature"):
+        grp = grp.sort_values("val")
+        n, p = int(grp["cnt"].sum()), int(grp["pos"].sum())
+        parent = gini(n, p)
+        best = None
+        cum_n = cum_p = 0
+        for _, row_ in grp.iterrows():
+            cum_n += int(row_["cnt"])
+            cum_p += int(row_["pos"])
+            if cum_n >= n:
+                continue
+            gain = parent - (
+                cum_n / n * gini(cum_n, cum_p)
+                + (n - cum_n) / n * gini(n - cum_n, p - cum_p)
+            )
+            key = (math.floor(gain * 1e9 + 0.5), -row_["val"])
+            if best is None or key > best[0]:
+                best = (key, int(row_["val"]), cum_n, cum_p)
+        r = batch[feat]
+        assert (r.threshold, r.n_left, r.pos_left) == (best[1], best[2], best[3])

@@ -86,6 +86,9 @@ QUERIES = [
     "corpus_suffix_repeats",
     "bootstrap_value_ci",
     "greedy_coverage_select",
+    "scorer_auc",
+    "pr_best_f1",
+    "value_cusum_changepoint",
 ]
 
 REGIMES = [

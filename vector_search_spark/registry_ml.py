@@ -914,3 +914,316 @@ def q_greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out_rows[1:]:
         out = out.unionByName(df)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Exact tie-corrected AUC (Mann-Whitney) of a scorer against a binary label.
+# ---------------------------------------------------------------------------
+@register(
+    "scorer_auc",
+    oracle="""
+    WITH base AS (
+      SELECT floor(value*100 + 0.5)::BIGINT AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events),
+    grp AS (
+      SELECT cents, count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS pos
+      FROM base GROUP BY 1),
+    cum AS (
+      SELECT cents, cnt, pos,
+             COALESCE(sum(cnt) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ::BIGINT AS prior
+      FROM grp),
+    s AS (
+      SELECT sum(pos * (2*prior + cnt + 1))::HUGEINT AS s2,
+             sum(pos)::BIGINT AS p,
+             sum(cnt - pos)::BIGINT AS n
+      FROM cum)
+    SELECT p AS n_pos, n AS n_neg,
+           floor(((CAST(s2 AS DOUBLE) - CAST(p AS DOUBLE)*(CAST(p AS DOUBLE) + 1.0))
+                  / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE))) * 10000 + 0.5)
+             / 10000.0 AS auc
+    FROM s
+    """,
+)
+def q_scorer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the value scorer for predicting purchases, via the
+    tie-corrected Mann-Whitney statistic — the eval-loop metric next to
+    `calibration_bins`/`annotator_agreement`, computed exactly instead of
+    by threshold sampling.  AUC = (Σ avg-ranks of positives − P(P+1)/2) /
+    (P·N); tied scores get the average rank of their tie group.
+
+    Exactness: scores quantized to cents make ties well-defined; per-group
+    doubled average rank ``2·prior + cnt + 1`` keeps everything integer;
+    Σ pos·avg-rank2 accumulates in DECIMAL(38,0) (rank·count products
+    reach ~n² — past int64 near 1e10 rows); ONE final float expression.
+
+    Scale: group-by-score collapse first (cardinality = distinct scores,
+    not rows), then `global_order_stats` supplies the exclusive prefix
+    count without a one-task window, then a partial-agg'd fold to three
+    scalars.  The oracle's ROWS window is the fixture-scale equivalent.
+    """
+    from .partitioning import global_order_stats
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    grp = base.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos"),
+    )
+    cum = global_order_stats(grp, ["cents"], sum_col="cnt").withColumnRenamed(
+        "__prior", "prior"
+    )
+    s = cum.agg(
+        F.sum(
+            (F.col("pos") * (2 * F.col("prior") + F.col("cnt") + 1)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sum("pos").cast("long").alias("p"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n"),
+    )
+    return s.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        round4(
+            F.expr(
+                "(CAST(s2 AS DOUBLE) - CAST(p AS DOUBLE)*(CAST(p AS DOUBLE) + 1.0))"
+                " / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE))"
+            )
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Best-F1 operating point of the same scorer (threshold sweep, exact).
+# ---------------------------------------------------------------------------
+@register(
+    "pr_best_f1",
+    oracle="""
+    WITH base AS (
+      SELECT floor(value*100 + 0.5)::BIGINT AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events),
+    grp AS (
+      SELECT cents, count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS pos
+      FROM base GROUP BY 1),
+    tot AS (SELECT sum(pos)::BIGINT AS p FROM grp),
+    cum AS (
+      SELECT cents,
+             (sum(cnt) OVER w)::BIGINT AS pred_pos,
+             (sum(pos) OVER w)::BIGINT AS tp
+      FROM grp
+      WINDOW w AS (ORDER BY cents DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    scored AS (
+      SELECT cents AS threshold_cents, tp,
+             (pred_pos - tp)::BIGINT AS fp,
+             (t.p - tp)::BIGINT AS fn,
+             floor((2.0 * CAST(tp AS DOUBLE)
+                    / (2.0 * CAST(tp AS DOUBLE) + CAST(pred_pos - tp AS DOUBLE)
+                       + CAST(t.p - tp AS DOUBLE))) * 1000000000 + 0.5)::BIGINT
+               AS f1_nano
+      FROM cum CROSS JOIN tot t),
+    best AS (
+      SELECT *, row_number() OVER (ORDER BY f1_nano DESC, threshold_cents) AS rn
+      FROM scored)
+    SELECT threshold_cents, tp, fp, fn,
+           floor((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) * 10000 + 0.5)
+             / 10000.0 AS precision_at,
+           floor((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) * 10000 + 0.5)
+             / 10000.0 AS recall_at,
+           floor((f1_nano / 1000000000.0) * 10000 + 0.5) / 10000.0 AS f1
+    FROM best WHERE rn = 1
+    """,
+)
+def q_pr_best_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-F1 operating point of the value scorer on the purchase label:
+    sweep EVERY distinct threshold exactly (predict positive when score ≥
+    t), emit the argmax with its confusion counts — the model-selection
+    companion to `scorer_auc` (threshold-free) and `calibration_bins`
+    (probability quality).
+
+    Exactness: cumulative TP / predicted-positive counts per threshold
+    are exact integers from one descending prefix sum over the
+    score-collapsed table; F1 is nano-quantized for the argmax (tie-break:
+    lowest threshold) so no float ever decides a rank.
+
+    Scale: identical shape to `decision_stump_returns` — collapse to
+    distinct scores (partial agg), tiny windowed sweep, top-1.  The
+    oracle's window is `global_order_stats`' fixture-scale stand-in; the
+    Spark side uses the range-partitioned primitive so the sweep never
+    funnels through one task.
+    """
+    from .partitioning import global_order_stats
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    grp = base.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos"),
+    )
+    tot = grp.agg(F.sum("pos").cast("long").alias("p"))
+    # descending sweep: order by negated score, inclusive prefix = prior + own
+    cum = (
+        global_order_stats(
+            grp.withColumn("neg_cents", -F.col("cents")), ["neg_cents"], sum_col="cnt"
+        )
+        .withColumn("pred_pos", (F.col("__prior") + F.col("cnt")).cast("long"))
+        .drop("__rank", "__prior", "neg_cents")
+    )
+    cum_tp = (
+        global_order_stats(
+            cum.withColumn("neg_cents", -F.col("cents")), ["neg_cents"], sum_col="pos"
+        )
+        .withColumn("tp", (F.col("__prior") + F.col("pos")).cast("long"))
+        .drop("__rank", "__prior", "neg_cents")
+    )
+    scored = (
+        cum_tp.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cents").alias("threshold_cents"),
+            "tp",
+            (F.col("pred_pos") - F.col("tp")).cast("long").alias("fp"),
+            (F.col("p") - F.col("tp")).cast("long").alias("fn"),
+        )
+        .withColumn(
+            "f1_nano",
+            F.expr(
+                "CAST(floor((2.0 * CAST(tp AS DOUBLE)"
+                " / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)"
+                " + CAST(fn AS DOUBLE))) * 1000000000 + 0.5) AS BIGINT)"
+            ),
+        )
+    )
+    best = (
+        scored.orderBy(F.desc("f1_nano"), F.asc("threshold_cents"))
+        .limit(1)
+    )
+    return best.select(
+        "threshold_cents",
+        "tp",
+        "fp",
+        "fn",
+        round4(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("precision_at"),
+        round4(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")
+        ).alias("recall_at"),
+        round4(F.col("f1_nano") / 1000000000.0).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection on the daily purchase-value series.
+# ---------------------------------------------------------------------------
+@register(
+    "value_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(floor(value*100 + 0.5)::BIGINT)::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS nd, sum(cents)::BIGINT AS t FROM daily),
+    cum AS (
+      SELECT day, cents,
+             (sum(cents) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS prefix,
+             (row_number() OVER (ORDER BY day))::BIGINT AS idx
+      FROM daily),
+    dev AS (
+      SELECT day, idx, prefix,
+             (t.nd * prefix - idx * t.t)::HUGEINT AS dev_scaled, t.nd, t.t
+      FROM cum CROSS JOIN tot t),
+    best AS (
+      SELECT *, row_number() OVER (ORDER BY abs(dev_scaled) DESC, day) AS rn
+      FROM dev)
+    SELECT day AS change_day, idx AS days_before, (nd - idx)::BIGINT AS days_after,
+           floor((CAST(dev_scaled AS DOUBLE)
+                  / (CAST(nd AS DOUBLE) * 100.0)) * 10000 + 0.5) / 10000.0
+             AS max_cusum_dev,
+           floor(((CAST(prefix AS DOUBLE) / 100.0) / CAST(idx AS DOUBLE))
+                 * 10000 + 0.5) / 10000.0 AS mean_before,
+           floor(((CAST(t - prefix AS DOUBLE) / 100.0) / CAST(nd - idx AS DOUBLE))
+                 * 10000 + 0.5) / 10000.0 AS mean_after
+    FROM best WHERE rn = 1
+    """,
+)
+def q_value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily purchase revenue: the day
+    maximizing |cumulative deviation from the global daily mean| — the
+    classic at-most-one-change estimator a pipeline runs per metric per
+    snapshot (`daily_count_anomalies` flags outlier DAYS; this locates the
+    LEVEL SHIFT).
+
+    Exactness: the deviation is kept as the INTEGER ``nd·prefix − idx·T``
+    (the CUSUM numerator scaled by the day count — same argmax, no
+    division), accumulated in HUGEINT/DECIMAL headroom; the argmax
+    tie-breaks on the earlier day; means before/after are exact integer
+    ratios floated once.
+
+    Scale: one partial-agg'd daily collapse (cardinality = days), prefix
+    sums via `global_order_stats` instead of a one-task window, top-1 by
+    TakeOrderedAndProject.  days_before/after + both-side means make the
+    shift magnitude auditable downstream.
+    """
+    from .partitioning import global_order_stats
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    cum = (
+        global_order_stats(daily, ["day"], sum_col="cents")
+        .withColumn("prefix", (F.col("__prior") + F.col("cents")).cast("long"))
+        .withColumn("idx", F.col("__rank").cast("long"))
+        .drop("__rank", "__prior")
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "dev_scaled",
+        (
+            F.col("nd").cast("decimal(38,0)") * F.col("prefix")
+            - F.col("idx").cast("decimal(38,0)") * F.col("t")
+        ).cast("decimal(38,0)"),
+    )
+    best = dev.orderBy(F.abs(F.col("dev_scaled")).desc(), F.asc("day")).limit(1)
+    return best.select(
+        F.col("day").alias("change_day"),
+        F.col("idx").alias("days_before"),
+        (F.col("nd") - F.col("idx")).cast("long").alias("days_after"),
+        round4(
+            F.col("dev_scaled").cast("double") / (F.col("nd").cast("double") * 100.0)
+        ).alias("max_cusum_dev"),
+        round4(
+            (F.col("prefix").cast("double") / 100.0) / F.col("idx").cast("double")
+        ).alias("mean_before"),
+        round4(
+            ((F.col("t") - F.col("prefix")).cast("double") / 100.0)
+            / (F.col("nd") - F.col("idx")).cast("double")
+        ).alias("mean_after"),
+    )

@@ -154,3 +154,57 @@ def stream_stream_attribution_join(
         f"p_user_id = c_user_id AND c_ts >= p_ts AND c_ts <= p_ts + interval {window}"
     )
     return p.join(c, cond, "inner").select("p_event_id", "c_event_id")
+
+
+def stream_lineitem_features_from_parquet(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """readStream over the lineitem parquet, projected to the stump's
+    feature columns (subset schema ⇒ parquet column pruning; the nanos
+    shipdate column is never touched)."""
+    schema = (
+        "l_quantity double, l_discount double, l_tax double, l_returnflag string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_stump_histogram(li: DataFrame) -> DataFrame:
+    """Streaming twin of `decision_stump_returns`'s sufficient statistics:
+    the per-(feature, value) class-count histogram maintained as a plain
+    streaming aggregation — LightGBM's histogram trick as online state.
+
+    Counts are commutative integer sums, so the drained stream's final
+    counts equal the batch histogram EXACTLY under any micro-batch split,
+    and the split-search math downstream of them is deterministic.  State
+    is the ≤ Σ|feature domains| histogram cells (~160 rows here) — the
+    model's sufficient statistics, NOT the data; this is precisely why
+    stump/GBDT training streams: the reducer state is domain-sized.
+
+    Emits (feature, val, cnt, pos) updates; the final row per key is the
+    batch histogram row.
+    """
+    from ..registry_ml import _STUMP_FEATURES, _STUMP_LABEL
+
+    base = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        F.expr(expr).alias("val"),
+                    )
+                    for name, expr in _STUMP_FEATURES
+                ]
+            )
+        ).alias("fv"),
+        F.expr(_STUMP_LABEL).alias("pos"),
+    ).select("fv.feature", "fv.val", "pos")
+    return base.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos"),
+    )
