@@ -1,0 +1,126 @@
+"""Independent gates for the registry_features operators: pure-Python
+session overlap enumeration, direct-probability MI, and a pandas OOF
+encoder rebuild."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from conftest import SF_TEST
+from vector_search_spark import registry
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in ("events", "lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_TEST}/{t}.parquet'")
+    return con
+
+
+def test_session_overlap_matches_python_enumeration(spark):
+    """Sessions built in Python with the same 10-min rule; ALL cross-user
+    overlapping pairs enumerated; top-20 (overlap desc, id quadruple asc)
+    must equal the emitted rows exactly."""
+    rows = registry.QUERIES["session_overlap_pairs"](spark, SF_TEST).collect()
+    con = _duck()
+    ev = con.execute(
+        "SELECT user_id, epoch_ns(ts) // 1000 AS ts_us FROM events"
+        " ORDER BY user_id, ts_us"
+    ).fetchall()
+    sessions = []
+    cur = None
+    for uid, ts in ev:
+        if cur is None or cur[0] != uid or ts - cur[2] > 600_000_000:
+            if cur is not None:
+                sessions.append(cur)
+            idx = 1 if cur is None or cur[0] != uid else cur[3] + 1
+            cur = [uid, ts, ts, idx]
+        else:
+            cur[2] = ts
+    sessions.append(cur)
+    pairs = []
+    for i, (ua, sa, ea, ia) in enumerate(sessions):
+        for ub, sb, eb, ib in sessions[i + 1 :]:
+            if ua == ub:
+                continue
+            if ua > ub:
+                (ua2, ia2, sa2, ea2), (ub2, ib2, sb2, eb2) = (
+                    (ub, ib, sb, eb),
+                    (ua, ia, sa, ea),
+                )
+            else:
+                (ua2, ia2, sa2, ea2), (ub2, ib2, sb2, eb2) = (
+                    (ua, ia, sa, ea),
+                    (ub, ib, sb, eb),
+                )
+            ov = min(ea2, eb2) - max(sa2, sb2)
+            if ov > 0:
+                pairs.append((-ov, ua2, ia2, ub2, ib2))
+    pairs.sort()
+    want = [
+        (k + 1, ua, ia, ub, ib, -negov)
+        for k, (negov, ua, ia, ub, ib) in enumerate(pairs[:20])
+    ]
+    got = [
+        (r.rank_id, r.user_a, r.sess_a, r.user_b, r.sess_b, r.overlap_us)
+        for r in sorted(rows, key=lambda r: r.rank_id)
+    ]
+    assert got == want
+
+
+def test_mutual_information_matches_direct_formula(spark):
+    """MI per feature must match the plain-float plug-in estimator."""
+    rows = {r.feature: r for r in
+            registry.QUERIES["feature_mutual_information"](spark, SF_TEST).collect()}
+    con = _duck()
+    for feat, expr in [
+        ("quantity", "CAST(floor(l_quantity + 0.5) AS BIGINT)"),
+        ("discount_pct", "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"),
+        ("tax_pct", "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"),
+    ]:
+        cells = con.execute(
+            f"SELECT {expr} AS v, l_returnflag, count(*) FROM lineitem GROUP BY 1, 2"
+        ).fetchall()
+        n = sum(c for _, _, c in cells)
+        cv, cl = {}, {}
+        for v, l, c in cells:
+            cv[v] = cv.get(v, 0) + c
+            cl[l] = cl.get(l, 0) + c
+        mi = sum(
+            (c / n) * math.log(c * n / (cv[v] * cl[l])) for v, l, c in cells
+        )
+        assert rows[feat].n_vals == len(cv)
+        assert rows[feat].mi_nats == pytest.approx(mi, abs=2e-4)
+
+
+def test_target_encoding_matches_pandas_oof(spark):
+    """Exact: each (category, fold) row must equal the complement mean from
+    a pandas groupby with the same md5 folds."""
+    import hashlib
+
+    rows = registry.QUERIES["target_encoding_oof"](spark, SF_TEST).collect()
+    con = _duck()
+    od = con.execute(
+        "SELECT o_orderkey, o_orderpriority,"
+        " floor(o_totalprice*100 + 0.5)::BIGINT FROM orders"
+    ).fetchall()
+    agg = {}
+    for k, cat, cents in od:
+        fold = int(hashlib.md5(f"fold{k}".encode()).hexdigest()[:8], 16) % 5
+        key = (cat, fold)
+        n, s = agg.get(key, (0, 0))
+        agg[key] = (n + 1, s + cents)
+    cat_tot = {}
+    for (cat, _), (n, s) in agg.items():
+        cn, cs = cat_tot.get(cat, (0, 0))
+        cat_tot[cat] = (cn + n, cs + s)
+    assert len(rows) == len(agg)
+    for r in rows:
+        n_cf, s_cf = agg[(r.category, r.fold)]
+        n_c, s_c = cat_tot[r.category]
+        assert r.n_in_fold == n_cf
+        want = ((s_c - s_cf) / 100.0) / (n_c - n_cf)
+        assert r.encoded_value == pytest.approx(want, abs=1e-4)

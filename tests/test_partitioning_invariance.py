@@ -89,6 +89,9 @@ QUERIES = [
     "scorer_auc",
     "pr_best_f1",
     "value_cusum_changepoint",
+    "session_overlap_pairs",
+    "feature_mutual_information",
+    "target_encoding_oof",
 ]
 
 REGIMES = [

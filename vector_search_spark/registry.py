@@ -240,6 +240,7 @@ from . import (  # noqa: E402, F401
     registry_analytics,
     registry_dedup,
     registry_extensions,
+    registry_features,
     registry_ml,
     registry_relational,
     registry_round4,
