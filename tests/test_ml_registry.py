@@ -378,3 +378,54 @@ def test_streaming_stump_histogram_reproduces_batch_split(spark):
                 best = (key, int(row_["val"]), cum_n, cum_p)
         r = batch[feat]
         assert (r.threshold, r.n_left, r.pos_left) == (best[1], best[2], best[3])
+
+
+def test_ks_matches_numpy_direct(spark):
+    """KS statistic and argmax threshold must match a direct two-CDF scan."""
+    row = registry.QUERIES["ks_two_sample"](spark, SF_TEST).collect()[0]
+    con = _duck()
+    a = np.array(
+        con.execute(
+            "SELECT floor(value*100 + 0.5)::BIGINT FROM events"
+            " WHERE event_type = 'purchase'"
+        ).fetchall()
+    ).ravel()
+    b = np.array(
+        con.execute(
+            "SELECT floor(value*100 + 0.5)::BIGINT FROM events"
+            " WHERE event_type = 'click'"
+        ).fetchall()
+    ).ravel()
+    xs = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    f2 = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    d = np.abs(f1 - f2)
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    assert row.ks_stat == pytest.approx(d.max(), abs=1e-4)
+    assert row.at_cents == xs[np.argmax(d)]  # argmax ties: first = smallest
+
+
+def test_theil_sen_matches_python_median(spark):
+    """Robust and OLS slopes must match pure-Python recomputations."""
+    row = registry.QUERIES["theil_sen_daily_trend"](spark, SF_TEST).collect()[0]
+    con = _duck()
+    daily = con.execute(
+        "SELECT CAST(ts AS DATE), sum(floor(value*100 + 0.5)::BIGINT)"
+        " FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    cents = [int(c) for _, c in daily]
+    nd = len(cents)
+    slopes = sorted(
+        math.floor((cents[j] - cents[i]) * 1e6 / (j - i))
+        for i in range(nd)
+        for j in range(i + 1, nd)
+    )
+    m = len(slopes)
+    assert (row.n_days, row.n_pairs) == (nd, m)
+    med = slopes[(m + 1) // 2 - 1]
+    assert row.ts_slope_per_day == pytest.approx(med / 1e6 / 100.0, abs=1e-4)
+    xs = np.arange(1, nd + 1, dtype=np.float64)
+    ys = np.array(cents, dtype=np.float64)
+    ols = ((nd * (xs * ys).sum() - xs.sum() * ys.sum())
+           / (nd * (xs * xs).sum() - xs.sum() ** 2))
+    assert row.ols_slope_per_day == pytest.approx(ols / 100.0, abs=1e-3)

@@ -92,6 +92,8 @@ QUERIES = [
     "session_overlap_pairs",
     "feature_mutual_information",
     "target_encoding_oof",
+    "ks_two_sample",
+    "theil_sen_daily_trend",
 ]
 
 REGIMES = [

@@ -1227,3 +1227,250 @@ def q_value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("nd") - F.col("idx")).cast("double")
         ).alias("mean_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov distance between value distributions.
+# ---------------------------------------------------------------------------
+@register(
+    "ks_two_sample",
+    oracle="""
+    WITH a AS (
+      SELECT floor(value*100 + 0.5)::BIGINT AS cents FROM events
+      WHERE event_type = 'purchase'),
+    b AS (
+      SELECT floor(value*100 + 0.5)::BIGINT AS cents FROM events
+      WHERE event_type = 'click'),
+    cells AS (
+      SELECT cents, sum(c1)::BIGINT AS c1, sum(c2)::BIGINT AS c2 FROM (
+        SELECT cents, 1 AS c1, 0 AS c2 FROM a
+        UNION ALL SELECT cents, 0, 1 FROM b)
+      GROUP BY 1),
+    tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM cells),
+    cum AS (
+      SELECT cents,
+             (sum(c1) OVER w)::BIGINT AS cum1, (sum(c2) OVER w)::BIGINT AS cum2
+      FROM cells
+      WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    dev AS (
+      SELECT cents, abs(t.n2 * cum1 - t.n1 * cum2)::HUGEINT AS d_scaled,
+             t.n1, t.n2
+      FROM cum CROSS JOIN tot t),
+    best AS (
+      SELECT *, row_number() OVER (ORDER BY d_scaled DESC, cents) AS rn
+      FROM dev)
+    SELECT n1 AS n_a, n2 AS n_b, cents AS at_cents,
+           floor((CAST(d_scaled AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 10000 + 0.5)
+             / 10000.0 AS ks_stat,
+           floor(((CAST(d_scaled AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+                  * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                         / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+                 * 10000 + 0.5) / 10000.0 AS ks_lambda
+    FROM best WHERE rn = 1
+    """,
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between the purchase
+    and click value distributions — the distribution-shift test a feature
+    pipeline runs per snapshot pair (`value_drift_psi` is the binned
+    screen; KS is the sup-norm ground truth, no binning).
+
+    Exactness: the sup deviation is kept as the INTEGER
+    ``|n2·F1 − n1·F2|`` (both CDFs scaled by the other sample's size —
+    same argmax, no division), HUGEINT/DECIMAL headroom; argmax
+    tie-breaks on the earlier threshold; IEEE sqrt is correctly rounded
+    in both engines so even ks_lambda is bit-stable.
+
+    Scale: collapse to distinct values (partial agg), one
+    `global_order_stats` prefix pass per sample, fold to the top-1 —
+    the `pr_best_f1` plan shape pointed at a different statistic.
+    """
+    from .partitioning import global_order_stats
+
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("c1"),
+            F.when(F.col("event_type") == "click", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("c2"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("c1").cast("long").alias("c1"),
+            F.sum("c2").cast("long").alias("c2"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    cum1 = (
+        global_order_stats(cells, ["cents"], sum_col="c1")
+        .withColumn("cum1", (F.col("__prior") + F.col("c1")).cast("long"))
+        .drop("__rank", "__prior")
+    )
+    cum = (
+        global_order_stats(cum1, ["cents"], sum_col="c2")
+        .withColumn("cum2", (F.col("__prior") + F.col("c2")).cast("long"))
+        .drop("__rank", "__prior")
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "d_scaled",
+        F.abs(
+            F.col("n2").cast("decimal(38,0)") * F.col("cum1")
+            - F.col("n1").cast("decimal(38,0)") * F.col("cum2")
+        ).cast("decimal(38,0)"),
+    )
+    best = dev.orderBy(F.desc("d_scaled"), F.asc("cents")).limit(1)
+    d = (
+        F.col("d_scaled").cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    lam = d * F.sqrt(
+        (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        / (F.col("n1").cast("double") + F.col("n2").cast("double"))
+    )
+    return best.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        F.col("cents").alias("at_cents"),
+        round4(d).alias("ks_stat"),
+        round4(lam).alias("ks_lambda"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend of daily purchase revenue (vs the OLS slope).
+# ---------------------------------------------------------------------------
+@register(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(floor(value*100 + 0.5)::BIGINT)::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    idx AS (
+      SELECT day, cents, (row_number() OVER (ORDER BY day))::BIGINT AS i
+      FROM daily),
+    pairs AS (
+      SELECT a.i AS ia, b.i AS ib,
+             floor(CAST((b.cents - a.cents) AS DOUBLE) * 1000000
+                   / CAST(b.i - a.i AS DOUBLE))::BIGINT AS slope_u
+      FROM idx a JOIN idx b ON b.i > a.i),
+    m AS (SELECT count(*)::BIGINT AS np FROM pairs),
+    ranked AS (
+      SELECT slope_u,
+             row_number() OVER (ORDER BY slope_u, ia, ib) AS rk
+      FROM pairs),
+    med AS (
+      SELECT slope_u FROM ranked CROSS JOIN m WHERE rk = (m.np + 1) // 2),
+    mo AS (
+      SELECT count(*)::BIGINT AS nd,
+             sum(i)::BIGINT AS si, sum(cents)::BIGINT AS sc,
+             sum(i*i)::HUGEINT AS sii, sum(i*cents)::HUGEINT AS sic
+      FROM idx)
+    SELECT mo.nd AS n_days, m.np AS n_pairs,
+           floor(((CAST(med.slope_u AS DOUBLE) / 1000000.0) / 100.0)
+                 * 10000 + 0.5) / 10000.0 AS ts_slope_per_day,
+           floor((((CAST(mo.nd AS DOUBLE) * CAST(mo.sic AS DOUBLE)
+                    - CAST(mo.si AS DOUBLE) * CAST(mo.sc AS DOUBLE))
+                   / (CAST(mo.nd AS DOUBLE) * CAST(mo.sii AS DOUBLE)
+                      - CAST(mo.si AS DOUBLE) * CAST(mo.si AS DOUBLE)))
+                  / 100.0) * 10000 + 0.5) / 10000.0 AS ols_slope_per_day
+    FROM med CROSS JOIN m CROSS JOIN mo
+    """,
+)
+def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily purchase revenue — the median of
+    all pairwise day-to-day slopes — next to the OLS slope from the same
+    series.  Disagreement between the two IS the outlier diagnostic
+    (Theil–Sen shrugs off the days `daily_count_anomalies` flags; OLS
+    chases them).
+
+    Exactness: each pairwise slope is quantized ONCE to integer
+    micro-cents/day (the Δ product stays < 2^53 so the double divide is
+    exact to quantization); the median is the lower-median rank over
+    (slope, pair-id) — integer compares only.  OLS moments are exact
+    integer sums with HUGEINT/DECIMAL headroom.
+
+    Scale: the day table is time-bounded (1 row/day — years fit in
+    thousands of rows), so the O(days²) pair join is a small self-join of
+    an AGGREGATE, not of data; the median rank uses the engine's global
+    rank.  For multi-decade series you'd subsample pairs (random md5
+    pairs — the standard Theil–Sen estimator variant), same shape.
+    """
+    from .partitioning import global_order_stats
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    idx = (
+        global_order_stats(daily, ["day"])
+        .withColumn("i", F.col("__rank").cast("long"))
+        .drop("__rank")
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("cents").alias("ca"))
+    b = idx.select(F.col("i").alias("ib"), F.col("cents").alias("cb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ib") > F.col("ia"))
+        .select(
+            "ia",
+            "ib",
+            F.floor(
+                (F.col("cb") - F.col("ca")).cast("double")
+                * 1000000.0
+                / (F.col("ib") - F.col("ia")).cast("double")
+            )
+            .cast("long")
+            .alias("slope_u"),
+        )
+    )
+    m = pairs.agg(F.count(F.lit(1)).cast("long").alias("np"))
+    ranked = global_order_stats(pairs, ["slope_u", "ia", "ib"]).withColumnRenamed(
+        "__rank", "rk"
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(m))
+        .filter(F.col("rk") == F.expr("(np + 1) DIV 2"))
+        .select("slope_u", "np")
+    )
+    mo = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("i").cast("long").alias("si"),
+        F.sum("cents").cast("long").alias("sc"),
+        F.sum((F.col("i") * F.col("i")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sii"),
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sic"),
+    )
+    ols = (
+        "((CAST(nd AS DOUBLE) * CAST(sic AS DOUBLE)"
+        " - CAST(si AS DOUBLE) * CAST(sc AS DOUBLE))"
+        " / (CAST(nd AS DOUBLE) * CAST(sii AS DOUBLE)"
+        " - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)))"
+    )
+    return med.crossJoin(F.broadcast(mo)).select(
+        F.col("nd").alias("n_days"),
+        F.col("np").alias("n_pairs"),
+        round4((F.col("slope_u").cast("double") / 1000000.0) / 100.0).alias(
+            "ts_slope_per_day"
+        ),
+        round4(F.expr(ols).cast("double") / 100.0).alias("ols_slope_per_day"),
+    )
