@@ -202,9 +202,8 @@ def test_bootstrap_ci_brackets_mean_and_matches_python(spark):
         for b in range(_BOOT_B):
             sw = swc = 0
             for eid, cents in data:
-                u = int(
-                    hashlib.md5(f"boot{b}:{eid}".encode()).hexdigest()[:8], 16
-                )
+                hx = hashlib.md5(f"bootg{b // 4}:{eid}".encode()).hexdigest()
+                u = int(hx[(b % 4) * 8 : (b % 4) * 8 + 8], 16)
                 w = next((k for k, t in enumerate(_POIS_T) if u < t), 7)
                 sw += w
                 swc += w * cents

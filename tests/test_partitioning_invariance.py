@@ -94,6 +94,7 @@ QUERIES = [
     "target_encoding_oof",
     "ks_two_sample",
     "theil_sen_daily_trend",
+    "corpus_exact_dedup_rewrite",
 ]
 
 REGIMES = [

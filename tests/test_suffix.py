@@ -168,3 +168,44 @@ def test_corpus_repeats_match_bruteforce_max(spark):
             l += 1
         best = max(best, l)
     assert rows[0].match_len == best
+
+
+def test_exact_rewrite_matches_python_reconstruction(spark):
+    """Pure-Python reconstruction of the adjacent-pair cut rule (suffix
+    sort → cross-doc adjacent LCPs ≥ 16 → mark higher-doc spans → rebuild
+    texts) must reproduce every (n_before, n_removed, rewritten_md5)."""
+    import hashlib
+    import itertools
+
+    toks = _toks(SF_SMOKE)
+    rows = {
+        r.doc_id: r
+        for r in registry.QUERIES["corpus_exact_dedup_rewrite"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    sufs = sorted(
+        (tk[p:], d, p) for d, tk in toks.items() for p in range(len(tk))
+    )
+    marked = {}
+    for (sa, da, pa), (sb, db, pb) in itertools.pairwise(sufs):
+        if da == db:
+            continue
+        l = 0
+        for x, y in zip(sa, sb):
+            if x != y:
+                break
+            l += 1
+        if l >= 16:
+            cut_doc, cut_pos = (db, pb) if da < db else (da, pa)
+            marked.setdefault(cut_doc, set()).update(
+                range(cut_pos, cut_pos + l)
+            )
+    assert set(rows) == set(marked)
+    for d, posset in marked.items():
+        tk = toks[d]
+        remaining = " ".join(t for i, t in enumerate(tk) if i not in posset)
+        r = rows[d]
+        assert r.n_before == len(tk)
+        assert r.n_removed == len(posset)
+        assert r.rewritten_md5 == hashlib.md5(remaining.encode()).hexdigest()

@@ -410,6 +410,13 @@ def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (i,j,c) form and an iterative join (the pagerank shape already in
     `registry_dedup`).
     """
+    def build() -> DataFrame:
+        return _markov_plan(spark, sf_dir)
+
+    return _plan_cached("markov_stationary_events", spark, sf_dir, build)
+
+
+def _markov_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = ev.select(
@@ -646,6 +653,27 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Plan cache: prepared-statement semantics for expression-heavy queries.
+# ---------------------------------------------------------------------------
+# The wide-replica and unrolled-iteration plans below execute in ~0.1 s but
+# cost seconds of Catalyst optimization + Janino codegen PER FRESH
+# DataFrame (measured: bootstrap 4.3 s/call rebuilt vs 0.1 s re-collected).
+# A DataFrame object caches its optimized/physical plan, so returning the
+# same object per (session, sf_dir) amortizes compile exactly like a
+# prepared statement — no DATA is cached; every collect re-executes.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _plan_cached(name: str, spark: SparkSession, sf_dir: str, build):
+    key = (id(spark), sf_dir, name)
+    df = _PLAN_CACHE.get(key)
+    if df is None:
+        df = build()
+        _PLAN_CACHE[key] = df
+    return df
+
+
+# ---------------------------------------------------------------------------
 # Deterministic Poisson bootstrap: CI for mean purchase value per event type.
 # ---------------------------------------------------------------------------
 _BOOT_B = 32
@@ -668,9 +696,13 @@ def _boot_mean(b: int) -> str:
 
 
 def _boot_oracle() -> str:
+    # 4 replica lanes per md5: one 128-bit digest feeds four 32-bit uniforms
+    h_cols = ", ".join(
+        f"md5('bootg{g}:' || CAST(event_id AS VARCHAR)) AS h{g}"
+        for g in range(_BOOT_B // 4)
+    )
     u_cols = ", ".join(
-        f"(('0x' || substr(md5('boot{b}:' || CAST(event_id AS VARCHAR)), 1, 8))"
-        f"::BIGINT) AS u{b}"
+        f"(('0x' || substr(h{b // 4}, {(b % 4) * 8 + 1}, 8))::BIGINT) AS u{b}"
         for b in range(_BOOT_B)
     )
     w_cols = ", ".join(f"{_pois_w(f'u{b}')} AS w{b}" for b in range(_BOOT_B))
@@ -680,9 +712,10 @@ def _boot_oracle() -> str:
     )
     means = ", ".join(_boot_mean(b) for b in range(_BOOT_B))
     return f"""
-    WITH base AS (
-      SELECT event_type, floor(value*100 + 0.5)::BIGINT AS cents, {u_cols}
+    WITH h AS (
+      SELECT event_type, floor(value*100 + 0.5)::BIGINT AS cents, {h_cols}
       FROM events),
+    base AS (SELECT event_type, cents, {u_cols} FROM h),
     w AS (SELECT event_type, cents, {w_cols} FROM base),
     agg AS (
       SELECT event_type, count(*)::BIGINT AS n_events,
@@ -717,28 +750,37 @@ def q_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE partial-agg'd scan carrying 2B+2 integer accumulators per
     event type; B scales the accumulator width, never the shuffled rows.
-    The md5-per-replica hashing is the plan's CPU cost — at B beyond ~100
-    you'd switch to one 128-bit md5 split into four 32-bit lanes.
+    Hashing is the plan's CPU cost, so each 128-bit md5 feeds FOUR 32-bit
+    replica lanes (B/4 digests per row, not B).
     """
+    def build() -> DataFrame:
+        return _bootstrap_plan(spark, sf_dir)
+
+    return _plan_cached("bootstrap_value_ci", spark, sf_dir, build)
+
+
+def _bootstrap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    u_cols = [
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"boot{b}:"), F.col("event_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
+    h_cols = [
+        F.md5(F.concat(F.lit(f"bootg{g}:"), F.col("event_id").cast("string"))).alias(
+            f"h{g}"
         )
-        .cast("long")
-        .alias(f"u{b}")
-        for b in range(_BOOT_B)
+        for g in range(_BOOT_B // 4)
     ]
-    base = ev.select(
+    h = ev.select(
         "event_type",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
-        *u_cols,
+        *h_cols,
+    )
+    base = h.select(
+        "event_type",
+        "cents",
+        *[
+            F.conv(F.substring(F.col(f"h{b // 4}"), (b % 4) * 8 + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"u{b}")
+            for b in range(_BOOT_B)
+        ],
     )
     w = base.select(
         "event_type",

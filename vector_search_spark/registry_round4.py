@@ -1270,6 +1270,13 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     while near-isotropic synthetic embeddings (ratio ~1.06) would need
     ~70 rounds — the classic convergence caveat, documented not hidden.
     """
+    from .registry_ml import _plan_cached
+
+    return _plan_cached("pca_top_component", spark, sf_dir,
+                        lambda: _pca_plan(spark, sf_dir))
+
+
+def _pca_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     feats = li.select(
         *[F.expr(e).alias(f"x{j}") for j, e in enumerate(_PCA_FEATURES)]

@@ -266,3 +266,148 @@ def q_corpus_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("long").alias("pos_b"),
         "phrase",
     ).orderBy("rank_id")
+
+
+_CUT_MIN = 16   # cut threshold, matching the 16-token block family
+
+_REWRITE_ORACLE = f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'), 1, {_SA_CAP})
+           AS a
+  FROM documents WHERE trim(text) != ''),
+pos AS MATERIALIZED (
+  SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM arr),
+suf AS MATERIALIZED (SELECT doc_id, a, i, a[i:] AS s FROM pos),
+sa AS MATERIALIZED (
+  SELECT doc_id, i, s, row_number() OVER (ORDER BY s, doc_id, i) AS r
+  FROM suf),
+adj AS MATERIALIZED (
+  SELECT x.doc_id AS doc_a, x.i AS pa, x.s AS si,
+         y.doc_id AS doc_b, y.i AS pb, y.s AS sj
+  FROM sa x JOIN sa y ON y.r = x.r + 1
+  WHERE x.doc_id != y.doc_id),
+lcp AS MATERIALIZED (
+  SELECT doc_a, pa, doc_b, pb,
+         COALESCE(
+           NULLIF(list_position(
+                    list_transform(range(1, least(len(si), len(sj)) + 1),
+                                   k -> si[k] = sj[k]),
+                    false), 0) - 1,
+           least(len(si), len(sj))) AS l
+  FROM adj),
+cuts AS MATERIALIZED (
+  SELECT CASE WHEN doc_a < doc_b THEN doc_b ELSE doc_a END AS doc_id,
+         CASE WHEN doc_a < doc_b THEN pb ELSE pa END AS p, l
+  FROM lcp WHERE l >= {_CUT_MIN}),
+marked AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(generate_series(p, p + l - 1)) AS i FROM cuts),
+tokp AS MATERIALIZED (SELECT doc_id, i, a[i] AS tok FROM pos),
+removed AS (
+  SELECT doc_id, count(*)::BIGINT AS n_removed FROM marked GROUP BY 1),
+before AS (
+  SELECT doc_id, count(*)::BIGINT AS n_before FROM tokp GROUP BY 1),
+remaining AS (
+  SELECT t.doc_id, md5(string_agg(t.tok, ' ' ORDER BY t.i)) AS rewritten_md5
+  FROM tokp t
+  WHERE NOT EXISTS (SELECT 1 FROM marked m
+                    WHERE m.doc_id = t.doc_id AND m.i = t.i)
+  GROUP BY 1)
+SELECT r.doc_id, b.n_before, r.n_removed,
+       COALESCE(rem.rewritten_md5, md5('')) AS rewritten_md5
+FROM removed r
+JOIN before b ON b.doc_id = r.doc_id
+LEFT JOIN remaining rem ON rem.doc_id = r.doc_id
+ORDER BY r.doc_id
+"""
+
+
+@register("corpus_exact_dedup_rewrite", oracle=_REWRITE_ORACLE)
+def q_corpus_exact_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring dedup TRANSFORM (Lee et al. 2022): every token
+    span of ≥ 16 tokens that also appears in a LOWER-numbered document is
+    cut; the canonical (lowest doc_id) occurrence survives.  Emits, per
+    affected doc, the removal accounting and the md5 of the rewritten
+    text — `subdoc_dedup_rewrite` is the 16-token-block approximation of
+    exactly this; here the spans are exact (any alignment, any length ≥
+    16), discovered on the suffix array.
+
+    Correctness of adjacent-pair marking: all occurrences of a repeated
+    prefix of length ≥ L form a contiguous SA interval; every suffix in
+    the interval is in some adjacent pair inside it, and each pair marks
+    only its higher-doc side — so every cross-doc occurrence EXCEPT the
+    interval's minimum-doc one gets marked (within-doc repeats are
+    deliberately out of scope — that is `doc_suffix_lrs`' instrument).
+
+    Scale: global SA adjacency = one range-partitioned total rank +
+    consecutive-rank self-join over the session-shared pyramid; the LCP
+    walk is the standard (doc, pos) lookup cascade; span explode is
+    bounded by Σ lcp of cut pairs; the rewrite itself is an anti-join on
+    (doc, pos) + an ordered fold per doc.  Nothing is ever collected.
+    """
+    tok, ranks = _shared_suffix(spark, sf_dir)
+    top = ranks[_SA_LEVELS]
+    sa = global_order_stats(top, ["r", "doc_id", "pos"]).select(
+        "doc_id", "pos", F.col("__rank").alias("sa_r")
+    )
+    nxt = sa.select(
+        (F.col("sa_r") - 1).alias("sa_r"),
+        F.col("doc_id").alias("doc_j"),
+        F.col("pos").alias("j"),
+    )
+    pairs = (
+        sa.select("sa_r", F.col("doc_id").alias("doc_i"), F.col("pos").alias("i"))
+        .join(nxt, "sa_r")
+        .filter(F.col("doc_i") != F.col("doc_j"))
+        .select("doc_i", "i", "doc_j", "j")
+    )
+    walked = lcp_walk(pairs, ranks, _SA_LEVELS).filter(F.col("lcp") >= _CUT_MIN)
+    cuts = walked.select(
+        F.when(F.col("doc_i") < F.col("doc_j"), F.col("doc_j"))
+        .otherwise(F.col("doc_i"))
+        .alias("doc_id"),
+        F.when(F.col("doc_i") < F.col("doc_j"), F.col("j"))
+        .otherwise(F.col("i"))
+        .alias("p"),
+        "lcp",
+    )
+    marked = cuts.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("p"), F.col("p") + F.col("lcp") - 1)
+        ).alias("pos"),
+    ).distinct()
+    removed = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed")
+    )
+    before = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    remaining = (
+        tok.join(marked, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s.tok,
+                    ),
+                )
+            ).alias("rewritten_md5")
+        )
+    )
+    return (
+        removed.join(before, "doc_id")
+        .join(remaining, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_before",
+            "n_removed",
+            F.coalesce(F.col("rewritten_md5"), F.md5(F.lit(""))).alias(
+                "rewritten_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
