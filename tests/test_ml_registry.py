@@ -428,3 +428,44 @@ def test_theil_sen_matches_python_median(spark):
     ols = ((nd * (xs * ys).sum() - xs.sum() * ys.sum())
            / (nd * (xs * xs).sum() - xs.sum() ** 2))
     assert row.ols_slope_per_day == pytest.approx(ols / 100.0, abs=1e-3)
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """A numpy Lloyd loop with the same integer rules (argmin ties to the
+    lowest id, floor-division centroid updates, 5 rounds, fixed init) must
+    reproduce clusters, counts, centroids, and WCSS."""
+    from vector_search_spark.registry_ml import _KM_INIT, _KM_K, _KM_ROUNDS
+
+    rows = sorted(
+        registry.QUERIES["kmeans_lineitem"](spark, SF_TEST).collect(),
+        key=lambda r: r.cluster,
+    )
+    con = _duck()
+    X = np.array(
+        con.execute(
+            "SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) * 2000,"
+            " CAST(floor(l_extendedprice + 0.5) AS BIGINT) FROM lineitem"
+        ).fetchall(),
+        dtype=np.int64,
+    )
+    C = np.array(_KM_INIT, dtype=np.int64)
+
+    def assign(C):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # numpy argmin takes FIRST min = lowest id
+
+    for _ in range(_KM_ROUNDS):
+        a = assign(C)
+        for c in range(_KM_K):
+            m = a == c
+            if m.sum():
+                C[c] = np.floor(X[m].sum(axis=0) / m.sum()).astype(np.int64)
+    a = assign(C)
+    wcss = sum(
+        int(((X[a == c] - C[c]) ** 2).sum()) for c in range(_KM_K)
+    )
+    for c in range(_KM_K):
+        r = rows[c]
+        assert (r.cx, r.cy) == (C[c, 0], C[c, 1])
+        assert r.n_points == int((a == c).sum())
+        assert r.wcss == pytest.approx(wcss / 1e6, abs=1e-3)

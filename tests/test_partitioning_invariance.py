@@ -95,6 +95,7 @@ QUERIES = [
     "ks_two_sample",
     "theil_sen_daily_trend",
     "corpus_exact_dedup_rewrite",
+    "kmeans_lineitem",
 ]
 
 REGIMES = [

@@ -1516,3 +1516,224 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         round4(F.expr(ols).cast("double") / 100.0).alias("ols_slope_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd), k=4, fixed 5 rounds, exact integer geometry.
+# ---------------------------------------------------------------------------
+_KM_K = 4
+_KM_ROUNDS = 5
+# Fixed, data-independent init spread across the (quantity·1000, dollars)
+# plane — identical literals in both engines (k-means init is free choice).
+_KM_INIT = [(10_000, 20_000), (40_000, 50_000), (60_000, 80_000), (90_000, 100_000)]
+_KM_FEATS = (
+    "CAST(floor(l_quantity + 0.5) AS BIGINT) * 2000 AS x, "
+    "CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y"
+)
+
+
+def _km_dist(c: int) -> str:
+    return f"((x - cx{c})*(x - cx{c}) + (y - cy{c})*(y - cy{c}))"
+
+
+def _km_argmin() -> str:
+    """Cluster id with the minimal distance, ties to the LOWEST id —
+    expressed as strict-inequality comparisons against all lower ids."""
+    branches = []
+    for c in range(_KM_K):
+        conds = []
+        for o in range(_KM_K):
+            if o == c:
+                continue
+            op = "<" if c < o else "<="
+            conds.append(f"{_km_dist(c)} {op} {_km_dist(o)}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN {c}")
+    return f"(CASE {' '.join(branches)} END)"
+
+
+def _km_update_exprs() -> list[tuple[str, str]]:
+    """New centroid coordinates from per-cluster integer sums (floor
+    division; empty cluster keeps its previous centroid)."""
+    outs = []
+    for c in range(_KM_K):
+        for coord in ("x", "y"):
+            outs.append(
+                (
+                    f"c{coord}{c}",
+                    f"(CASE WHEN n{c} = 0 THEN c{coord}{c}"
+                    f" ELSE CAST(floor(CAST(s{coord}{c} AS DOUBLE)"
+                    f" / CAST(n{c} AS DOUBLE)) AS BIGINT) END)",
+                )
+            )
+    return outs
+
+
+def _km_round_aggs() -> str:
+    """SQL aggregate list: per-cluster counts and coordinate sums."""
+    parts = ["count(*)::BIGINT AS n_all"]
+    for c in range(_KM_K):
+        parts.append(
+            f"sum(CASE WHEN a = {c} THEN 1 ELSE 0 END)::BIGINT AS n{c}"
+        )
+        parts.append(
+            f"sum(CASE WHEN a = {c} THEN x ELSE 0 END)::BIGINT AS sx{c}"
+        )
+        parts.append(
+            f"sum(CASE WHEN a = {c} THEN y ELSE 0 END)::BIGINT AS sy{c}"
+        )
+    return ", ".join(parts)
+
+
+def _km_oracle() -> str:
+    init = ", ".join(
+        f"{x}::BIGINT AS cx{c}, {y}::BIGINT AS cy{c}"
+        for c, (x, y) in enumerate(_KM_INIT)
+    )
+    ctes = [
+        f"feats AS MATERIALIZED (SELECT {_KM_FEATS} FROM lineitem)",
+        f"it0 AS (SELECT {init})",
+    ]
+    cent_cols = ", ".join(
+        f"cx{c}, cy{c}" for c in range(_KM_K)
+    )
+    prev = "it0"
+    for t in range(1, _KM_ROUNDS + 1):
+        updates = ", ".join(f"{sql} AS {name}" for name, sql in _km_update_exprs())
+        ctes.append(
+            f"""agg{t} AS MATERIALIZED (
+      SELECT {cent_cols}, {_km_round_aggs()}
+      FROM (SELECT f.x, f.y, {cent_cols}, {_km_argmin()} AS a
+            FROM feats f CROSS JOIN {prev})
+      GROUP BY {cent_cols})"""
+        )
+        ctes.append(f"it{t} AS (SELECT {updates} FROM agg{t})")
+        prev = f"it{t}"
+    final_dist = " + ".join(
+        f"sum(CASE WHEN a = {c} THEN {_km_dist(c)} ELSE 0 END)::HUGEINT"
+        for c in range(_KM_K)
+    )
+    sel = "\n      UNION ALL ".join(
+        f"SELECT {c} AS cluster, n{c} AS n_points, cx{c} AS cx, cy{c} AS cy,"
+        f" wcss FROM fin"
+        for c in range(_KM_K)
+    )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block},
+    fin AS MATERIALIZED (
+      SELECT {cent_cols}, {_km_round_aggs()},
+             floor((CAST(({final_dist}) AS DOUBLE) / 1000000.0) * 10000 + 0.5)
+               / 10000.0 AS wcss
+      FROM (SELECT f.x, f.y, {cent_cols}, {_km_argmin()} AS a
+            FROM feats f CROSS JOIN {prev})
+      GROUP BY {cent_cols})
+    {sel}
+    ORDER BY cluster
+    """
+
+
+@register("kmeans_lineitem", oracle=_km_oracle())
+def q_kmeans_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 5 fixed rounds) over the (quantity, price)
+    plane (quantity stretched ×2000 so both axes span ~1e5 units),
+    executed as declarative scans and verified BIT-EXACTLY — the
+    clustering member of the in-engine training family (`ann_ivf_topk`'s
+    k-means trains via driver-side partials and is checked by recall;
+    this one is the fully-relational, oracle-pinned construction).
+
+    Exactness: features are integers, so squared distances and per-cluster
+    sums are exact BIGINTs; the argmin tie-breaks to the lowest cluster id
+    via strict/non-strict comparison asymmetry; centroid updates use
+    integer floor division; empty clusters keep their previous centroid;
+    fixed shared-literal init.  WCSS is the one float, scaled once.
+
+    Scale: each round = ONE partial-agg'd scan against 8 broadcast centroid
+    scalars (3k+1 integers of state per task) — no shuffle of data rows,
+    the same sufficient-statistics argument as `decision_stump_returns`;
+    rounds are sequential scans, the honest cost of Lloyd.  k·d beyond a
+    few hundred would move centroids to a long-form broadcast table.
+    """
+    def build() -> DataFrame:
+        return _kmeans_plan(spark, sf_dir)
+
+    return _plan_cached("kmeans_lineitem", spark, sf_dir, build)
+
+
+def _kmeans_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    feats = li.selectExpr(*_KM_FEATS.split(", "))
+    cent = spark.createDataFrame(
+        [tuple(v for xy in _KM_INIT for v in xy)],
+        ", ".join(f"cx{c} long, cy{c} long" for c in range(_KM_K)),
+    )
+    cent_cols = [f"c{coord}{c}" for c in range(_KM_K) for coord in ("x", "y")]
+    for t in range(_KM_ROUNDS):
+        assigned = feats.crossJoin(F.broadcast(cent)).withColumn(
+            "a", F.expr(_km_argmin())
+        )
+        aggs = []
+        for c in range(_KM_K):
+            aggs.append(
+                F.sum(F.when(F.col("a") == c, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n{c}")
+            )
+            aggs.append(
+                F.sum(F.when(F.col("a") == c, F.col("x")).otherwise(0))
+                .cast("long")
+                .alias(f"sx{c}")
+            )
+            aggs.append(
+                F.sum(F.when(F.col("a") == c, F.col("y")).otherwise(0))
+                .cast("long")
+                .alias(f"sy{c}")
+            )
+        agg = assigned.groupBy(*[F.col(c) for c in cent_cols]).agg(*aggs)
+        cent = agg.selectExpr(
+            *[f"{sql} AS {name}" for name, sql in _km_update_exprs()]
+        ).localCheckpoint()
+    assigned = feats.crossJoin(F.broadcast(cent)).withColumn(
+        "a", F.expr(_km_argmin())
+    )
+    final_aggs = []
+    for c in range(_KM_K):
+        final_aggs.append(
+            F.sum(F.when(F.col("a") == c, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{c}")
+        )
+        final_aggs.append(
+            F.sum(
+                F.when(F.col("a") == c, F.expr(_km_dist(c))).otherwise(0).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias(f"d{c}")
+        )
+    fin = assigned.groupBy(*[F.col(c) for c in cent_cols]).agg(*final_aggs)
+    wcss = round4(
+        F.expr(
+            "CAST(" + " + ".join(f"d{c}" for c in range(_KM_K)) + " AS DOUBLE)"
+        )
+        / 1000000.0
+    )
+    rows = fin.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("cluster"),
+                        F.col(f"n{c}").alias("n_points"),
+                        F.col(f"cx{c}").alias("cx"),
+                        F.col(f"cy{c}").alias("cy"),
+                        wcss.alias("wcss"),
+                    )
+                    for c in range(_KM_K)
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.cluster", "s.n_points", "s.cx", "s.cy", "s.wcss").orderBy(
+        "cluster"
+    )
