@@ -124,3 +124,87 @@ def test_target_encoding_matches_pandas_oof(spark):
         assert r.n_in_fold == n_cf
         want = ((s_c - s_cf) / 100.0) / (n_c - n_cf)
         assert r.encoded_value == pytest.approx(want, abs=1e-4)
+
+
+def test_markov_attribution_matches_python_absorption(spark):
+    """Bit-exact pure-Python rebuild: same 10-min sessions, first-purchase
+    truncation, transition counts, 16 floor-quantized absorption rounds,
+    and removal-effect normalization."""
+    from vector_search_spark.registry_features import (
+        _MA_ROUNDS,
+        _MA_SCALE,
+        _MA_STATES,
+    )
+
+    rows = {
+        r.channel: r
+        for r in registry.QUERIES["markov_attribution"](spark, SF_TEST).collect()
+    }
+    con = _duck()
+    ev = con.execute(
+        "SELECT user_id, epoch_ns(ts) // 1000, event_id, event_type FROM events"
+        " ORDER BY user_id, 2, event_id"
+    ).fetchall()
+    # sessionize + truncate at first purchase
+    trans = []
+    cur = None  # (user, last_ts, [events])
+    sessions = []
+    for uid, ts, eid, et in ev:
+        if cur is None or cur[0] != uid or ts - cur[1] > 600_000_000:
+            if cur is not None:
+                sessions.append(cur[2])
+            cur = [uid, ts, []]
+        cur[1] = ts
+        cur[2].append(et)
+    sessions.append(cur[2])
+    counts = {}
+
+    def bump(s, d):
+        counts[(s, d)] = counts.get((s, d), 0) + 1
+
+    for seq in sessions:
+        if "purchase" in seq:
+            seq = seq[: seq.index("purchase") + 1]
+        first = seq[0]
+        bump("start", "conv" if first == "purchase" else first)
+        for a, b in zip(seq, seq[1:]):
+            bump(a, "conv" if b == "purchase" else b)
+        if seq[-1] != "purchase":
+            bump(seq[-1], "null")
+    r_out = {}
+    for (s, d), c in counts.items():
+        r_out[s] = r_out.get(s, 0) + c
+
+    def p_start(excluded):
+        p = {x: 0 for x in _MA_STATES if x != excluded}
+        for _ in range(_MA_ROUNDS):
+            np_ = {}
+            for x in p:
+                if r_out.get(x, 0) == 0:
+                    np_[x] = 0
+                    continue
+                num = counts.get((x, "conv"), 0) * _MA_SCALE
+                for y in p:
+                    num += counts.get((x, y), 0) * p[y]
+                np_[x] = math.floor(num / r_out[x])
+            p = np_
+        num = counts.get(("start", "conv"), 0) * _MA_SCALE
+        for y in p:
+            num += counts.get(("start", y), 0) * p[y]
+        return math.floor(num / r_out["start"]) if r_out.get("start") else 0
+
+    full = p_start(None)
+    effs = {s: full - p_start(s) for s in _MA_STATES}
+    tot_eff = sum(effs.values())
+    for s in _MA_STATES:
+        r = rows[s]
+        assert r.conv_prob == pytest.approx(full / _MA_SCALE, abs=1e-4)
+        assert r.conv_prob_without == pytest.approx(
+            (full - effs[s]) / _MA_SCALE, abs=1e-4
+        )
+        assert r.removal_effect == pytest.approx(
+            effs[s] / full if full else 0.0, abs=1e-4
+        )
+        assert r.attribution == pytest.approx(
+            effs[s] / tot_eff if tot_eff else 0.0, abs=1e-4
+        )

@@ -469,3 +469,35 @@ def test_kmeans_matches_numpy_lloyd(spark):
         assert (r.cx, r.cy) == (C[c, 0], C[c, 1])
         assert r.n_points == int((a == c).sum())
         assert r.wcss == pytest.approx(wcss / 1e6, abs=1e-3)
+
+
+def test_streaming_ks_histogram_reproduces_batch_ks(spark):
+    """Drained streaming CDF cells must reproduce the batch KS statistic
+    exactly via the same integer sup-scan."""
+    from vector_search_spark.streaming.events import (
+        stream_events_from_parquet,
+        streaming_ks_histogram,
+    )
+
+    out = streaming_ks_histogram(stream_events_from_parquet(spark, SF_TEST))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ks_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cells = spark.sql(
+        "SELECT cents, max(c1) AS c1, max(c2) AS c2 FROM ks_stream GROUP BY 1"
+    ).toPandas().sort_values("cents")
+    n1, n2 = int(cells["c1"].sum()), int(cells["c2"].sum())
+    cum1 = cells["c1"].cumsum()
+    cum2 = cells["c2"].cumsum()
+    d_scaled = (n2 * cum1 - n1 * cum2).abs()
+    k = int(d_scaled.idxmax())
+    batch = registry.QUERIES["ks_two_sample"](spark, SF_TEST).collect()[0]
+    assert (batch.n_a, batch.n_b) == (n1, n2)
+    assert batch.ks_stat == pytest.approx(
+        int(d_scaled.loc[k]) / (n1 * n2), abs=1e-4
+    )

@@ -96,6 +96,7 @@ QUERIES = [
     "theil_sen_daily_trend",
     "corpus_exact_dedup_rewrite",
     "kmeans_lineitem",
+    "markov_attribution",
 ]
 
 REGIMES = [

@@ -375,3 +375,326 @@ def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category", "fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain attribution: removal effects on the session journey chain.
+# ---------------------------------------------------------------------------
+_MA_STATES = ["click", "error", "signup", "view"]   # transient channels
+_MA_ROUNDS = 16                                      # fixed absorption horizon
+_MA_SCALE = 1_000_000
+
+
+def _ma_src_cols() -> list[str]:
+    return ["start"] + _MA_STATES
+
+
+def _ma_count_aggs() -> str:
+    """SQL aggregates over the (src, dst) transition rows — shared text."""
+    parts = []
+    for s in _ma_src_cols():
+        for t in _MA_STATES + ["conv"]:
+            parts.append(
+                f"sum(CASE WHEN src = '{s}' AND dst = '{t}' THEN 1 ELSE 0 END)"
+                f"::BIGINT AS c_{s}_{t}"
+            )
+        parts.append(
+            f"sum(CASE WHEN src = '{s}' THEN 1 ELSE 0 END)::BIGINT AS r_{s}"
+        )
+    return ", ".join(parts)
+
+
+def _ma_step(v: str, excluded: str | None) -> list[tuple[str, str]]:
+    """One absorption round for variant ``v`` (channel ``excluded`` removed:
+    its state is unreachable and transitions into it leak to null)."""
+    outs = []
+    for x in _MA_STATES:
+        if x == excluded:
+            continue
+        terms = [f"c_{x}_conv * {_MA_SCALE}"]
+        for y in _MA_STATES:
+            if y == excluded:
+                continue
+            terms.append(f"c_{x}_{y} * p_{v}_{y}")
+        num = " + ".join(terms)
+        outs.append(
+            (
+                f"np_{v}_{x}",
+                f"(CASE WHEN r_{x} = 0 THEN 0 ELSE "
+                f"CAST(floor(CAST({num} AS DOUBLE) / CAST(r_{x} AS DOUBLE))"
+                f" AS BIGINT) END)",
+            )
+        )
+    return outs
+
+
+def _ma_start(v: str, excluded: str | None) -> str:
+    terms = [f"c_start_conv * {_MA_SCALE}"]
+    for y in _MA_STATES:
+        if y == excluded:
+            continue
+        terms.append(f"c_start_{y} * p_{v}_{y}")
+    num = " + ".join(terms)
+    return (
+        f"(CASE WHEN r_start = 0 THEN 0 ELSE "
+        f"CAST(floor(CAST({num} AS DOUBLE) / CAST(r_start AS DOUBLE))"
+        f" AS BIGINT) END)"
+    )
+
+
+_MA_VARIANTS = [("full", None)] + [(f"wo_{s}", s) for s in _MA_STATES]
+
+
+def _ma_oracle() -> str:
+    ctes = [
+        """e AS MATERIALIZED (
+      SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
+      FROM events)""",
+        f"""l AS (
+      SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                          OR ts_us - lag(ts_us) OVER w > {_GAP_US}
+                     THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))""",
+        """s AS MATERIALIZED (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sess
+      FROM l)""",
+        """k AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT user_id, sess, ts_us, event_id, event_type,
+               COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id, sess ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cp,
+               row_number() OVER (PARTITION BY user_id, sess
+                                  ORDER BY ts_us, event_id) AS rn
+        FROM s)
+      WHERE cp = 0)""",
+        """tr AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT CASE WHEN event_type = 'purchase' THEN NULL ELSE event_type END
+                 AS src,
+               COALESCE(CASE WHEN lead(event_type) OVER w2 = 'purchase'
+                             THEN 'conv'
+                             ELSE lead(event_type) OVER w2 END, 'null') AS dst
+        FROM k WINDOW w2 AS (PARTITION BY user_id, sess
+                             ORDER BY ts_us, event_id)
+        ) WHERE src IS NOT NULL
+      UNION ALL
+      SELECT 'start' AS src,
+             CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END
+               AS dst
+      FROM k WHERE rn = 1)""",
+        f"c AS MATERIALIZED (SELECT {_ma_count_aggs()} FROM tr)",
+    ]
+    init = ", ".join(
+        f"0::BIGINT AS p_{v}_{x}"
+        for v, exc in _MA_VARIANTS
+        for x in _MA_STATES
+        if x != exc
+    )
+    ctes.append(f"it0 AS (SELECT *, {init} FROM c)")
+    prev = "it0"
+    count_cols = []
+    for s in _ma_src_cols():
+        for t in _MA_STATES + ["conv"]:
+            count_cols.append(f"c_{s}_{t}")
+        count_cols.append(f"r_{s}")
+    keep = ", ".join(count_cols)  # counts carried through every round
+    for t in range(_MA_ROUNDS):
+        layer = []
+        for v, exc in _MA_VARIANTS:
+            for name, sql in _ma_step(v, exc):
+                layer.append(f"{sql} AS {name[1:]}")  # np_v_x -> p_v_x
+        ctes.append(f"it{t + 1} AS (SELECT {keep}, {', '.join(layer)} FROM {prev})")
+        prev = f"it{t + 1}"
+    starts = ", ".join(
+        f"{_ma_start(v, exc)} AS ps_{v}" for v, exc in _MA_VARIANTS
+    )
+    ctes.append(f"fin AS (SELECT *, {starts} FROM {prev})")
+    eff = " + ".join(f"(ps_full - ps_wo_{s})" for s in _MA_STATES)
+    sel = "\n      UNION ALL ".join(
+        f"SELECT '{s}' AS channel,"
+        f" floor((CAST(ps_full AS DOUBLE) / {_MA_SCALE}.0) * 10000 + 0.5)"
+        f" / 10000.0 AS conv_prob,"
+        f" floor((CAST(ps_wo_{s} AS DOUBLE) / {_MA_SCALE}.0) * 10000 + 0.5)"
+        f" / 10000.0 AS conv_prob_without,"
+        f" floor((CASE WHEN ps_full = 0 THEN 0.0"
+        f"   ELSE 1.0 - CAST(ps_wo_{s} AS DOUBLE) / CAST(ps_full AS DOUBLE) END)"
+        f"   * 10000 + 0.5) / 10000.0 AS removal_effect,"
+        f" floor((CASE WHEN ({eff}) = 0 THEN 0.0"
+        f"   ELSE CAST(ps_full - ps_wo_{s} AS DOUBLE) / CAST({eff} AS DOUBLE) END)"
+        f"   * 10000 + 0.5) / 10000.0 AS attribution FROM fin"
+        for s in _MA_STATES
+    )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    {sel}
+    ORDER BY channel
+    """
+
+
+@register("markov_attribution", oracle=_ma_oracle())
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution over sessionized user
+    journeys: sessions truncate at the first purchase (absorbing CONV;
+    session end absorbs to NULL), and each channel's credit is the drop in
+    16-step conversion probability when that channel is removed from the
+    chain — the standard data-driven alternative to last-touch rules.
+
+    Exactness: transition counts are integers; each absorption round is a
+    floor-quantized micro-integer update (numerators < 2^53, so the
+    portable double floor-divide is exact); the fixed 16-round horizon is
+    part of the metric's definition (truncated-horizon absorption — both
+    engines run the same generated text).  Removal = the channel's state
+    becomes unreachable and inbound mass leaks to NULL.
+
+    Scale: one sessionization window (the engine's standard exchange) +
+    a partial-agg'd fold to a 30-cell count frame; all five chain
+    variants (full + 4 removals) iterate on that 1-row frame — corpus-
+    size-free.  The plan compiles ~300 generated columns, so it is served
+    from the prepared-statement cache like the other unrolled iterations.
+    """
+    from .registry_ml import _plan_cached
+
+    return _plan_cached(
+        "markov_attribution", spark, sf_dir, lambda: _ma_plan(spark, sf_dir)
+    )
+
+
+def _ma_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns DIV 1000").alias("ts_us"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    brk = ev.withColumn(
+        "brk",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = brk.withColumn(
+        "sess", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy("ts_us", "event_id")
+    kept = (
+        sess.withColumn(
+            "cp",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("cp") == 0)
+    )
+    ws2 = Window.partitionBy("user_id", "sess").orderBy("ts_us", "event_id")
+    steps = (
+        kept.withColumn("nxt", F.lead("event_type").over(ws2))
+        .filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("event_type").alias("src"),
+            F.coalesce(
+                F.when(F.col("nxt") == "purchase", F.lit("conv")).otherwise(
+                    F.col("nxt")
+                ),
+                F.lit("null"),
+            ).alias("dst"),
+        )
+    )
+    starts = kept.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("src"),
+        F.when(F.col("event_type") == "purchase", F.lit("conv"))
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+    )
+    tr = steps.unionByName(starts)
+    # count aggregates from the same (src, dst) semantics as the oracle text
+    agg_exprs = []
+    for s in _ma_src_cols():
+        for t_ in _MA_STATES + ["conv"]:
+            agg_exprs.append(
+                F.expr(
+                    f"sum(CASE WHEN src = '{s}' AND dst = '{t_}' THEN 1 ELSE 0 END)"
+                )
+                .cast("long")
+                .alias(f"c_{s}_{t_}")
+            )
+        agg_exprs.append(
+            F.expr(f"sum(CASE WHEN src = '{s}' THEN 1 ELSE 0 END)")
+            .cast("long")
+            .alias(f"r_{s}")
+        )
+    it = tr.agg(*agg_exprs)
+    for v, exc in _MA_VARIANTS:
+        for x in _MA_STATES:
+            if x != exc:
+                it = it.withColumn(f"p_{v}_{x}", F.lit(0).cast("long"))
+    for t in range(_MA_ROUNDS):
+        for v, exc in _MA_VARIANTS:
+            for name, sql in _ma_step(v, exc):
+                it = it.withColumn(name, F.expr(sql))
+        for v, exc in _MA_VARIANTS:
+            for x in _MA_STATES:
+                if x != exc:
+                    it = it.withColumn(f"p_{v}_{x}", F.col(f"np_{v}_{x}"))
+        it = it.drop(
+            *[
+                f"np_{v}_{x}"
+                for v, exc in _MA_VARIANTS
+                for x in _MA_STATES
+                if x != exc
+            ]
+        )
+        if t % 4 == 3:
+            # 1-row barrier: keeps each codegen segment under the JVM's
+            # 64 KB method limit (no interpreted-mode fallback spam)
+            it = it.localCheckpoint()
+    for v, exc in _MA_VARIANTS:
+        it = it.withColumn(f"ps_{v}", F.expr(_ma_start(v, exc)))
+    eff = " + ".join(f"(ps_full - ps_wo_{s})" for s in _MA_STATES)
+    rows = it.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("channel"),
+                        round4(
+                            F.col("ps_full").cast("double") / float(_MA_SCALE)
+                        ).alias("conv_prob"),
+                        round4(
+                            F.col(f"ps_wo_{s}").cast("double") / float(_MA_SCALE)
+                        ).alias("conv_prob_without"),
+                        round4(
+                            F.expr(
+                                f"CASE WHEN ps_full = 0 THEN 0.0 ELSE "
+                                f"1.0 - CAST(ps_wo_{s} AS DOUBLE)"
+                                f" / CAST(ps_full AS DOUBLE) END"
+                            )
+                        ).alias("removal_effect"),
+                        round4(
+                            F.expr(
+                                f"CASE WHEN ({eff}) = 0 THEN 0.0 ELSE "
+                                f"CAST(ps_full - ps_wo_{s} AS DOUBLE)"
+                                f" / CAST({eff} AS DOUBLE) END"
+                            )
+                        ).alias("attribution"),
+                    )
+                    for s in _MA_STATES
+                ]
+            )
+        ).alias("o")
+    )
+    return rows.select(
+        "o.channel",
+        "o.conv_prob",
+        "o.conv_prob_without",
+        "o.removal_effect",
+        "o.attribution",
+    ).orderBy("channel")

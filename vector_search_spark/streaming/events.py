@@ -208,3 +208,27 @@ def streaming_stump_histogram(li: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.sum("pos").cast("long").alias("pos"),
     )
+
+
+def streaming_ks_histogram(events: DataFrame) -> DataFrame:
+    """Streaming twin of `ks_two_sample`'s sufficient statistics: the
+    per-(cents, sample) count table maintained as a plain streaming
+    aggregation.  Counts are commutative integer sums, so the drained
+    stream's final cells equal the batch collapse EXACTLY under any
+    micro-batch split, and the KS sup-scan downstream of them is
+    deterministic.  State is one row per distinct value per sample —
+    the empirical-CDF sufficient statistics, not the data.
+    """
+    base = events.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("c1"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("c2"),
+    )
+    return base.groupBy("cents").agg(
+        F.sum("c1").cast("long").alias("c1"),
+        F.sum("c2").cast("long").alias("c2"),
+    )
