@@ -208,3 +208,26 @@ def test_markov_attribution_matches_python_absorption(spark):
         assert r.attribution == pytest.approx(
             effs[s] / tot_eff if tot_eff else 0.0, abs=1e-4
         )
+
+
+def test_mad_outliers_match_pandas(spark):
+    """Median/MAD (lower-median rule) and the integer outlier rule must
+    match a pandas recomputation per event type."""
+    rows = {r.event_type: r for r in
+            registry.QUERIES["robust_mad_outliers"](spark, SF_TEST).collect()}
+    con = _duck()
+    df = con.execute(
+        "SELECT event_type, floor(value*100 + 0.5)::BIGINT AS cents FROM events"
+    ).df()
+    for et, grp in df.groupby("event_type"):
+        cents = sorted(grp["cents"])
+        n = len(cents)
+        med = cents[(n + 1) // 2 - 1]
+        devs = sorted(abs(c - med) for c in cents)
+        mad = devs[(n + 1) // 2 - 1]
+        n_out = sum(1 for c in cents if abs(c - med) * 10000 > 44478 * mad)
+        r = rows[et]
+        assert r.n_events == n
+        assert r.median_value == pytest.approx(med / 100.0, abs=1e-4)
+        assert r.mad_value == pytest.approx(mad / 100.0, abs=1e-4)
+        assert r.n_outliers == n_out

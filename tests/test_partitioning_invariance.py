@@ -97,6 +97,7 @@ QUERIES = [
     "corpus_exact_dedup_rewrite",
     "kmeans_lineitem",
     "markov_attribution",
+    "robust_mad_outliers",
 ]
 
 REGIMES = [

@@ -698,3 +698,113 @@ def _ma_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o.removal_effect",
         "o.attribution",
     ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Robust per-group outliers: median / MAD / scaled-integer outlier rule.
+# ---------------------------------------------------------------------------
+@register(
+    "robust_mad_outliers",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, floor(value*100 + 0.5)::BIGINT AS cents FROM events),
+    med AS (
+      SELECT event_type, cents AS med_cents FROM (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base)
+      WHERE rk = (n + 1) // 2),
+    dev AS (
+      SELECT b.event_type, b.cents, abs(b.cents - m.med_cents)::BIGINT AS d,
+             m.med_cents
+      FROM base b JOIN med m ON m.event_type = b.event_type),
+    mad AS (
+      SELECT event_type, d AS mad_cents FROM (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d, cents) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev)
+      WHERE rk = (n + 1) // 2)
+    SELECT d.event_type,
+           count(*)::BIGINT AS n_events,
+           floor((any_value(d.med_cents) / 100.0) * 10000 + 0.5) / 10000.0
+             AS median_value,
+           floor((any_value(ma.mad_cents) / 100.0) * 10000 + 0.5) / 10000.0
+             AS mad_value,
+           sum(CASE WHEN d.d * 10000 > 44478 * ma.mad_cents
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM dev d JOIN mad ma ON ma.event_type = d.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def q_robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: median and MAD of event value,
+    flagging |x − med| > 3·1.4826·MAD — the estimator `quality_zscore_by
+    _lang`'s mean/std version breaks on (outliers drag the mean; here the
+    breakdown point is 50%).
+
+    Exactness: median and MAD are INTEGER cents picked by lower-median
+    rank (ties inside the rank window broken by value); the outlier rule
+    compares the exact integers ``10000·|x−med| > 44478·MAD`` (3·1.4826 =
+    4.4478 scaled to 10⁴ — no float ever enters the decision).
+
+    Scale: two rank passes over (type, value) — on the Spark side both
+    run through `global_order_stats` keyed (type, value) so no per-group
+    one-task sort exists; per-group positions come from subtracting the
+    group's global-rank offset (a 5-row broadcast).  The oracle uses
+    plain partitioned windows — the fixture-scale equivalent.
+    """
+    from .partitioning import global_order_stats
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+
+    def group_median(df, order_col, tiebreak):
+        ranked = global_order_stats(df, ["event_type", order_col, tiebreak])
+        offs = ranked.groupBy("event_type").agg(
+            F.min("__rank").alias("__off"), F.count(F.lit(1)).alias("__n")
+        )
+        return (
+            ranked.join(F.broadcast(offs), "event_type")
+            .filter(
+                F.col("__rank") - F.col("__off") + 1
+                == F.expr("(__n + 1) DIV 2")
+            )
+            .select("event_type", F.col(order_col).alias("med"))
+        )
+
+    med = group_median(
+        base.withColumn("tb", F.col("cents")), "cents", "tb"
+    ).withColumnRenamed("med", "med_cents")
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("cents") - F.col("med_cents")).cast("long")
+    )
+    mad = group_median(dev.select("event_type", "d", "cents"), "d", "cents")
+    mad = mad.withColumnRenamed("med", "mad_cents")
+    out = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.first("med_cents").alias("_med"),
+            F.first("mad_cents").alias("_mad"),
+            F.sum(
+                F.when(
+                    F.col("d") * 10000 > 44478 * F.col("mad_cents"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        round4(F.col("_med") / 100.0).alias("median_value"),
+        round4(F.col("_mad") / 100.0).alias("mad_value"),
+        "n_outliers",
+    ).orderBy("event_type")
