@@ -501,3 +501,36 @@ def test_streaming_ks_histogram_reproduces_batch_ks(spark):
     assert batch.ks_stat == pytest.approx(
         int(d_scaled.loc[k]) / (n1 * n2), abs=1e-4
     )
+
+
+def test_streaming_ols_moments_reproduce_batch_fit(spark):
+    """Drained streaming moments, pushed through the SAME shared Cramer
+    text, must equal the batch `ols_price_model` row exactly."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.registry_ml import _ols_final_exprs
+    from vector_search_spark.streaming.events import (
+        stream_lineitem_ols_from_parquet,
+        streaming_ols_moments,
+    )
+
+    out = streaming_ols_moments(stream_lineitem_ols_from_parquet(spark, SF_TEST))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ols_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    m = spark.sql("SELECT * FROM ols_stream ORDER BY n_rows DESC LIMIT 1")
+    fitted = m.select(
+        *[
+            F.expr(sql).alias(alias)
+            if alias == "n_rows"
+            else F.expr(sql).cast("double").alias(alias)
+            for alias, sql in _ols_final_exprs()
+        ]
+    ).collect()[0]
+    batch = registry.QUERIES["ols_price_model"](spark, SF_TEST).collect()[0]
+    assert tuple(fitted) == tuple(batch)

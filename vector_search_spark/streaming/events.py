@@ -232,3 +232,35 @@ def streaming_ks_histogram(events: DataFrame) -> DataFrame:
         F.sum("c1").cast("long").alias("c1"),
         F.sum("c2").cast("long").alias("c2"),
     )
+
+
+def stream_lineitem_ols_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over lineitem projected to the OLS design columns."""
+    schema = "l_quantity double, l_discount double, l_extendedprice double"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_ols_moments(li: DataFrame) -> DataFrame:
+    """Streaming twin of `ols_price_model`'s sufficient statistics: the ten
+    normal-equation moments as one streaming aggregation — online linear
+    regression whose state is 10 numbers, not data.  Integer sums are
+    commutative, so the drained moments equal the batch ones EXACTLY under
+    any micro-batch split; the Cramer solve downstream is deterministic.
+    DECIMAL(38,0) wide accumulators as in batch (headroom rule)."""
+    from ..registry_ml import _OLS_FEATS, _OLS_MOMENTS, _OLS_WIDE
+
+    feats = li.selectExpr(*_OLS_FEATS.split(", "))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for k, p in _OLS_MOMENTS.items():
+        if k in _OLS_WIDE:
+            aggs.append(
+                F.sum(F.expr(p).cast("decimal(38,0)")).cast("decimal(38,0)").alias(k)
+            )
+        else:
+            aggs.append(F.sum(F.expr(p)).cast("long").alias(k))
+    return feats.groupBy().agg(*aggs)
