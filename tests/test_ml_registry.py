@@ -534,3 +534,31 @@ def test_streaming_ols_moments_reproduce_batch_fit(spark):
     ).collect()[0]
     batch = registry.QUERIES["ols_price_model"](spark, SF_TEST).collect()[0]
     assert tuple(fitted) == tuple(batch)
+
+
+def test_svd_rank1_matches_numpy(spark):
+    """Loading direction must align with numpy's top right singular vector
+    of the SAME integer matrix (|cos| > 0.999) and sigma with its top
+    singular value (cents → dollars)."""
+    rows = sorted(
+        registry.QUERIES["svd_rank1_affinity"](spark, SF_TEST).collect(),
+        key=lambda r: r.event_type,
+    )
+    con = _duck()
+    cells = con.execute(
+        "SELECT user_id, event_type, sum(floor(value*100 + 0.5)::BIGINT)"
+        " FROM events GROUP BY 1, 2"
+    ).fetchall()
+    types = sorted({t for _, t, _ in cells})
+    users = sorted({u for u, _, _ in cells})
+    ui = {u: i for i, u in enumerate(users)}
+    ti = {t: i for i, t in enumerate(types)}
+    M = np.zeros((len(users), len(types)))
+    for u, t, c in cells:
+        M[ui[u], ti[t]] = c
+    _, s, vt = np.linalg.svd(M, full_matrices=False)
+    v_top = vt[0]
+    got = np.array([r.loading for r in rows])
+    cos = abs(got @ v_top) / (np.linalg.norm(got) * np.linalg.norm(v_top))
+    assert cos > 0.999, cos
+    assert rows[0].sigma_dollars == pytest.approx(s[0] / 100.0, rel=1e-3)

@@ -98,6 +98,7 @@ QUERIES = [
     "kmeans_lineitem",
     "markov_attribution",
     "robust_mad_outliers",
+    "svd_rank1_affinity",
 ]
 
 REGIMES = [

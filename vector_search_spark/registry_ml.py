@@ -1737,3 +1737,172 @@ def _kmeans_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select("s.cluster", "s.n_points", "s.cx", "s.cy", "s.wcss").orderBy(
         "cluster"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-1 SVD of the user x event-type value matrix (alternating power
+# iteration with per-half-step integer normalization).
+# ---------------------------------------------------------------------------
+_SVD_ROUNDS = 6
+_SVD_SCALE = 1_000_000
+_SVD_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _svd_oracle() -> str:
+    ctes = [
+        """m AS MATERIALIZED (
+      SELECT user_id, event_type,
+             sum(floor(value*100 + 0.5)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1, 2)""",
+        "users AS MATERIALIZED (SELECT DISTINCT user_id FROM m)",
+        f"u0 AS MATERIALIZED (SELECT user_id, {_SVD_SCALE}::BIGINT AS uu FROM users)",
+    ]
+    prev_u = "u0"
+    for t in range(1, _SVD_ROUNDS + 1):
+        ctes.append(
+            f"""vn{t} AS MATERIALIZED (
+      SELECT m.event_type, sum(u.uu * m.cents)::BIGINT AS num
+      FROM m JOIN {prev_u} u ON u.user_id = m.user_id
+      GROUP BY 1)"""
+        )
+        ctes.append(
+            f"vm{t} AS (SELECT max(abs(num))::BIGINT AS mx FROM vn{t})"
+        )
+        ctes.append(
+            f"""v{t} AS MATERIALIZED (
+      SELECT event_type,
+             CAST(floor(CAST(num AS DOUBLE) * {_SVD_SCALE}
+                        / CAST(mx AS DOUBLE)) AS BIGINT) AS vv
+      FROM vn{t} CROSS JOIN vm{t})"""
+        )
+        ctes.append(
+            f"""un{t} AS MATERIALIZED (
+      SELECT m.user_id, sum(v.vv * m.cents)::BIGINT AS num
+      FROM m JOIN v{t} v ON v.event_type = m.event_type
+      GROUP BY 1)"""
+        )
+        ctes.append(
+            f"um{t} AS (SELECT max(abs(num))::BIGINT AS mx FROM un{t})"
+        )
+        ctes.append(
+            f"""u{t} AS MATERIALIZED (
+      SELECT user_id,
+             CAST(floor(CAST(num AS DOUBLE) * {_SVD_SCALE}
+                        / CAST(mx AS DOUBLE)) AS BIGINT) AS uu
+      FROM un{t} CROSS JOIN um{t})"""
+        )
+        prev_u = f"u{t}"
+    last = _SVD_ROUNDS
+    ctes.append(
+        f"""ray AS (
+      SELECT sum(CAST(n.num AS DOUBLE) * CAST(n.num AS DOUBLE)) AS nn,
+             (SELECT sum(CAST(vv AS DOUBLE) * CAST(vv AS DOUBLE))
+              FROM v{last}) AS vv2
+      FROM un{last} n)"""
+    )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    SELECT v.event_type,
+           floor((CAST(v.vv AS DOUBLE) / {_SVD_SCALE}.0) * 10000 + 0.5)
+             / 10000.0 AS loading,
+           floor(((sqrt(r.nn / r.vv2)) / 100.0)
+                 * 10000 + 0.5) / 10000.0 AS sigma_dollars
+    FROM v{last} v CROSS JOIN ray r
+    ORDER BY v.event_type
+    """
+
+
+@register("svd_rank1_affinity", oracle=_svd_oracle())
+def q_svd_rank1_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top singular direction of the user × event-type spend matrix by
+    alternating power iteration (v ∝ M'u, u ∝ Mv — rank-1 ALS without the
+    cancelling denominators), the collaborative-filtering / embedding
+    primitive run as six rounds of join + partial agg.  The loading
+    vector is the "taste axis" a recommender's first factor captures;
+    sigma is the matrix's dominant scale.
+
+    Exactness: M's entries are integer cents; both factors are re-quantized
+    to 1e6-unit integers after every half-step (normalize by the max |.|,
+    portable double floor-divide — all numerators < 2^53); sigma is a
+    Rayleigh quotient over the last un-normalized iterate, with IEEE-exact
+    sqrt.  Fixed 6 rounds; M ≥ 0 makes the limit the Perron direction, so
+    signs are stable.
+
+    Scale: the user factor stays a DATAFRAME (never collected, unlike
+    centroid scalars); each half-step is one hash join of M against a
+    factor table + a partial agg — the exact shape of distributed ALS,
+    demonstrated at rank 1 where the whole loop is SQL-expressible.  The
+    per-round max is a 1-row broadcast.  Rank k would carry k columns.
+    """
+    def build() -> DataFrame:
+        return _svd_plan(spark, sf_dir)
+
+    return _plan_cached("svd_rank1_affinity", spark, sf_dir, build)
+
+
+def _svd_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    m = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    u = m.select("user_id").distinct().withColumn(
+        "uu", F.lit(_SVD_SCALE).cast("long")
+    )
+    v = None
+    un = None
+    for _ in range(_SVD_ROUNDS):
+        vn = (
+            m.join(u.select("user_id", "uu"), "user_id")
+            .groupBy("event_type")
+            .agg(F.sum(F.col("uu") * F.col("cents")).cast("long").alias("num"))
+        )
+        vmax = vn.agg(F.max(F.abs(F.col("num"))).cast("long").alias("mx"))
+        v = (
+            vn.crossJoin(F.broadcast(vmax))
+            .select(
+                "event_type",
+                F.expr(
+                    f"CAST(floor(CAST(num AS DOUBLE) * {_SVD_SCALE}"
+                    f" / CAST(mx AS DOUBLE)) AS BIGINT)"
+                ).alias("vv"),
+            )
+            .localCheckpoint()
+        )
+        un = (
+            m.join(F.broadcast(v), "event_type")
+            .groupBy("user_id")
+            .agg(F.sum(F.col("vv") * F.col("cents")).cast("long").alias("num"))
+        ).localCheckpoint()
+        umax = un.agg(F.max(F.abs(F.col("num"))).cast("long").alias("mx"))
+        u = un.crossJoin(F.broadcast(umax)).select(
+            "user_id",
+            F.expr(
+                f"CAST(floor(CAST(num AS DOUBLE) * {_SVD_SCALE}"
+                f" / CAST(mx AS DOUBLE)) AS BIGINT)"
+            ).alias("uu"),
+        )
+    nn = un.agg(
+        F.sum(F.col("num").cast("double") * F.col("num").cast("double")).alias("nn")
+    )
+    vv2 = v.agg(
+        F.sum(F.col("vv").cast("double") * F.col("vv").cast("double")).alias("vv2")
+    )
+    return (
+        v.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(vv2))
+        .select(
+            "event_type",
+            round4(F.col("vv").cast("double") / float(_SVD_SCALE)).alias("loading"),
+            round4(F.sqrt(F.col("nn") / F.col("vv2")) / 100.0).alias(
+                "sigma_dollars"
+            ),
+        )
+        .orderBy("event_type")
+    )
