@@ -231,3 +231,37 @@ def test_mad_outliers_match_pandas(spark):
         assert r.median_value == pytest.approx(med / 100.0, abs=1e-4)
         assert r.mad_value == pytest.approx(mad / 100.0, abs=1e-4)
         assert r.n_outliers == n_out
+
+
+def test_nearest_click_matches_bruteforce(spark):
+    """Per purchase, brute-force nearest deduped click (ties backward)
+    must match exactly on the smoke fixture."""
+    from conftest import SF_SMOKE
+
+    rows = registry.QUERIES["purchase_nearest_click"](spark, SF_SMOKE).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    ev = con.execute(
+        "SELECT event_id, user_id, epoch_ns(ts) // 1000, event_type FROM events"
+    ).fetchall()
+    clicks = {}
+    for eid, uid, ts, et in ev:
+        if et == "click":
+            clicks.setdefault(uid, set()).add(ts)
+    for r in rows:
+        cs = clicks.get(r.user_id, set())
+        if not cs:
+            assert (r.nearest_click_ts_us, r.delta_us, r.direction) == (
+                -1,
+                -1,
+                "none",
+            )
+            continue
+        best = min(cs, key=lambda t: (abs(t - r.ts_us), t))
+        # tie rule: backward (earlier) wins on equal distance — min with
+        # (dist, ts) picks the earlier of two equidistant clicks
+        assert r.nearest_click_ts_us == best
+        assert r.delta_us == abs(best - r.ts_us)
+        assert r.direction == ("back" if best <= r.ts_us else "fwd")

@@ -99,6 +99,7 @@ QUERIES = [
     "markov_attribution",
     "robust_mad_outliers",
     "svd_rank1_affinity",
+    "purchase_nearest_click",
 ]
 
 REGIMES = [

@@ -808,3 +808,122 @@ def q_robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("_mad") / 100.0).alias("mad_value"),
         "n_outliers",
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# NEAREST as-of join: each purchase matched to the temporally closest click.
+# ---------------------------------------------------------------------------
+@register(
+    "purchase_nearest_click",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+      FROM events),
+    p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+    c0 AS (SELECT user_id, ts_us,
+                  row_number() OVER (PARTITION BY user_id, ts_us
+                                     ORDER BY event_id DESC) AS rn
+           FROM e WHERE event_type = 'click'),
+    c AS (SELECT user_id, ts_us FROM c0 WHERE rn = 1),
+    b AS (
+      SELECT p.event_id, c.ts_us AS b_ts
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts_us >= c.ts_us),
+    f AS (
+      SELECT p.event_id, c.ts_us AS f_ts
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts_us <= c.ts_us)
+    SELECT p.event_id, p.user_id, p.ts_us,
+           CASE
+             WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN -1
+             WHEN f.f_ts IS NULL THEN b.b_ts
+             WHEN b.b_ts IS NULL THEN f.f_ts
+             WHEN p.ts_us - b.b_ts <= f.f_ts - p.ts_us THEN b.b_ts
+             ELSE f.f_ts
+           END AS nearest_click_ts_us,
+           CASE
+             WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN -1
+             WHEN f.f_ts IS NULL THEN p.ts_us - b.b_ts
+             WHEN b.b_ts IS NULL THEN f.f_ts - p.ts_us
+             WHEN p.ts_us - b.b_ts <= f.f_ts - p.ts_us THEN p.ts_us - b.b_ts
+             ELSE f.f_ts - p.ts_us
+           END AS delta_us,
+           CASE
+             WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN 'none'
+             WHEN f.f_ts IS NULL THEN 'back'
+             WHEN b.b_ts IS NULL THEN 'fwd'
+             WHEN p.ts_us - b.b_ts <= f.f_ts - p.ts_us THEN 'back'
+             ELSE 'fwd'
+           END AS direction
+    FROM p
+    JOIN b ON b.event_id = p.event_id
+    JOIN f ON f.event_id = p.event_id
+    ORDER BY p.event_id
+    """,
+)
+def q_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join: each purchase gets the temporally
+    CLOSEST click (either direction, ties to the earlier/backward side) —
+    the third as-of flavor after backward (`purchase_asof_click`) and
+    forward (`click_asof_next_purchase`), composed from both: one
+    backward and one forward merge, then an integer Δ comparison.  The
+    standard sensor-alignment / attribution-window primitive.
+
+    Exactness: all integer microseconds; the backward/forward legs reuse
+    the union+window merges (right side deduped to one row per (user,
+    ts)); sentinels -1/'none' keep outputs NULL-free.
+
+    Scale: two as-of merges = two (user-keyed) exchanges over narrow
+    rows, then a hash self-join on event_id — no new shuffle shape; the
+    oracle composes DuckDB's native ASOF joins the same way.
+    """
+    from .operators.asof import asof_join_backward, asof_join_forward
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+        "event_type",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    w_dedup = Window.partitionBy("user_id", "ts_us").orderBy(F.desc("event_id"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts_us", F.col("ts_us").alias("c_ts"))
+    )
+    back = asof_join_backward(
+        p, c.select("user_id", "ts_us", "c_ts"), "user_id", "ts_us", ["c_ts"]
+    ).select("event_id", F.col("asof_c_ts").alias("b_ts"))
+    fwd = asof_join_forward(
+        p, c.select("user_id", "ts_us", "c_ts"), "user_id", "ts_us", ["c_ts"]
+    ).select("event_id", F.col("asof_c_ts").alias("f_ts"))
+    j = p.join(back, "event_id").join(fwd, "event_id")
+    b_d = F.col("ts_us") - F.col("b_ts")
+    f_d = F.col("f_ts") - F.col("ts_us")
+    both_null = F.col("b_ts").isNull() & F.col("f_ts").isNull()
+    pick_back = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (b_d <= f_d)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(both_null, F.lit(-1))
+        .when(pick_back, F.col("b_ts"))
+        .otherwise(F.col("f_ts"))
+        .cast("long")
+        .alias("nearest_click_ts_us"),
+        F.when(both_null, F.lit(-1))
+        .when(pick_back, b_d)
+        .otherwise(f_d)
+        .cast("long")
+        .alias("delta_us"),
+        F.when(both_null, F.lit("none"))
+        .when(pick_back, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+    ).orderBy("event_id")
