@@ -562,3 +562,72 @@ def test_svd_rank1_matches_numpy(spark):
     cos = abs(got @ v_top) / (np.linalg.norm(got) * np.linalg.norm(v_top))
     assert cos > 0.999, cos
     assert rows[0].sigma_dollars == pytest.approx(s[0] / 100.0, rel=1e-3)
+
+
+def test_ab_bootstrap_diff_matches_python(spark):
+    """Pure-Python replica rebuild (same md5 arm split + Poisson lanes)
+    must reproduce the replica difference order statistics."""
+    import hashlib
+
+    from vector_search_spark.registry_ml import _BOOT_B, _POIS_T
+
+    row = registry.QUERIES["ab_bootstrap_diff_ci"](spark, SF_TEST).collect()[0]
+    con = _duck()
+    ev = con.execute(
+        "SELECT event_id, user_id, floor(value*100 + 0.5)::BIGINT FROM events"
+        " WHERE event_type = 'purchase'"
+    ).fetchall()
+    arms = {"t": [], "c": []}
+    for eid, uid, cents in ev:
+        g = "t" if int(
+            hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16
+        ) % 2 == 0 else "c"
+        arms[g].append((eid, cents))
+    assert (row.n_t, row.n_c) == (len(arms["t"]), len(arms["c"]))
+    diffs = []
+    for b in range(_BOOT_B):
+        means = {}
+        for g, data in arms.items():
+            sw = swc = 0
+            for eid, cents in data:
+                hx = hashlib.md5(f"abboot{b // 4}:{eid}".encode()).hexdigest()
+                u = int(hx[(b % 4) * 8 : (b % 4) * 8 + 8], 16)
+                w = next((k for k, t in enumerate(_POIS_T) if u < t), 7)
+                sw += w
+                swc += w * cents
+            means[g] = (swc / 100.0) / sw
+        diffs.append(means["t"] - means["c"])
+    diffs.sort()
+    assert row.ci_lo == pytest.approx(diffs[1], abs=1e-4)
+    assert row.ci_hi == pytest.approx(diffs[_BOOT_B - 2], abs=1e-4)
+    assert row.significant == (1 if (diffs[1] > 0 or diffs[_BOOT_B - 2] < 0) else 0)
+
+
+def test_next_event_accuracy_matches_pandas(spark):
+    """Per-source majority prediction and accuracy must match a pandas
+    recomputation of the transition counts."""
+    rows = {r.src: r for r in
+            registry.QUERIES["markov_next_event_accuracy"](spark, SF_TEST).collect()}
+    con = _duck()
+    tr = con.execute(
+        """
+        WITH l AS (
+          SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000, event_id) AS nxt
+          FROM events)
+        SELECT event_type, nxt, count(*) FROM l WHERE nxt IS NOT NULL
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_src = {}
+    for s, d, n in tr:
+        by_src.setdefault(s, {})[d] = n
+    for s, dd in by_src.items():
+        pred = min(dd, key=lambda d: (-dd[d], d))
+        tot = sum(dd.values())
+        r = rows[s]
+        assert r.predicted_next == pred
+        assert r.n_transitions == tot
+        assert r.n_correct == dd[pred]
+        assert r.accuracy == pytest.approx(dd[pred] / tot, abs=1e-4)

@@ -100,6 +100,8 @@ QUERIES = [
     "robust_mad_outliers",
     "svd_rank1_affinity",
     "purchase_nearest_click",
+    "markov_next_event_accuracy",
+    "ab_bootstrap_diff_ci",
 ]
 
 REGIMES = [

@@ -927,3 +927,90 @@ def q_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fwd"))
         .alias("direction"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event prediction accuracy (the chain as a classifier).
+# ---------------------------------------------------------------------------
+@register(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
+      FROM events),
+    l AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS nxt
+      FROM e),
+    tr AS (SELECT event_type AS src, nxt AS dst FROM l WHERE nxt IS NOT NULL),
+    c AS (SELECT src, dst, count(*)::BIGINT AS n FROM tr GROUP BY 1, 2),
+    pred AS (
+      SELECT src, dst AS predicted FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY src
+                                            ORDER BY n DESC, dst) AS rk
+        FROM c) WHERE rk = 1)
+    SELECT c.src,
+           sum(c.n)::BIGINT AS n_transitions,
+           any_value(p.predicted) AS predicted_next,
+           sum(CASE WHEN c.dst = p.predicted THEN c.n ELSE 0 END)::BIGINT
+             AS n_correct,
+           floor((CAST(sum(CASE WHEN c.dst = p.predicted THEN c.n ELSE 0 END)
+                       AS DOUBLE) / CAST(sum(c.n) AS DOUBLE)) * 10000 + 0.5)
+             / 10000.0 AS accuracy
+    FROM c JOIN pred p ON p.src = c.src
+    GROUP BY c.src ORDER BY c.src
+    """,
+)
+def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first-order event chain used as a next-event PREDICTOR: per
+    source state, predict the majority next event (ties to the
+    alphabetically first) and score resubstitution accuracy — the
+    baseline every sequence model must beat, and the sanity probe on the
+    transition structure behind `markov_stationary_events` /
+    `markov_attribution`.
+
+    Exactness: counts are integers; the per-source argmax tie-breaks on
+    the destination name; accuracy is ONE final division.
+
+    Scale: the per-user lag window (the standard sessionization exchange)
+    folds to a ≤ |states|² count table; everything after runs on that.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns DIV 1000").alias("ts_us"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tr = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+    )
+    c = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_best = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    pred = (
+        c.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select("src", F.col("dst").alias("predicted"))
+    )
+    return (
+        c.join(F.broadcast(pred), "src")
+        .groupBy("src")
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            F.first("predicted").alias("predicted_next"),
+            F.sum(F.when(F.col("dst") == F.col("predicted"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "src",
+            "n_transitions",
+            "predicted_next",
+            "n_correct",
+            round4(
+                F.col("n_correct").cast("double")
+                / F.col("n_transitions").cast("double")
+            ).alias("accuracy"),
+        )
+        .orderBy("src")
+    )

@@ -1906,3 +1906,174 @@ def _svd_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap difference-in-means CI for an md5 A/B split of purchase value.
+# ---------------------------------------------------------------------------
+def _abb_mean(side: str, b: int) -> str:
+    return (
+        f"((CAST(swc_{side}{b} AS DOUBLE) / 100.0)"
+        f" / CAST(sw_{side}{b} AS DOUBLE))"
+    )
+
+
+def _abb_diff(b: int) -> str:
+    return f"({_abb_mean('t', b)} - {_abb_mean('c', b)})"
+
+
+def _abb_oracle() -> str:
+    h_cols = ", ".join(
+        f"md5('abboot{g}:' || CAST(event_id AS VARCHAR)) AS h{g}"
+        for g in range(_BOOT_B // 4)
+    )
+    u_cols = ", ".join(
+        f"(('0x' || substr(h{b // 4}, {(b % 4) * 8 + 1}, 8))::BIGINT) AS u{b}"
+        for b in range(_BOOT_B)
+    )
+    w_cols = ", ".join(f"{_pois_w(f'u{b}')} AS w{b}" for b in range(_BOOT_B))
+    aggs = ", ".join(
+        f"sum(CASE WHEN grp = '{s}' THEN w{b} ELSE 0 END)::BIGINT AS sw_{s}{b},"
+        f" sum(CASE WHEN grp = '{s}' THEN w{b} * cents ELSE 0 END)::BIGINT"
+        f" AS swc_{s}{b}"
+        for s in ("t", "c")
+        for b in range(_BOOT_B)
+    )
+    diffs = ", ".join(_abb_diff(b) for b in range(_BOOT_B))
+    return f"""
+    WITH h AS (
+      SELECT CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                        1, 8))::BIGINT % 2 = 0 THEN 't' ELSE 'c' END AS grp,
+             floor(value*100 + 0.5)::BIGINT AS cents, {h_cols}
+      FROM events WHERE event_type = 'purchase'),
+    base AS (SELECT grp, cents, {u_cols} FROM h),
+    w AS (SELECT grp, cents, {w_cols} FROM base),
+    agg AS (
+      SELECT sum(CASE WHEN grp = 't' THEN 1 ELSE 0 END)::BIGINT AS n_t,
+             sum(CASE WHEN grp = 'c' THEN 1 ELSE 0 END)::BIGINT AS n_c,
+             sum(CASE WHEN grp = 't' THEN cents ELSE 0 END)::BIGINT AS sc_t,
+             sum(CASE WHEN grp = 'c' THEN cents ELSE 0 END)::BIGINT AS sc_c,
+             {aggs}
+      FROM w)
+    SELECT n_t, n_c,
+           floor((((CAST(sc_t AS DOUBLE) / 100.0) / CAST(n_t AS DOUBLE))
+                  - ((CAST(sc_c AS DOUBLE) / 100.0) / CAST(n_c AS DOUBLE)))
+                 * 10000 + 0.5) / 10000.0 AS mean_diff,
+           floor((list_sort([{diffs}])[2]) * 10000 + 0.5) / 10000.0 AS ci_lo,
+           floor((list_sort([{diffs}])[{_BOOT_B - 1}]) * 10000 + 0.5) / 10000.0
+             AS ci_hi,
+           CASE WHEN (list_sort([{diffs}])[2]) > 0.0
+                     OR (list_sort([{diffs}])[{_BOOT_B - 1}]) < 0.0
+                THEN 1 ELSE 0 END AS significant
+    FROM agg
+    """
+
+
+@register("ab_bootstrap_diff_ci", oracle=_abb_oracle())
+def q_ab_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the treatment-minus-control mean
+    purchase value under an md5 user split — the NONPARAMETRIC companion
+    to `ab_test_zscore` (no normality assumption; the same Poisson-lane
+    machinery as `bootstrap_value_ci` applied to a difference statistic).
+    `significant` = the rank-2..31 interval excludes zero.
+
+    Exactness: the per-replica weights reuse the integer md5 Poisson
+    ladder (four 32-bit lanes per digest); per-arm numerators and
+    denominators are exact BIGINT sums; 32 difference doubles are sorted
+    once per output row.
+
+    Scale: ONE partial-agg'd scan with 4B+4 integer accumulators — arm
+    membership is a CASE inside the aggregate, so the A/B dimension adds
+    accumulator width, never a second pass.  Plan is prepared-statement
+    cached like the other wide-replica queries.
+    """
+    def build() -> DataFrame:
+        return _abb_plan(spark, sf_dir)
+
+    return _plan_cached("ab_bootstrap_diff_ci", spark, sf_dir, build)
+
+
+def _abb_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    grp = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit("t"),
+    ).otherwise(F.lit("c"))
+    h_cols = [
+        F.md5(
+            F.concat(F.lit(f"abboot{g}:"), F.col("event_id").cast("string"))
+        ).alias(f"h{g}")
+        for g in range(_BOOT_B // 4)
+    ]
+    h = ev.select(
+        grp.alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        *h_cols,
+    )
+    base = h.select(
+        "grp",
+        "cents",
+        *[
+            F.conv(F.substring(F.col(f"h{b // 4}"), (b % 4) * 8 + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"u{b}")
+            for b in range(_BOOT_B)
+        ],
+    )
+    w = base.select(
+        "grp",
+        "cents",
+        *[F.expr(_pois_w(f"u{b}")).alias(f"w{b}") for b in range(_BOOT_B)],
+    )
+    aggs = [
+        F.sum(F.when(F.col("grp") == "t", 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("grp") == "c", 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("grp") == "t", F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sc_t"),
+        F.sum(F.when(F.col("grp") == "c", F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sc_c"),
+    ]
+    for s in ("t", "c"):
+        for b in range(_BOOT_B):
+            aggs.append(
+                F.sum(F.when(F.col("grp") == s, F.col(f"w{b}")).otherwise(0))
+                .cast("long")
+                .alias(f"sw_{s}{b}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(F.col("grp") == s, F.col(f"w{b}") * F.col("cents")).otherwise(
+                        0
+                    )
+                )
+                .cast("long")
+                .alias(f"swc_{s}{b}")
+            )
+    agg = w.agg(*aggs)
+    diffs = ", ".join(_abb_diff(b) for b in range(_BOOT_B))
+    lo = F.expr(f"element_at(array_sort(array({diffs})), 2)")
+    hi = F.expr(f"element_at(array_sort(array({diffs})), {_BOOT_B - 1})")
+    return agg.select(
+        "n_t",
+        "n_c",
+        round4(
+            (F.col("sc_t").cast("double") / 100.0) / F.col("n_t").cast("double")
+            - (F.col("sc_c").cast("double") / 100.0) / F.col("n_c").cast("double")
+        ).alias("mean_diff"),
+        round4(lo).alias("ci_lo"),
+        round4(hi).alias("ci_hi"),
+        F.when((lo > 0.0) | (hi < 0.0), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("significant"),
+    )
