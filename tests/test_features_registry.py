@@ -265,3 +265,65 @@ def test_nearest_click_matches_bruteforce(spark):
         assert r.nearest_click_ts_us == best
         assert r.delta_us == abs(best - r.ts_us)
         assert r.direction == ("back" if best <= r.ts_us else "fwd")
+
+
+def test_entropy_rate_matches_numpy(spark):
+    """Row entropies and the π-weighted rate must match a numpy
+    recomputation from the raw transition counts."""
+    import numpy as np
+
+    rows = sorted(
+        registry.QUERIES["markov_entropy_rate"](spark, SF_TEST).collect(),
+        key=lambda r: r.event_type,
+    )
+    con = _duck()
+    tr = con.execute(
+        """
+        WITH pairs AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev, event_type
+          FROM events)
+        SELECT prev, event_type, count(*) FROM pairs WHERE prev IS NOT NULL
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    types = [r.event_type for r in rows]
+    idx = {t: i for i, t in enumerate(types)}
+    M = np.zeros((5, 5))
+    for a, b, c in tr:
+        M[idx[a], idx[b]] = c
+    P = M / M.sum(axis=1, keepdims=True)
+    pi = np.array([r.stationary_prob for r in rows])
+    H_rows = np.array(
+        [-(p[p > 0] * np.log(p[p > 0])).sum() for p in P]
+    )
+    for i, r in enumerate(rows):
+        assert r.state_entropy_nats == pytest.approx(H_rows[i], abs=2e-4)
+    assert rows[0].entropy_rate_nats == pytest.approx(
+        float(pi @ H_rows), abs=2e-3
+    )
+
+
+def test_cluster_keep_best_consistent_with_clusters(spark):
+    """The keeper must be the max-n_chars (tie: lowest id) member of each
+    cluster from `dedup_clusters`, and sizes must agree."""
+    clusters = {}
+    for r in registry.QUERIES["dedup_clusters"](spark, SF_TEST).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    con = _duck()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_TEST}/documents.parquet'"
+    )
+    nchars = dict(
+        con.execute("SELECT doc_id, n_chars FROM documents").fetchall()
+    )
+    rows = {r.cluster_id: r for r in
+            registry.QUERIES["dedup_cluster_keep_best"](spark, SF_TEST).collect()}
+    assert set(rows) == set(clusters)
+    for cid, members in clusters.items():
+        r = rows[cid]
+        assert r.cluster_size == len(members)
+        assert r.n_dropped == len(members) - 1
+        best = min(members, key=lambda d: (-nchars[d], d))
+        assert r.keep_doc_id == best
+        assert r.keep_n_chars == nchars[best]

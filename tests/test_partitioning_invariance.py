@@ -102,6 +102,8 @@ QUERIES = [
     "purchase_nearest_click",
     "markov_next_event_accuracy",
     "ab_bootstrap_diff_ci",
+    "markov_entropy_rate",
+    "dedup_cluster_keep_best",
 ]
 
 REGIMES = [

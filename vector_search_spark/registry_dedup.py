@@ -1875,3 +1875,105 @@ def q_subdoc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebuilt.select(
         "doc_id", "n_blocks", "kept_blocks", "clean_tokens", "clean_md5"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cluster-keep-BEST: retain the highest-quality member of each near-dup
+# cluster (not the lowest id) — the quality-aware dedup policy.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*) AS shared
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT s.id_1, s.id_2
+      FROM shared s
+      JOIN sizes n1 ON s.id_1 = n1.doc_id
+      JOIN sizes n2 ON s.id_2 = n2.doc_id
+      JOIN (SELECT DISTINCT id_1, id_2 FROM cand) c
+        ON c.id_1 = s.id_1 AND c.id_2 = s.id_2
+      JOIN sig s1 ON c.id_1 = s1.doc_id
+      JOIN sig s2 ON c.id_2 = s2.doc_id
+      WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
+        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+    edges AS (SELECT id_1 AS a, id_2 AS b FROM verified
+              UNION SELECT id_2, id_1 FROM verified),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach(doc_id, root) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc_id),
+    clusters AS (SELECT doc_id, min(root) AS cluster_id FROM reach
+                 GROUP BY doc_id),
+    best AS (
+      SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_n_chars
+      FROM (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rk
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+      WHERE rk = 1)
+    SELECT b.cluster_id, count(*)::BIGINT AS cluster_size,
+           b.keep_doc_id, b.keep_n_chars::BIGINT AS keep_n_chars,
+           (count(*) - 1)::BIGINT AS n_dropped
+    FROM clusters c JOIN best b ON b.cluster_id = c.cluster_id
+    GROUP BY b.cluster_id, b.keep_doc_id, b.keep_n_chars
+    ORDER BY b.cluster_id
+    """,
+)
+def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup: within each near-duplicate cluster
+    keep the member with the most content (max n_chars, ties to the
+    lowest doc_id) instead of the lowest id — the policy real pipelines
+    use so the canonical copy is the RICHEST, not the first-crawled
+    (`dedup_cascade_keep` is the id policy; same clusters, different
+    keeper).  Emits per cluster the keeper and the drop count.
+
+    Scale: reuses the session-shared verified-pair artifact and the
+    pointer-jumping components; the quality argmax is a window over
+    cluster-sized groups (near-dup clusters are small by construction —
+    banding caps how far chains extend).
+    """
+    from pyspark.sql import Window
+
+    from .operators.dedup import connected_components
+
+    docs = __load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = _shared_verified_pairs(spark, sf_dir)
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    joined = cc.join(docs, "doc_id")
+    best = (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").cast("long").alias("keep_n_chars"),
+        )
+    )
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .join(best, "cluster_id")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "keep_doc_id",
+            "keep_n_chars",
+            (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -1014,3 +1014,187 @@ def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the user-journey Markov chain (predictability metric).
+# ---------------------------------------------------------------------------
+def _me_parts():
+    from .registry_ml import _MK_ITERS, _MK_K, _MK_SCALE, _MK_TYPES, _mk_step_exprs
+
+    return _MK_ITERS, _MK_K, _MK_SCALE, _MK_TYPES, _mk_step_exprs
+
+
+def _me_entropy_exprs() -> list[tuple[str, str]]:
+    """[(name, sql)] shared text: per-state micro-nat entropies + the rate.
+
+    h_i = Σ_j (c_ij/r_i)·(ln r_i − ln c_ij) with every ln taken of an
+    integer and micro-quantized once; H = Σ_i π_i·h_i / 1e6.
+    """
+    _, K, SCALE, _, _ = _me_parts()
+    outs = []
+    for i in range(K):
+        terms = []
+        for j in range(K):
+            lnc = f"floor(ln(CAST(c{i}_{j} AS DOUBLE))*1000000 + 0.5)"
+            lnr = f"floor(ln(CAST(r{i} AS DOUBLE))*1000000 + 0.5)"
+            terms.append(
+                f"(CASE WHEN c{i}_{j} = 0 THEN 0 ELSE"
+                f" c{i}_{j} * CAST(({lnr} - {lnc}) AS BIGINT) END)"
+            )
+        num = " + ".join(terms)
+        outs.append(
+            (
+                f"h{i}",
+                f"(CASE WHEN r{i} = 0 THEN 0 ELSE "
+                f"CAST(floor(CAST({num} AS DOUBLE) / CAST(r{i} AS DOUBLE))"
+                f" AS BIGINT) END)",
+            )
+        )
+    rate = " + ".join(f"p{i} * h{i}" for i in range(K))
+    outs.append(
+        (
+            "hrate",
+            f"CAST(floor(CAST({rate} AS DOUBLE) / {SCALE}.0) AS BIGINT)",
+        )
+    )
+    return outs
+
+
+def _me_oracle() -> str:
+    ITERS, K, SCALE, TYPES, step = _me_parts()
+    cnt = ", ".join(
+        f"sum(CASE WHEN prev = '{a}' AND event_type = '{b}' THEN 1 ELSE 0 END)"
+        f"::BIGINT AS c{i}_{j}"
+        for i, a in enumerate(TYPES)
+        for j, b in enumerate(TYPES)
+    )
+    rows = ", ".join(
+        "(" + " + ".join(f"c{i}_{j}" for j in range(K)) + f") AS r{i}"
+        for i in range(K)
+    )
+    init = ", ".join(f"{SCALE // K}::BIGINT AS p{i}" for i in range(K))
+    keep = ", ".join(
+        [f"c{i}_{j}" for i in range(K) for j in range(K)]
+        + [f"r{i}" for i in range(K)]
+    )
+    ctes = [
+        """pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev,
+             event_type
+      FROM events)""",
+        f"c AS (SELECT {cnt} FROM pairs WHERE prev IS NOT NULL)",
+        f"it0 AS (SELECT *, {init} FROM (SELECT *, {rows} FROM c))",
+    ]
+    prev = "it0"
+    for t in range(ITERS):
+        layer = ", ".join(f"{sql} AS p{name[2:]}" for name, sql in step())
+        ctes.append(f"it{t + 1} AS (SELECT {keep}, {layer} FROM {prev})")
+        prev = f"it{t + 1}"
+    ent = ", ".join(f"{sql} AS {name}" for name, sql in _me_entropy_exprs())
+    ctes.append(f"fin AS (SELECT *, {ent} FROM {prev})")
+    sel = "\n      UNION ALL ".join(
+        f"SELECT '{a}' AS event_type,"
+        f" floor((CAST(p{i} AS DOUBLE) / {SCALE}.0) * 10000 + 0.5) / 10000.0"
+        f" AS stationary_prob,"
+        f" floor((CAST(h{i} AS DOUBLE) / {SCALE}.0) * 10000 + 0.5) / 10000.0"
+        f" AS state_entropy_nats,"
+        f" floor((CAST(hrate AS DOUBLE) / {SCALE}.0) * 10000 + 0.5) / 10000.0"
+        f" AS entropy_rate_nats FROM fin"
+        for i, a in enumerate(TYPES)
+    )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    {sel}
+    ORDER BY event_type
+    """
+
+
+@register("markov_entropy_rate", oracle=_me_oracle())
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey Markov chain — H = Σ π_i H(row i),
+    the bits-per-step predictability of user behavior (maximum ln 5 ≈
+    1.609 nats for 5 states; the gap below that is what sequence models
+    can exploit; `markov_next_event_accuracy` is the argmax view of the
+    same structure).
+
+    Exactness: the stationary π reuses `markov_stationary_events`' exact
+    unrolled iteration; every ln is taken of an INTEGER count and
+    micro-quantized once; row entropies and the π-weighted rate are
+    integer folds with one portable floor division each.
+
+    Scale: identical to the stationary query — one lag window, 25 BIGINT
+    cells, corpus-size-free iteration; the entropy layer is pure scalar
+    text on the 1-row frame.  Plan-cached like the other unrolled plans.
+    """
+    from .registry_ml import _plan_cached
+
+    return _plan_cached(
+        "markov_entropy_rate", spark, sf_dir, lambda: _me_plan(spark, sf_dir)
+    )
+
+
+def _me_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ITERS, K, SCALE, TYPES, step = _me_parts()
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev"), "event_type"
+    ).filter(F.col("prev").isNotNull())
+    cnt_aggs = [
+        F.sum(
+            F.when(
+                (F.col("prev") == a) & (F.col("event_type") == b), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias(f"c{i}_{j}")
+        for i, a in enumerate(TYPES)
+        for j, b in enumerate(TYPES)
+    ]
+    it = pairs.agg(*cnt_aggs)
+    for i in range(K):
+        it = it.withColumn(
+            f"r{i}", F.expr(" + ".join(f"c{i}_{j}" for j in range(K)))
+        )
+    for i in range(K):
+        it = it.withColumn(f"p{i}", F.lit(SCALE // K).cast("long"))
+    for t in range(ITERS):
+        for name, sql in step():
+            it = it.withColumn(name, F.expr(sql))
+        for i in range(K):
+            it = it.withColumn(f"p{i}", F.col(f"np{i}"))
+        it = it.drop(*[f"np{i}" for i in range(K)])
+        if t % 4 == 3:
+            it = it.localCheckpoint()
+    for name, sql in _me_entropy_exprs():
+        it = it.withColumn(name, F.expr(sql))
+    rows = it.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("event_type"),
+                        round4(F.col(f"p{i}").cast("double") / float(SCALE)).alias(
+                            "stationary_prob"
+                        ),
+                        round4(F.col(f"h{i}").cast("double") / float(SCALE)).alias(
+                            "state_entropy_nats"
+                        ),
+                        round4(F.col("hrate").cast("double") / float(SCALE)).alias(
+                            "entropy_rate_nats"
+                        ),
+                    )
+                    for i, a in enumerate(TYPES)
+                ]
+            )
+        ).alias("o")
+    )
+    return rows.select(
+        "o.event_type",
+        "o.stationary_prob",
+        "o.state_entropy_nats",
+        "o.entropy_rate_nats",
+    ).orderBy("event_type")
