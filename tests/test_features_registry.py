@@ -327,3 +327,45 @@ def test_cluster_keep_best_consistent_with_clusters(spark):
         best = min(members, key=lambda d: (-nchars[d], d))
         assert r.keep_doc_id == best
         assert r.keep_n_chars == nchars[best]
+
+
+def test_attribution_models_match_python(spark):
+    """First/last/linear credits must match a pure-Python session rebuild
+    (same 10-min rule, first-purchase truncation)."""
+    rows = {r.channel: r for r in
+            registry.QUERIES["attribution_models_compare"](spark, SF_TEST).collect()}
+    con = _duck()
+    ev = con.execute(
+        "SELECT user_id, epoch_ns(ts) // 1000, event_id, event_type FROM events"
+        " ORDER BY user_id, 2, event_id"
+    ).fetchall()
+    sessions = []
+    cur = None
+    for uid, ts, eid, et in ev:
+        if cur is None or cur[0] != uid or ts - cur[1] > 600_000_000:
+            if cur is not None:
+                sessions.append(cur[2])
+            cur = [uid, ts, []]
+        cur[1] = ts
+        cur[2].append(et)
+    sessions.append(cur[2])
+    first, last, linear = {}, {}, {}
+    for seq in sessions:
+        if "purchase" not in seq:
+            continue
+        seq = seq[: seq.index("purchase")]
+        touches = [e for e in seq if e != "purchase"]
+        if not touches:
+            continue
+        first[touches[0]] = first.get(touches[0], 0) + 1
+        last[touches[-1]] = last.get(touches[-1], 0) + 1
+        n = len(touches)
+        from collections import Counter
+
+        for ch, k in Counter(touches).items():
+            linear[ch] = linear.get(ch, 0) + math.floor(1e6 * k / n)
+    assert set(rows) == set(first) | set(last) | set(linear)
+    for ch, r in rows.items():
+        assert r.first_touch == first.get(ch, 0)
+        assert r.last_touch == last.get(ch, 0)
+        assert r.linear_credit == pytest.approx(linear.get(ch, 0) / 1e6, abs=1e-4)

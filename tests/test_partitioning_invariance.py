@@ -104,6 +104,7 @@ QUERIES = [
     "ab_bootstrap_diff_ci",
     "markov_entropy_rate",
     "dedup_cluster_keep_best",
+    "attribution_models_compare",
 ]
 
 REGIMES = [

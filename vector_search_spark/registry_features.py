@@ -1198,3 +1198,176 @@ def _me_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o.state_entropy_nats",
         "o.entropy_rate_nats",
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Rule-based attribution models (first/last/linear) on the same sessions.
+# ---------------------------------------------------------------------------
+@register(
+    "attribution_models_compare",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
+      FROM events),
+    l AS (
+      SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                          OR ts_us - lag(ts_us) OVER w > {_GAP_US}
+                     THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    s AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sess
+      FROM l),
+    k AS (
+      SELECT * FROM (
+        SELECT user_id, sess, ts_us, event_id, event_type,
+               COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id, sess ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cp,
+               row_number() OVER (PARTITION BY user_id, sess
+                                  ORDER BY ts_us, event_id) AS rn
+        FROM s)
+      WHERE cp = 0),
+    conv AS (
+      SELECT user_id, sess FROM k WHERE event_type = 'purchase'),
+    touches AS (
+      SELECT k.user_id, k.sess, k.event_type, k.rn
+      FROM k JOIN conv USING (user_id, sess)
+      WHERE k.event_type != 'purchase'),
+    per_sess AS (
+      SELECT user_id, sess, count(*)::BIGINT AS n_touch FROM touches
+      GROUP BY 1, 2),
+    firsts AS (
+      SELECT event_type, count(*)::BIGINT AS first_touch FROM (
+        SELECT user_id, sess, event_type,
+               row_number() OVER (PARTITION BY user_id, sess ORDER BY rn) AS a
+        FROM touches) WHERE a = 1 GROUP BY 1),
+    lasts AS (
+      SELECT event_type, count(*)::BIGINT AS last_touch FROM (
+        SELECT user_id, sess, event_type,
+               row_number() OVER (PARTITION BY user_id, sess ORDER BY rn DESC)
+                 AS a
+        FROM touches) WHERE a = 1 GROUP BY 1),
+    linear_u AS (
+      SELECT t.event_type,
+             sum(CAST(floor(1000000.0 * cnt / p.n_touch) AS BIGINT))::BIGINT
+               AS lin_u
+      FROM (SELECT user_id, sess, event_type, count(*)::BIGINT AS cnt
+            FROM touches GROUP BY 1, 2, 3) t
+      JOIN per_sess p USING (user_id, sess)
+      GROUP BY 1)
+    SELECT t.event_type AS channel,
+           COALESCE(f.first_touch, 0)::BIGINT AS first_touch,
+           COALESCE(la.last_touch, 0)::BIGINT AS last_touch,
+           floor((lu.lin_u / 1000000.0) * 10000 + 0.5) / 10000.0
+             AS linear_credit
+    FROM (SELECT DISTINCT event_type FROM touches) t
+    LEFT JOIN firsts f ON f.event_type = t.event_type
+    LEFT JOIN lasts la ON la.event_type = t.event_type
+    LEFT JOIN linear_u lu ON lu.event_type = t.event_type
+    ORDER BY t.event_type
+    """,
+)
+def q_attribution_models_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three classic rule-based attribution models — first-touch,
+    last-touch, and linear — computed on EXACTLY the sessions and
+    truncation rule `markov_attribution` uses, so the rule-based credits
+    and the data-driven removal effects are directly comparable (the
+    spread between models is the attribution-uncertainty diagnostic).
+
+    Exactness: first/last are integer argmin/argmax counts; linear
+    credit is per-conversion micro-quantized (floor(1e6·k/n)) BEFORE the
+    channel sum, so the fold is an exact BIGINT; NULL-free via COALESCE.
+
+    Scale: the same sessionization exchange as every journey query, then
+    session-level aggregates (conversion sessions only — a semi-join
+    prefilter) and channel-level folds.  No new shuffle shape.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns DIV 1000").alias("ts_us"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    brk = ev.withColumn(
+        "brk",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = brk.withColumn(
+        "sess", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sess").orderBy("ts_us", "event_id")
+    kept = (
+        sess.withColumn(
+            "cp",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("cp") == 0)
+    )
+    conv = (
+        kept.filter(F.col("event_type") == "purchase")
+        .select("user_id", "sess")
+        .distinct()
+    )
+    touches = (
+        kept.join(conv, ["user_id", "sess"])
+        .filter(F.col("event_type") != "purchase")
+        .select("user_id", "sess", "event_type", "rn")
+    )
+    per_sess = touches.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touch")
+    )
+    w_first = Window.partitionBy("user_id", "sess").orderBy("rn")
+    w_last = Window.partitionBy("user_id", "sess").orderBy(F.desc("rn"))
+    firsts = (
+        touches.withColumn("a", F.row_number().over(w_first))
+        .filter(F.col("a") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("first_touch"))
+    )
+    lasts = (
+        touches.withColumn("a", F.row_number().over(w_last))
+        .filter(F.col("a") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("last_touch"))
+    )
+    linear = (
+        touches.groupBy("user_id", "sess", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .join(per_sess, ["user_id", "sess"])
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(floor(1000000.0 * cnt / n_touch) AS BIGINT)"
+            ).alias("credit_u"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("credit_u").cast("long").alias("lin_u"))
+    )
+    channels = touches.select("event_type").distinct()
+    return (
+        channels.join(firsts, "event_type", "left")
+        .join(lasts, "event_type", "left")
+        .join(linear, "event_type", "left")
+        .select(
+            F.col("event_type").alias("channel"),
+            F.coalesce(F.col("first_touch"), F.lit(0)).cast("long").alias(
+                "first_touch"
+            ),
+            F.coalesce(F.col("last_touch"), F.lit(0)).cast("long").alias(
+                "last_touch"
+            ),
+            round4(F.col("lin_u") / 1000000.0).alias("linear_credit"),
+        )
+        .orderBy("channel")
+    )
