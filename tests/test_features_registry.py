@@ -369,3 +369,26 @@ def test_attribution_models_match_python(spark):
         assert r.first_touch == first.get(ch, 0)
         assert r.last_touch == last.get(ch, 0)
         assert r.linear_credit == pytest.approx(linear.get(ch, 0) / 1e6, abs=1e-4)
+
+
+def test_chi_square_audits_match_python(spark):
+    """Both chi-square statistics must match direct Python recomputation,
+    and the Benford audit must reject the uniform synthetic totals
+    (chi2 >> critical value for df=8)."""
+    rows = registry.QUERIES["dow_chi_square"](spark, SF_TEST).collect()
+    obs = {r.dow: r.obs for r in rows}
+    n = sum(obs.values())
+    chi = sum((7 * o - n) ** 2 for o in obs.values()) / (7 * n)
+    assert rows[0].chi_square == pytest.approx(chi, abs=1e-3)
+    assert abs(sum(obs.values()) - n) == 0 and len(obs) == 7
+
+    brow = registry.QUERIES["benford_first_digit"](spark, SF_TEST).collect()
+    bobs = {r.digit: r.obs for r in brow}
+    bn = sum(bobs.values())
+    chi_b = sum(
+        (bobs.get(d, 0) - bn * math.log10(1 + 1 / d)) ** 2
+        / (bn * math.log10(1 + 1 / d))
+        for d in range(1, 10)
+    )
+    assert brow[0].chi_square == pytest.approx(chi_b, rel=1e-4)
+    assert brow[0].chi_square > 26.12  # chi2_{0.001, df=8}: decisively non-Benford

@@ -105,6 +105,8 @@ QUERIES = [
     "markov_entropy_rate",
     "dedup_cluster_keep_best",
     "attribution_models_compare",
+    "dow_chi_square",
+    "benford_first_digit",
 ]
 
 REGIMES = [

@@ -1371,3 +1371,167 @@ def q_attribution_models_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square data audits: day-of-week uniformity + Benford first digits.
+# ---------------------------------------------------------------------------
+@register(
+    "dow_chi_square",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) % 7 AS dow FROM events),
+    o AS (SELECT dow, count(*)::BIGINT AS obs FROM d GROUP BY 1),
+    n AS (SELECT sum(obs)::BIGINT AS n FROM o),
+    t AS (
+      SELECT sum((7*obs - n.n) * (7*obs - n.n))::HUGEINT AS num, any_value(n.n)
+               AS n
+      FROM o CROSS JOIN n)
+    SELECT o.dow, o.obs,
+           floor((CAST(n.n AS DOUBLE) / 7.0) * 10000 + 0.5) / 10000.0
+             AS expected,
+           floor((CAST(t.num AS DOUBLE) / (7.0 * CAST(t.n AS DOUBLE)))
+                 * 10000 + 0.5) / 10000.0 AS chi_square
+    FROM o CROSS JOIN n CROSS JOIN t
+    ORDER BY o.dow
+    """,
+)
+def q_dow_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity audit of events across day-of-week (df=6):
+    the seasonality-presence test a pipeline runs before trusting daily
+    aggregates — a flat profile (small χ²) means day-of-week features
+    carry no signal; a large χ² flags weekly structure the models should
+    see.  Emitted per-day with the shared statistic on each row.
+
+    Exactness: χ² against the uniform null reduces to the INTEGER
+    identity Σ(7·O_d − n)²/(7n) — the numerator is an exact
+    HUGEINT/DECIMAL fold, one portable float division at the end.
+    Day-of-week keys are normalized to Sunday=0 in BOTH engines (DuckDB
+    `dayofweek` is already 0-based Sunday; Spark's is 1-based, hence the
+    −1 before the mod).
+
+    Scale: a 7-cell count fold — nothing but the scan.
+    """
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        ((F.dayofweek(F.col("ts").cast("date")).cast("long") - 1) % 7).alias("dow")
+    )
+    o = d.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    n = o.agg(F.sum("obs").cast("long").alias("n"))
+    t = (
+        o.crossJoin(F.broadcast(n))
+        .select(
+            ((7 * F.col("obs") - F.col("n")) * (7 * F.col("obs") - F.col("n")))
+            .cast("decimal(38,0)")
+            .alias("sq"),
+            "n",
+        )
+        .agg(
+            F.sum("sq").cast("decimal(38,0)").alias("num"),
+            F.first("n").alias("n"),
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(n.withColumnRenamed("n", "n_all")))
+        .crossJoin(F.broadcast(t.select(F.col("num"), F.col("n").alias("n_t"))))
+        .select(
+            "dow",
+            "obs",
+            round4(F.col("n_all").cast("double") / 7.0).alias("expected"),
+            round4(
+                F.col("num").cast("double") / (7.0 * F.col("n_t").cast("double"))
+            ).alias("chi_square"),
+        )
+        .orderBy("dow")
+    )
+
+
+_BENFORD_P = [
+    "0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+    "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+    "0.05799194697768673", "0.05115252244738129", "0.04575749056067514",
+]
+
+
+def _benford_chi() -> str:
+    terms = []
+    for d in range(1, 10):
+        p = _BENFORD_P[d - 1]
+        e = f"(CAST(n_all AS DOUBLE) * {p})"
+        o = f"CAST(obs{d} AS DOUBLE)"
+        terms.append(f"(({o} - {e})*({o} - {e}) / {e})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(substr(CAST(floor(o_totalprice*100 + 0.5)::BIGINT AS VARCHAR),
+                         1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0),
+    o AS (SELECT d, count(*)::BIGINT AS obs FROM v GROUP BY 1),
+    wide AS (
+      SELECT sum(obs)::BIGINT AS n_all,
+             {", ".join(f"sum(CASE WHEN d = {d} THEN obs ELSE 0 END)::BIGINT AS obs{d}" for d in range(1, 10))}
+      FROM o)
+    SELECT o.d AS digit, o.obs,
+           floor((CAST(w.n_all AS DOUBLE)
+                  * {{}}) * 10000 + 0.5) / 10000.0 AS expected,
+           floor(({_benford_chi()}) * 10000 + 0.5) / 10000.0 AS chi_square
+    FROM o CROSS JOIN wide w
+    ORDER BY o.d
+    """.replace("{}", "CASE o.d " + " ".join(f"WHEN {d} THEN {p}" for d, p in zip(range(1, 10), _BENFORD_P)) + " END"),
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: first-digit frequencies vs
+    log10(1+1/d) with the chi-square distance (df=8) — the classic
+    fabricated-data / corrupted-feed detector for financial columns
+    (synthetic uniform data fails Benford loudly, which is itself the
+    point: the statistic quantifies HOW unnatural the distribution is).
+
+    Exactness: digit counts are integers (first digit via decimal string
+    of the cents integer — identical in both engines); the expected
+    probabilities are FIXED shared literals (full-precision reprs), so
+    the χ² is one deterministic double expression over ten integers.
+
+    Scale: a 9-cell count fold; the wide per-digit pivot keeps the χ²
+    expression on a 1-row frame.
+    """
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    v = od.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("d")
+    )
+    o = v.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    wide = o.agg(
+        F.sum("obs").cast("long").alias("n_all"),
+        *[
+            F.sum(F.when(F.col("d") == d, F.col("obs")).otherwise(0))
+            .cast("long")
+            .alias(f"obs{d}")
+            for d in range(1, 10)
+        ],
+    )
+    exp_case = (
+        "CASE d "
+        + " ".join(f"WHEN {d} THEN {p}" for d, p in zip(range(1, 10), _BENFORD_P))
+        + " END"
+    )
+    return (
+        o.crossJoin(F.broadcast(wide))
+        .select(
+            F.col("d").alias("digit"),
+            "obs",
+            round4(F.expr(f"CAST(n_all AS DOUBLE) * ({exp_case})")).alias(
+                "expected"
+            ),
+            round4(F.expr(_benford_chi())).alias("chi_square"),
+        )
+        .orderBy("digit")
+    )
