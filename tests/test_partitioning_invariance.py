@@ -107,6 +107,7 @@ QUERIES = [
     "attribution_models_compare",
     "dow_chi_square",
     "benford_first_digit",
+    "curation_funnel",
 ]
 
 REGIMES = [

@@ -1535,3 +1535,152 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel: quality gate -> dedup keep, docs AND tokens.
+# ---------------------------------------------------------------------------
+def _cur_oracle() -> str:
+    from .registry_dedup import (
+        _SQL_AGREE,
+        _SQL_BAND_KEYS,
+        _SQL_CAND,
+        _SQL_SHINGLES,
+        _SQL_SIG,
+        NUM_HASHES,
+    )
+    from .registry_text import _SQL_ND, _SQL_NT, _SQL_QUALITY, _SQL_SR
+
+    return f"""
+    WITH fl AS MATERIALIZED (
+      SELECT doc_id, {_SQL_NT} AS nt,
+             CASE WHEN {_SQL_NT} >= 30
+                       AND {_SQL_NT} > 0
+                       AND length(text)*1.0/{_SQL_NT} >= 3.0
+                       AND length(text)*1.0/{_SQL_NT} <= 12.0
+                       AND {_SQL_SR} >= 0.05
+                       AND {_SQL_ND}*1.0/{_SQL_NT} >= 0.45
+                       AND {_SQL_QUALITY} >= 0.4
+                  THEN 1 ELSE 0 END AS q
+      FROM documents),
+    {_SQL_SHINGLES},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS ({_SQL_CAND}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*) AS shared
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    dropped AS MATERIALIZED (
+      SELECT DISTINCT s.id_2 AS doc_id
+      FROM shared s
+      JOIN sizes n1 ON s.id_1 = n1.doc_id
+      JOIN sizes n2 ON s.id_2 = n2.doc_id
+      JOIN (SELECT DISTINCT id_1, id_2 FROM cand) c
+        ON c.id_1 = s.id_1 AND c.id_2 = s.id_2
+      JOIN sig s1 ON c.id_1 = s1.doc_id
+      JOIN sig s2 ON c.id_2 = s2.doc_id
+      WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
+        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+    agg AS (
+      SELECT count(*)::BIGINT AS d0, sum(nt)::BIGINT AS t0,
+             sum(q)::BIGINT AS d1, sum(q * nt)::BIGINT AS t1,
+             sum(CASE WHEN q = 1 AND dr.doc_id IS NULL THEN 1 ELSE 0 END)
+               ::BIGINT AS d2,
+             sum(CASE WHEN q = 1 AND dr.doc_id IS NULL THEN nt ELSE 0 END)
+               ::BIGINT AS t2
+      FROM fl LEFT JOIN dropped dr ON dr.doc_id = fl.doc_id)
+    SELECT 0 AS stage, 'raw' AS rule, d0 AS n_docs, t0 AS n_tokens FROM agg
+    UNION ALL SELECT 1, 'quality_pass', d1, t1 FROM agg
+    UNION ALL SELECT 2, 'dedup_keep', d2, t2 FROM agg
+    ORDER BY stage
+    """
+
+
+@register("curation_funnel", oracle=_cur_oracle())
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation report: documents AND tokens surviving the
+    full quality gate (all five Gopher/C4 rules of
+    `quality_filter_funnel` conjoined) and then near-dup removal (the
+    cascade's drop set) — the one-table summary a corpus build publishes
+    ("we kept X% of docs, Y% of tokens").  Composes the session-shared
+    doc-features and verified-pair artifacts; nothing is recomputed.
+
+    Exactness: every stage is an integer (doc, token) sum over boolean
+    flags; the dedup stage is a LEFT anti-style join against the dropped
+    set; three fixed rows out.
+
+    Scale: one pass over the cached feature table + one broadcast-sized
+    join against the dropped-doc set (near-dups are a small minority by
+    construction); the funnel is reshaped from a 1-row aggregate.
+    """
+    from .registry_dedup import _shared_verified_pairs
+    from .registry_text import _shared_doc_features
+
+    feats = _shared_doc_features(spark, sf_dir)
+    nt = F.col("n_tokens_ws")
+    mwl = F.col("n_chars") * F.lit(1.0) / nt
+    q = (
+        (nt >= 30)
+        & (nt > 0)
+        & (mwl >= 3.0)
+        & (mwl <= 12.0)
+        & (F.col("stop_raw") >= 0.05)
+        & (F.col("n_tokens_distinct") * F.lit(1.0) / nt >= 0.45)
+        & (F.col("quality_raw") >= 0.4)
+    ).cast("int")
+    dropped = (
+        _shared_verified_pairs(spark, sf_dir)
+        .select(F.col("id_2").alias("doc_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    fl = feats.select("doc_id", nt.alias("nt"), q.alias("q")).join(
+        F.broadcast(dropped), "doc_id", "left"
+    )
+    agg = fl.agg(
+        F.count(F.lit(1)).cast("long").alias("d0"),
+        F.sum("nt").cast("long").alias("t0"),
+        F.sum("q").cast("long").alias("d1"),
+        F.sum(F.col("q") * F.col("nt")).cast("long").alias("t1"),
+        F.sum(
+            F.when((F.col("q") == 1) & F.col("dropped").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("d2"),
+        F.sum(
+            F.when((F.col("q") == 1) & F.col("dropped").isNull(), F.col("nt")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("t2"),
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("stage"),
+                    F.lit("raw").alias("rule"),
+                    F.col("d0").alias("n_docs"),
+                    F.col("t0").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit(1).alias("stage"),
+                    F.lit("quality_pass").alias("rule"),
+                    F.col("d1").alias("n_docs"),
+                    F.col("t1").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage"),
+                    F.lit("dedup_keep").alias("rule"),
+                    F.col("d2").alias("n_docs"),
+                    F.col("t2").alias("n_tokens"),
+                ),
+            )
+        ).alias("s")
+    )
+    return rows.select("s.stage", "s.rule", "s.n_docs", "s.n_tokens").orderBy(
+        "stage"
+    )
