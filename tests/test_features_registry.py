@@ -419,3 +419,48 @@ def test_curation_funnel_monotone_and_consistent(spark):
     assert rows[0].n_docs == con.execute(
         "SELECT count(*) FROM documents"
     ).fetchone()[0]
+
+
+def test_revenue_concentration_matches_python(spark):
+    """Gini and top-decile share must match a pure-Python recomputation."""
+    row = registry.QUERIES["revenue_concentration"](spark, SF_TEST).collect()[0]
+    con = _duck()
+    pc = sorted(
+        con.execute(
+            "SELECT o_custkey, sum(floor(o_totalprice*100 + 0.5)::BIGINT)"
+            " FROM orders GROUP BY 1"
+        ).fetchall(),
+        key=lambda t: (t[1], t[0]),
+    )
+    cents = [c for _, c in pc]
+    n, tot = len(cents), sum(cents)
+    src = sum((i + 1) * c for i, c in enumerate(cents))
+    gini = 2 * src / (n * tot) - (n + 1) / n
+    k = (n + 9) // 10
+    top = sum(cents[-k:])
+    assert row.n_customers == n
+    assert row.gini == pytest.approx(gini, abs=1e-4)
+    assert row.top_decile_share == pytest.approx(top / tot, abs=1e-4)
+
+
+def test_runs_test_matches_python(spark):
+    """Run counts and the z statistic must match a Python recomputation
+    with the same lower-median rule."""
+    row = registry.QUERIES["runs_test_daily"](spark, SF_TEST).collect()[0]
+    con = _duck()
+    daily = con.execute(
+        "SELECT CAST(ts AS DATE) AS day, sum(floor(value*100 + 0.5)::BIGINT)"
+        " FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    cents = [c for _, c in daily]
+    med = sorted(cents)[(len(cents) + 1) // 2 - 1]
+    lab = [1 if c > med else 0 for c in cents]
+    runs = 1 + sum(1 for a, b in zip(lab, lab[1:]) if a != b)
+    na, nb = sum(lab), len(lab) - sum(lab)
+    exp = 1 + 2 * na * nb / (na + nb)
+    var = (2 * na * nb * (2 * na * nb - na - nb)) / (
+        (na + nb) ** 2 * (na + nb - 1)
+    )
+    assert (row.n_runs, row.n_above, row.n_below) == (runs, na, nb)
+    assert row.expected_runs == pytest.approx(exp, abs=1e-4)
+    assert row.z_stat == pytest.approx((runs - exp) / math.sqrt(var), abs=1e-4)

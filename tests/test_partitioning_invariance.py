@@ -108,6 +108,8 @@ QUERIES = [
     "dow_chi_square",
     "benford_first_digit",
     "curation_funnel",
+    "revenue_concentration",
+    "runs_test_daily",
 ]
 
 REGIMES = [

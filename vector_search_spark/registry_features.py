@@ -1684,3 +1684,210 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select("s.stage", "s.rule", "s.n_docs", "s.n_tokens").orderBy(
         "stage"
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration: customer Gini + top-decile share.
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_concentration",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey, sum(floor(o_totalprice*100 + 0.5)::BIGINT)::BIGINT
+               AS cents
+      FROM orders GROUP BY 1),
+    rk AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS r
+      FROM pc),
+    tot AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS t FROM rk),
+    s AS (SELECT sum(r * cents)::HUGEINT AS src FROM rk),
+    topd AS (
+      SELECT sum(cents)::BIGINT AS top_cents
+      FROM rk CROSS JOIN tot
+      WHERE r > n - (n + 9) // 10)
+    SELECT t.n AS n_customers,
+           floor((CAST(t.t AS DOUBLE) / 100.0) * 10000 + 0.5) / 10000.0
+             AS total_revenue,
+           floor(((2.0 * CAST(s.src AS DOUBLE)
+                   / (CAST(t.n AS DOUBLE) * CAST(t.t AS DOUBLE)))
+                  - (CAST(t.n AS DOUBLE) + 1.0) / CAST(t.n AS DOUBLE))
+                 * 10000 + 0.5) / 10000.0 AS gini,
+           floor((CAST(td.top_cents AS DOUBLE) / CAST(t.t AS DOUBLE))
+                 * 10000 + 0.5) / 10000.0 AS top_decile_share
+    FROM tot t CROSS JOIN s CROSS JOIN topd td
+    """,
+)
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration: the Gini coefficient of per-customer
+    spend plus the top-decile revenue share — the 80/20 health metric
+    every business review tracks (`join_key_skew_audit` is the same
+    mathematics pointed at shuffle keys; this is the business-facing
+    instance).
+
+    Exactness: per-customer cents are exact integer sums; the Gini uses
+    the rank identity G = 2Σr·x/(nΣx) − (n+1)/n with Σr·x accumulated in
+    HUGEINT/DECIMAL (r·x reaches n·total); ranks come from
+    `global_order_stats` (value then custkey ties); the decile boundary
+    is the integer ceil(n/10).
+
+    Scale: one per-customer collapse, one range-partitioned global rank,
+    two scalar folds — no single-task sort anywhere.
+    """
+    from .partitioning import global_order_stats
+
+    od = _t(spark, sf_dir, "orders")
+    pc = od.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    rk = global_order_stats(pc, ["cents", "o_custkey"]).withColumnRenamed(
+        "__rank", "r"
+    )
+    tot = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    s = rk.agg(
+        F.sum((F.col("r") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("src")
+    )
+    topd = (
+        rk.crossJoin(F.broadcast(tot))
+        .filter(F.col("r") > F.col("n") - F.expr("(n + 9) DIV 10"))
+        .agg(F.sum("cents").cast("long").alias("top_cents"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(topd))
+        .select(
+            F.col("n").alias("n_customers"),
+            round4(F.col("t").cast("double") / 100.0).alias("total_revenue"),
+            round4(
+                2.0
+                * F.col("src").cast("double")
+                / (F.col("n").cast("double") * F.col("t").cast("double"))
+                - (F.col("n").cast("double") + 1.0) / F.col("n").cast("double")
+            ).alias("gini"),
+            round4(
+                F.col("top_cents").cast("double") / F.col("t").cast("double")
+            ).alias("top_decile_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily revenue series (randomness audit).
+# ---------------------------------------------------------------------------
+@register(
+    "runs_test_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(floor(value*100 + 0.5)::BIGINT)::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    med AS (
+      SELECT cents AS med FROM (
+        SELECT cents, row_number() OVER (ORDER BY cents, day) AS rk,
+               count(*) OVER () AS n
+        FROM daily) WHERE rk = (n + 1) // 2),
+    lab AS (
+      SELECT day, CASE WHEN d.cents > m.med THEN 1 ELSE 0 END AS above
+      FROM daily d CROSS JOIN med m),
+    runs AS (
+      SELECT above,
+             CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+                       OR lag(above) OVER (ORDER BY day) != above
+                  THEN 1 ELSE 0 END AS brk
+      FROM lab),
+    agg AS (
+      SELECT sum(brk)::BIGINT AS n_runs,
+             sum(above)::BIGINT AS n_above,
+             sum(1 - above)::BIGINT AS n_below
+      FROM runs)
+    SELECT n_runs, n_above, n_below,
+           floor((1.0 + (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE))
+                        / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)))
+                 * 10000 + 0.5) / 10000.0 AS expected_runs,
+           floor(((CAST(n_runs AS DOUBLE)
+                   - (1.0 + (2.0 * CAST(n_above AS DOUBLE)
+                             * CAST(n_below AS DOUBLE))
+                          / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))))
+                  / sqrt(((2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE))
+                          * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                             - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE)))
+                         / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                            * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+                            * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)
+                               - 1.0))))
+                 * 10000 + 0.5) / 10000.0 AS z_stat
+    FROM agg
+    """,
+)
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily purchase revenue around its
+    median: too FEW runs = the series trends/clusters (autocorrelation),
+    too MANY = oscillation — the independence audit behind trusting
+    day-level aggregates as i.i.d. samples (`value_cusum_changepoint`
+    locates a shift; this tests whether ANY serial structure exists).
+
+    Exactness: the median is the lower-median integer (ties by day);
+    above/below labels, run starts, and counts are integers from one lag
+    window; the z statistic is ONE shared-text double expression with
+    IEEE-exact sqrt.
+
+    Scale: the day table is time-bounded; one window pass + a 3-integer
+    fold.  The oracle's global windows are the fixture-scale stand-in
+    for the rank primitive (day counts are thousands at most).
+    """
+    from .partitioning import global_order_stats
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = global_order_stats(daily, ["cents", "day"])
+    nn = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = (
+        ranked.crossJoin(F.broadcast(nn))
+        .filter(F.col("__rank") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("cents").alias("med"))
+    )
+    lab = daily.crossJoin(F.broadcast(med)).select(
+        "day", F.when(F.col("cents") > F.col("med"), 1).otherwise(0).alias("above")
+    )
+    w = Window.orderBy("day")
+    runs = lab.withColumn(
+        "brk",
+        F.when(
+            F.lag("above").over(w).isNull()
+            | (F.lag("above").over(w) != F.col("above")),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.agg(
+        F.sum("brk").cast("long").alias("n_runs"),
+        F.sum("above").cast("long").alias("n_above"),
+        F.sum(1 - F.col("above")).cast("long").alias("n_below"),
+    )
+    a = F.col("n_above").cast("double")
+    b = F.col("n_below").cast("double")
+    exp_runs = 1.0 + (2.0 * a * b) / (a + b)
+    var = ((2.0 * a * b) * (2.0 * a * b - a - b)) / ((a + b) * (a + b) * (a + b - 1.0))
+    return agg.select(
+        "n_runs",
+        "n_above",
+        "n_below",
+        round4(exp_runs).alias("expected_runs"),
+        round4((F.col("n_runs").cast("double") - exp_runs) / F.sqrt(var)).alias(
+            "z_stat"
+        ),
+    )
