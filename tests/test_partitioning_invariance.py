@@ -110,6 +110,10 @@ QUERIES = [
     "curation_funnel",
     "revenue_concentration",
     "runs_test_daily",
+    # round-5 iterative-graph / shared-text-float additions
+    "dup_label_propagation",
+    "dup_eigencentrality",
+    "mann_kendall_daily",
 ]
 
 REGIMES = [

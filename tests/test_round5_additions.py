@@ -1,0 +1,123 @@
+"""Independent (non-oracle) gates for the round-5 additions: pure-Python
+rebuilds of label propagation, the integer eigencentrality iteration, and
+the Mann–Kendall statistic — the unrolled-CTE oracles share iteration
+structure with the Spark plans, so these re-derive the answers from raw
+inputs with none of that structure."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+
+from conftest import SF_TEST
+from vector_search_spark import registry
+from vector_search_spark.registry_round5 import EIGEN_ROUNDS, EIGEN_SCALE, LPA_ROUNDS
+
+
+def _edges(spark, sf_dir):
+    from vector_search_spark.registry_dedup import _shared_verified_pairs
+
+    pairs = _shared_verified_pairs(spark, sf_dir).select("id_1", "id_2").collect()
+    es = set()
+    for r in pairs:
+        es.add((r.id_1, r.id_2))
+        es.add((r.id_2, r.id_1))
+    return sorted(es)
+
+
+def test_label_propagation_matches_pure_python(spark):
+    edges = _edges(spark, SF_TEST)
+    nbrs = defaultdict(list)
+    for a, b in edges:
+        nbrs[b].append(a)  # incoming = outgoing (symmetric)
+    labels = {v: v for v in nbrs}
+    for _ in range(LPA_ROUNDS):
+        labels = {
+            v: min(
+                (c for c in Counter(labels[u] for u in ns).items()),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for v, ns in nbrs.items()
+        }
+    sizes = Counter(labels.values())
+    expect = sorted((v, l, sizes[l]) for v, l in labels.items())
+    got = [
+        (r.doc_id, r.community, r.community_size)
+        for r in registry.QUERIES["dup_label_propagation"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_label_propagation_refines_connected_components(spark):
+    """Every LPA community lives inside one connected component (labels
+    only travel along edges), and communities can only be finer."""
+    from vector_search_spark.operators.dedup import connected_components
+    from vector_search_spark.registry_dedup import _shared_verified_pairs
+
+    cc = {
+        r.node: r.label
+        for r in connected_components(
+            _shared_verified_pairs(spark, SF_TEST)
+        ).collect()
+    }
+    comm_to_comp = {}
+    for r in registry.QUERIES["dup_label_propagation"](spark, SF_TEST).collect():
+        comp = cc[r.doc_id]
+        assert comm_to_comp.setdefault(r.community, comp) == comp
+
+
+def test_eigencentrality_matches_pure_python(spark):
+    edges = _edges(spark, SF_TEST)
+    nbrs = defaultdict(list)
+    for a, b in edges:
+        nbrs[b].append(a)
+    nodes = sorted(nbrs)
+    x = {v: EIGEN_SCALE for v in nodes}
+    for _ in range(EIGEN_ROUNDS):
+        s = {v: sum(x[u] for u in nbrs[v]) for v in nodes}
+        tot = sum(s.values())
+        d = 1 + tot // (len(nodes) * EIGEN_SCALE)
+        x = {v: s[v] // d for v in nodes}
+    got = [
+        (r.doc_id, r.centrality_micro)
+        for r in registry.QUERIES["dup_eigencentrality"](spark, SF_TEST).collect()
+    ]
+    assert got == sorted(x.items())
+    # mass concentrates: the max-centrality node sits in a largest clique-ish
+    # neighborhood, and all scores are non-negative
+    assert all(v >= 0 for _, v in got)
+    assert max(v for _, v in got) > 0
+
+
+def test_mann_kendall_matches_pure_python(spark):
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""SELECT CAST(ts AS DATE) AS day,
+                  sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS cents
+            FROM '{SF_TEST}/events.parquet'
+            WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    vals = [c for _, c in daily]
+    n = len(vals)
+    s = sum(
+        (0 if vals[j] == vals[i] else (1 if vals[j] > vals[i] else -1))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tsum = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(vals).values() if t > 1
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tsum) / 18.0
+    z = 0.0 if s == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(var)
+    tau = s / (n * (n - 1) / 2.0)
+    row = registry.QUERIES["mann_kendall_daily"](spark, SF_TEST).collect()[0]
+    assert row.n_days == n and row.s_stat == s
+    assert row.tau == math.floor(tau * 10000 + 0.5) / 10000.0
+    assert row.z == math.floor(z * 10000 + 0.5) / 10000.0
+    expected_trend = (
+        "increasing" if z > 1.959964 else "decreasing" if z < -1.959964 else "no_trend"
+    )
+    assert row.trend == expected_trend
