@@ -114,6 +114,7 @@ QUERIES = [
     "dup_label_propagation",
     "dup_eigencentrality",
     "mann_kendall_daily",
+    "gbdt_residual_stumps",
 ]
 
 REGIMES = [

@@ -121,3 +121,77 @@ def test_mann_kendall_matches_pure_python(spark):
         "increasing" if z > 1.959964 else "decreasing" if z < -1.959964 else "no_trend"
     )
     assert row.trend == expected_trend
+
+
+def test_gbdt_residual_stumps_matches_pure_python(spark):
+    """Full pure-Python rebuild of the two boosting rounds (exact integer
+    residuals, float gains) — no shared structure with the oracle CTEs."""
+    import collections
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(floor(l_quantity + 0.5) AS BIGINT),
+                   CAST(floor(l_discount*100 + 0.5) AS BIGINT),
+                   CAST(floor(l_tax*100 + 0.5) AS BIGINT),
+                   CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+            FROM '{SF_TEST}/lineitem.parquet'"""
+    ).fetchall()
+    names = ["quantity", "discount_pct", "tax_pct"]
+    n = len(rows)
+    sy = sum(r[3] for r in rows)
+    f0 = sy // n  # positive: floor == //
+    expect = [(0, "__mean__", -1, n, 0, f0, f0, 0.0)]
+    res = [(r[0], r[1], r[2], r[3] - f0) for r in rows]
+
+    def fdiv(a, b):  # exact floor division, as the shared pmod SQL text
+        return (a - (((a % b) + b) % b)) // b
+
+    for t in (1, 2):
+        cand = []
+        for fi, name in enumerate(names):
+            cells = collections.defaultdict(lambda: [0, 0, 0])
+            for r in res:
+                c = cells[r[fi]]
+                c[0] += 1
+                c[1] += r[3]
+                c[2] += r[3] * r[3]
+            nt = sum(c[0] for c in cells.values())
+            st = sum(c[1] for c in cells.values())
+            sst = sum(c[2] for c in cells.values())
+            cn = cs = 0
+            for v in sorted(cells)[:-1]:
+                cn += cells[v][0]
+                cs += cells[v][1]
+                den = sst - st * st / nt
+                g = (
+                    (cs * cs / cn + (st - cs) ** 2 / (nt - cn) - st * st / nt) / den
+                    if den > 0
+                    else 0.0
+                )
+                cand.append(
+                    (math.floor(g * 1e9 + 0.5), name, v, cn, nt - cn, cs, st - cs)
+                )
+        cand.sort(key=lambda x: (-x[0], x[1], x[2]))
+        nano, bf, bv, nl, nr, sl, sr = cand[0]
+        vl, vr = fdiv(sl, nl), fdiv(sr, nr)
+        expect.append(
+            (t, bf, bv, nl, nr, vl, vr, math.floor((nano / 1e9) * 1e4 + 0.5) / 1e4)
+        )
+        fi = names.index(bf)
+        res = [
+            (r[0], r[1], r[2], r[3] - (vl if r[fi] <= bv else vr)) for r in res
+        ]
+    got = [
+        (
+            r.round,
+            r.feature,
+            r.threshold,
+            r.n_left,
+            r.n_right,
+            r.delta_left_cents,
+            r.delta_right_cents,
+            r.split_r2,
+        )
+        for r in registry.QUERIES["gbdt_residual_stumps"](spark, SF_TEST).collect()
+    ]
+    assert got == expect

@@ -11,6 +11,9 @@ community structure on the dup graph; more nonparametric monitoring):
 - ``mann_kendall_daily``    — Mann–Kendall monotone-trend test (with tie
   correction) on daily purchase revenue, beside ``theil_sen_daily_trend``
   and ``runs_test_daily`` on the same series.
+- ``gbdt_residual_stumps``  — two boosting rounds of least-squares
+  decision stumps on lineitem price (the GBDT training step, histogram
+  algorithm), integer residuals throughout.
 
 House invariants throughout: integer-only iteration state, shared SQL
 expression text for every emitted float, ``round4`` on emitted floats,
@@ -348,3 +351,253 @@ def q_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_MK_TREND).alias("trend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted residual stumps (two least-squares boosting rounds).
+# ---------------------------------------------------------------------------
+GBDT_ROUNDS = 2
+_GB_Y = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+
+
+def _fdiv(a: str, b: str) -> str:
+    """Floor division as shared SQL text, exact on negatives in BOTH
+    engines: Spark's ``DIV`` truncates toward zero while DuckDB's ``//``
+    floors, so neither operator is portable once residual sums go
+    negative.  ``a - pmod(a, b)`` is divisible by ``b`` exactly, and both
+    engines' ``%`` is C-style truncated remainder, so the text below is
+    engine-independent (the double divide is exact: the quotient is an
+    integer < 2^53)."""
+    return (
+        f"CAST((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) / ({b}) AS BIGINT)"
+    )
+
+
+# Variance-explained ratio of a split, from exact integer sufficient
+# statistics (cum_n/cum_s of the left side; n_tot/s_tot/ssq_tot of the
+# round's residuals).  ONE shared DOUBLE expression text -> IEEE-identical
+# in both engines; [0, 1] so the nano-quantized argmax fits BIGINT.
+_GB_R2 = (
+    "(CASE WHEN CAST(ssq_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)"
+    "           <= CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) THEN 0.0"
+    " ELSE (CAST(cum_s AS DOUBLE) * CAST(cum_s AS DOUBLE) / CAST(cum_n AS DOUBLE)"
+    "       + CAST(s_tot - cum_s AS DOUBLE) * CAST(s_tot - cum_s AS DOUBLE)"
+    "         / CAST(n_tot - cum_n AS DOUBLE)"
+    "       - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+    "      / (CAST(ssq_tot AS DOUBLE)"
+    "         - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+    " END)"
+)
+
+
+def _gb_features() -> list[tuple[str, str]]:
+    from .registry_ml import _STUMP_FEATURES
+
+    return _STUMP_FEATURES
+
+
+def _gb_assign_case(feats: list[str]) -> str:
+    """Residual update: subtract the chosen stump's leaf delta, picking the
+    split feature dynamically from the best-row scalars (bf, bv, vl, vr)."""
+    picks = " ".join(
+        f"WHEN bf = '{name}' THEN {name}" for name in feats[:-1]
+    )
+    return (
+        f"CASE WHEN (CASE {picks} ELSE {feats[-1]} END) <= bv THEN vl ELSE vr END"
+    )
+
+
+def _gb_round_sql(rtab: str, t: int) -> str:
+    """CTEs for boosting round t over residual table ``rtab`` (cols:
+    feature columns + r): histogram cells, cumulative split stats, the
+    nano-quantized global argmax, and the next residual table."""
+    feats = _gb_features()
+    branches = "\n        UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {name} AS val, r FROM {rtab}"
+        for name, _ in feats
+    )
+    assign = _gb_assign_case([n for n, _ in feats])
+    return f"""
+    b{t} AS MATERIALIZED ({branches}),
+    cells{t} AS (
+      SELECT feature, val, count(*)::BIGINT AS cnt, sum(r)::BIGINT AS s,
+             sum(r*r)::HUGEINT AS sq
+      FROM b{t} GROUP BY 1, 2),
+    cum{t} AS (
+      SELECT feature, val,
+             (sum(cnt) OVER w)::BIGINT AS cum_n,
+             (sum(s) OVER w)::BIGINT AS cum_s,
+             (sum(cnt) OVER f)::BIGINT AS n_tot,
+             (sum(s) OVER f)::BIGINT AS s_tot,
+             (sum(sq) OVER f)::HUGEINT AS ssq_tot
+      FROM cells{t}
+      WINDOW w AS (PARTITION BY feature ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             f AS (PARTITION BY feature)),
+    best{t} AS MATERIALIZED (
+      SELECT feature AS bf, val AS bv, cum_n AS nl,
+             (n_tot - cum_n)::BIGINT AS nr,
+             {_fdiv("cum_s", "cum_n")} AS vl,
+             {_fdiv("(s_tot - cum_s)", "(n_tot - cum_n)")} AS vr,
+             floor(({_GB_R2})*1000000000 + 0.5)::BIGINT AS r2_nano
+      FROM cum{t} WHERE cum_n < n_tot
+      ORDER BY r2_nano DESC, feature, val LIMIT 1),
+    r{t + 1} AS MATERIALIZED (
+      SELECT {", ".join(n for n, _ in feats)},
+             (r - ({assign}))::BIGINT AS r
+      FROM {rtab} CROSS JOIN best{t})"""
+
+
+def _gbdt_oracle() -> str:
+    feats = _gb_features()
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in feats)
+    rounds = "".join("," + _gb_round_sql(f"r{t}", t) for t in range(1, GBDT_ROUNDS + 1))
+    round_rows = "\n    UNION ALL ".join(
+        f"SELECT {t}::BIGINT AS round, bf AS feature, bv AS threshold,"
+        f" nl AS n_left, nr AS n_right, vl AS delta_left_cents,"
+        f" vr AS delta_right_cents,"
+        f" floor((r2_nano/1000000000.0)*10000 + 0.5)/10000.0 AS split_r2"
+        f" FROM best{t}"
+        for t in range(1, GBDT_ROUNDS + 1)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT {cols}, {_GB_Y} AS y FROM lineitem),
+    m0 AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS sy FROM base),
+    f0 AS (SELECT n, {_fdiv("sy", "n")} AS f0 FROM m0),
+    r1 AS MATERIALIZED (
+      SELECT {", ".join(n for n, _ in feats)}, (y - f0)::BIGINT AS r
+      FROM base CROSS JOIN f0){rounds}
+    SELECT 0::BIGINT AS round, '__mean__' AS feature, -1::BIGINT AS threshold,
+           n AS n_left, 0::BIGINT AS n_right, f0 AS delta_left_cents,
+           f0 AS delta_right_cents, 0.0 AS split_r2
+    FROM f0
+    UNION ALL {round_rows}
+    ORDER BY round
+    """
+
+
+@register("gbdt_residual_stumps", oracle=_gbdt_oracle())
+def q_gbdt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of least-squares gradient boosting with decision-stump
+    base learners on lineitem price — the actual GBDT training step
+    (fit a stump to the current residuals, subtract its leaf predictions,
+    repeat), run as a declarative plan.  Round 0 is the global-mean base
+    score; each round emits the chosen split, its leaf deltas (cents),
+    and the variance-explained ratio of the split.
+
+    Exactness: the target is cents; the base score and every leaf value
+    are floor-divided integers, so residuals stay exact integers through
+    all rounds.  Split search needs only per-(feature, value) residual
+    sufficient statistics (count, Σr as BIGINT, Σr² as DECIMAL — the
+    house second-moment headroom rule); the variance-explained ratio is
+    ONE shared DOUBLE expression over those integers, ranked by its
+    nano-quantized value with (feature, val) tie-break, so the argmax
+    never compares floats.  Leaf means use a shared pmod floor-division
+    text because Spark DIV truncates while DuckDB // floors — they
+    diverge on the negative residual sums boosting produces.
+
+    Scale: LightGBM's histogram algorithm, relationally: each round is
+    ONE scan exploding rows to (feature, value) pairs, a partial-agg'd
+    groupBy over Σ|domain| ≈ 160 cells, windows on the cells, and a
+    TakeOrderedAndProject(1) argmax broadcast back for the residual
+    update.  State is constant-size regardless of corpus size; rounds
+    add scans, not shuffles of data rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    feats = _gb_features()
+    fnames = [n for n, _ in feats]
+    base = li.selectExpr(
+        *[f"{expr} AS {name}" for name, expr in feats], f"{_GB_Y} AS y"
+    )
+    m0 = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    f0 = m0.selectExpr("n", f"{_fdiv('sy', 'n')} AS f0")
+    cur = base.crossJoin(F.broadcast(f0)).selectExpr(
+        *fnames, "CAST(y - f0 AS BIGINT) AS r"
+    )
+    out = f0.selectExpr(
+        "CAST(0 AS BIGINT) AS round",
+        "'__mean__' AS feature",
+        "CAST(-1 AS BIGINT) AS threshold",
+        "n AS n_left",
+        "CAST(0 AS BIGINT) AS n_right",
+        "f0 AS delta_left_cents",
+        "f0 AS delta_right_cents",
+        "CAST(0.0 AS DOUBLE) AS split_r2",
+    )
+    assign = _gb_assign_case(fnames)
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("feature")
+    for t in range(1, GBDT_ROUNDS + 1):
+        cells = (
+            cur.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(name).alias("feature"),
+                                F.col(name).alias("val"),
+                            )
+                            for name in fnames
+                        ]
+                    )
+                ).alias("fv"),
+                "r",
+            )
+            .select("fv.feature", "fv.val", "r")
+            .groupBy("feature", "val")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("r").cast("long").alias("s"),
+                F.sum((F.col("r") * F.col("r")).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias("sq"),
+            )
+        )
+        cum = cells.select(
+            "feature",
+            "val",
+            F.sum("cnt").over(w_cum).cast("long").alias("cum_n"),
+            F.sum("s").over(w_cum).cast("long").alias("cum_s"),
+            F.sum("cnt").over(w_tot).cast("long").alias("n_tot"),
+            F.sum("s").over(w_tot).cast("long").alias("s_tot"),
+            F.sum("sq").over(w_tot).cast("decimal(38,0)").alias("ssq_tot"),
+        )
+        best = (
+            cum.filter(F.col("cum_n") < F.col("n_tot"))
+            .selectExpr(
+                "feature AS bf",
+                "val AS bv",
+                "cum_n AS nl",
+                "CAST(n_tot - cum_n AS BIGINT) AS nr",
+                f"{_fdiv('cum_s', 'cum_n')} AS vl",
+                f"{_fdiv('(s_tot - cum_s)', '(n_tot - cum_n)')} AS vr",
+                f"CAST(floor(({_GB_R2})*1000000000 + 0.5) AS BIGINT) AS r2_nano",
+            )
+            .orderBy(F.desc("r2_nano"), F.asc("bf"), F.asc("bv"))
+            .limit(1)
+        )
+        out = out.unionAll(
+            best.selectExpr(
+                f"CAST({t} AS BIGINT) AS round",
+                "bf AS feature",
+                "bv AS threshold",
+                "nl AS n_left",
+                "nr AS n_right",
+                "vl AS delta_left_cents",
+                "vr AS delta_right_cents",
+                "CAST(floor((r2_nano/1000000000.0)*10000 + 0.5)/10000.0 AS DOUBLE)"
+                " AS split_r2",
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(best)).selectExpr(
+            *fnames, f"CAST(r - ({assign}) AS BIGINT) AS r"
+        )
+    return out.orderBy("round")
