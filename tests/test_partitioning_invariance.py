@@ -115,6 +115,7 @@ QUERIES = [
     "dup_eigencentrality",
     "mann_kendall_daily",
     "gbdt_residual_stumps",
+    "pca_second_component",
 ]
 
 REGIMES = [

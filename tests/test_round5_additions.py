@@ -195,3 +195,33 @@ def test_gbdt_residual_stumps_matches_pure_python(spark):
         for r in registry.QUERIES["gbdt_residual_stumps"](spark, SF_TEST).collect()
     ]
     assert got == expect
+
+
+def test_pca_second_component_matches_numpy(spark):
+    """v2 must align with numpy's SECOND eigenvector of the same integer
+    moment matrix, λ2 with the second eigenvalue, and the in-band
+    orthogonality diagnostic must be ~0."""
+    import numpy as np
+    import pytest
+
+    from vector_search_spark.registry_round4 import _PCA_D, _PCA_FEATURES, _PCA_Q
+
+    rows = registry.QUERIES["pca_second_component"](spark, SF_TEST).collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)])
+    lam = rows[0].lambda_est
+    assert all(abs(r.v1_dot_v2) <= 1e-3 for r in rows)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF_TEST}/lineitem.parquet'")
+    feats = ", ".join(f"{e} AS x{j}" for j, e in enumerate(_PCA_FEATURES))
+    X = con.execute(f"SELECT {feats} FROM lineitem").df().to_numpy().astype(np.float64)
+    M = np.zeros((_PCA_D, _PCA_D))
+    for j in range(_PCA_D):
+        for k in range(_PCA_D):
+            M[j, k] = np.floor(X[:, j] * X[:, k] * _PCA_Q + 0.5).sum()
+    w, vecs = np.linalg.eigh(M)
+    order = np.argsort(w)[::-1]
+    second = vecs[:, order[1]]
+    cos = abs(np.dot(v, second) / (np.linalg.norm(v) * np.linalg.norm(second)))
+    assert cos > 0.999, cos
+    assert lam == pytest.approx(w[order[1]] / _PCA_Q, rel=1e-3)

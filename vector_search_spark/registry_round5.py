@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.scalar import round4
 from .registry import register
 from .registry_dedup import (
     NUM_HASHES,
@@ -601,3 +602,235 @@ def q_gbdt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             *fnames, f"CAST(r - ({assign}) AS BIGINT) AS r"
         )
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Second principal component by Hotelling deflation.
+# ---------------------------------------------------------------------------
+def _p2_mvv_text() -> str:
+    """u'Mu in DOUBLE, fixed left-to-right order (shared text)."""
+    from .registry_round4 import _PCA_D, _pca_m_name
+
+    return " + ".join(
+        "CAST("
+        + " + ".join(f"{_pca_m_name(j, k)} * u{k}" for k in range(_PCA_D))
+        + f" AS DOUBLE) * CAST(u{j} AS DOUBLE)"
+        for j in range(_PCA_D)
+    )
+
+
+def _p2_vv_text() -> str:
+    from .registry_round4 import _PCA_D
+
+    return "(" + " + ".join(f"u{j}*u{j}" for j in range(_PCA_D)) + ")"
+
+
+def _p2_defl_text(j: int, k: int) -> str:
+    """One deflated-matrix entry, floor-quantized back to the integer
+    moment scale: d_jk = M_jk − (u'Mu)·u_j·u_k / (u'u)².  All DOUBLE ops
+    happen in ONE shared expression text (umvv/uvv are columns both
+    engines define identically), so the requantized integer matrix is
+    bit-identical cross-engine."""
+    from .registry_round4 import _pca_m_name
+
+    return (
+        f"CAST(floor(CAST({_pca_m_name(j, k)} AS DOUBLE)"
+        f" - (umvv * CAST(u{j} AS DOUBLE) * CAST(u{k} AS DOUBLE))"
+        f" / (CAST(uvv AS DOUBLE) * CAST(uvv AS DOUBLE)) + 0.5) AS BIGINT)"
+    )
+
+
+def _p2_ortho_text() -> str:
+    from .registry_round4 import _PCA_D
+
+    uv = " + ".join(
+        f"CAST(u{j} AS DOUBLE) * CAST(v{j} AS DOUBLE)" for j in range(_PCA_D)
+    )
+    vv = " + ".join(
+        f"CAST(v{j} AS DOUBLE) * CAST(v{j} AS DOUBLE)" for j in range(_PCA_D)
+    )
+    return f"(({uv}) / (sqrt(CAST(uvv AS DOUBLE)) * sqrt({vv})))"
+
+
+def _pca2_oracle() -> str:
+    from .registry_round4 import (
+        _PCA_D,
+        _PCA_FEATURES,
+        _PCA_ITERS,
+        _PCA_SCALE,
+        _pca_iter_exprs,
+        _pca_lambda_expr,
+        _pca_m_exprs,
+        _pca_m_name,
+    )
+
+    feats = ", ".join(f"{e} AS x{j}" for j, e in enumerate(_PCA_FEATURES))
+    m_aggs = ",\n             ".join(
+        f"{sql}::BIGINT AS {name}" for name, sql in _pca_m_exprs()
+    )
+    m_cols = ", ".join(_pca_m_name(j, k) for j in range(_PCA_D) for k in range(_PCA_D))
+    init = ", ".join(f"{_PCA_SCALE}::BIGINT AS v{j}" for j in range(_PCA_D))
+
+    def iter_ctes(tag: str, first: str, carry: str) -> tuple[list[str], str]:
+        ctes, prev = [], first
+        for t in range(_PCA_ITERS):
+            w_layer = ", ".join(
+                f"{expr} AS {name}"
+                for name, expr in _pca_iter_exprs("v")
+                if not name.startswith("n")
+            )
+            n_layer = ", ".join(
+                f"{expr} AS v{name[1:]}"
+                for name, expr in _pca_iter_exprs("v")
+                if name.startswith("n")
+            )
+            cur = f"{tag}{t + 1}"
+            ctes.append(
+                f"{cur} AS (SELECT {carry}, {n_layer} FROM "
+                f"(SELECT *, {w_layer} FROM {prev}))"
+            )
+            prev = cur
+        return ctes, prev
+
+    ctes = [
+        f"feats AS (SELECT {feats} FROM lineitem)",
+        f"m AS (SELECT {m_aggs} FROM feats)",
+        f"ita0 AS (SELECT *, {init} FROM m)",
+    ]
+    phase1, prev1 = iter_ctes("ita", "ita0", m_cols)
+    ctes += phase1
+    u_cols = ", ".join(f"v{j} AS u{j}" for j in range(_PCA_D))
+    ctes.append(f"uphase AS (SELECT {m_cols}, {u_cols} FROM {prev1})")
+    ctes.append(
+        f"ustats AS (SELECT *, {_p2_vv_text()} AS uvv,"
+        f" {_p2_mvv_text()} AS umvv FROM uphase)"
+    )
+    d_cols = ", ".join(
+        f"{_p2_defl_text(j, k)} AS {_pca_m_name(j, k)}"
+        for j in range(_PCA_D)
+        for k in range(_PCA_D)
+    )
+    u_keep = ", ".join(f"u{j}" for j in range(_PCA_D))
+    ctes.append(f"defl AS MATERIALIZED (SELECT {d_cols}, {u_keep}, uvv FROM ustats)")
+    ctes.append(f"itb0 AS (SELECT *, {init} FROM defl)")
+    phase2, prev2 = iter_ctes("itb", "itb0", f"{m_cols}, {u_keep}, uvv")
+    ctes += phase2
+    lam = _pca_lambda_expr("v")
+    ortho = _p2_ortho_text()
+    dims = "\n      UNION ALL ".join(
+        f"SELECT {j} AS dim, "
+        f"floor((CAST(v{j} AS DOUBLE) / {_PCA_SCALE}.0) * 10000 + 0.5) / 10000.0"
+        f" AS loading, "
+        f"floor(({lam}) * 10000 + 0.5) / 10000.0 AS lambda_est, "
+        f"floor(({ortho}) * 10000 + 0.5) / 10000.0 AS v1_dot_v2 FROM {prev2}"
+        for j in range(_PCA_D)
+    )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    {dims}
+    ORDER BY dim
+    """
+
+
+@register("pca_second_component", oracle=_pca2_oracle())
+def q_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal direction of the lineitem second-moment matrix by
+    Hotelling deflation: converge v1 (8 power-iteration rounds, exactly
+    `pca_top_component`'s recipe), subtract its rank-1 component M −
+    (v1'Mv1)·v1v1'/(v1'v1)², floor-requantize to the integer moment
+    scale, and power-iterate 8 more rounds on the deflated matrix.
+    Emits the v2 loadings, the Rayleigh λ2, and the v1·v2 cosine as an
+    in-band orthogonality diagnostic (should be ~0; a collapsed eigengap
+    would show up here, not silently).
+
+    Exactness: the deflation is ONE shared DOUBLE expression text per
+    entry, floor-quantized back to BIGINT — so phase 2 iterates an
+    integer matrix that is bit-identical in both engines, and the whole
+    16-round pipeline stays deterministic under any partitioning.
+    Deflation noise is O(1) in moment units vs λ2 at ~1e9 units, so the
+    quantization cannot leak v1 back in (the classic deflation failure
+    needs noise ≈ λ2).
+
+    Scale: same economics as `pca_top_component` — ONE partial-agg'd
+    scan for the 16-entry matrix, then 1-row arithmetic; the eager
+    1-row localCheckpoint between phases is the house codegen barrier
+    (>64 KB generated methods fall back to interpreted eval).
+    """
+    from .registry_ml import _plan_cached
+
+    def build() -> DataFrame:
+        from .registry_round4 import (
+            _PCA_D,
+            _PCA_FEATURES,
+            _PCA_ITERS,
+            _PCA_SCALE,
+            _pca_iter_exprs,
+            _pca_lambda_expr,
+            _pca_m_exprs,
+            _pca_m_name,
+        )
+
+        li = _t(spark, sf_dir, "lineitem")
+        feats = li.select(
+            *[F.expr(e).alias(f"x{j}") for j, e in enumerate(_PCA_FEATURES)]
+        )
+        it = feats.agg(
+            *[F.expr(sql).cast("long").alias(name) for name, sql in _pca_m_exprs()]
+        )
+
+        def run_phase(frame: DataFrame) -> DataFrame:
+            for j in range(_PCA_D):
+                frame = frame.withColumn(f"v{j}", F.lit(_PCA_SCALE).cast("long"))
+            for _ in range(_PCA_ITERS):
+                for name, expr in _pca_iter_exprs("v"):
+                    frame = frame.withColumn(name, F.expr(expr))
+                for j in range(_PCA_D):
+                    frame = frame.withColumn(f"v{j}", F.col(f"n{j}"))
+                frame = frame.drop(
+                    "wmax",
+                    *[f"w{j}" for j in range(_PCA_D)],
+                    *[f"n{j}" for j in range(_PCA_D)],
+                )
+            return frame
+
+        it = run_phase(it)
+        for j in range(_PCA_D):
+            it = it.withColumn(f"u{j}", F.col(f"v{j}")).drop(f"v{j}")
+        it = it.withColumn("uvv", F.expr(_p2_vv_text())).withColumn(
+            "umvv", F.expr(_p2_mvv_text())
+        )
+        defl = it.select(
+            *[
+                F.expr(_p2_defl_text(j, k)).alias(_pca_m_name(j, k))
+                for j in range(_PCA_D)
+                for k in range(_PCA_D)
+            ],
+            *[F.col(f"u{j}") for j in range(_PCA_D)],
+            "uvv",
+        ).localCheckpoint(eager=True)  # 1-row codegen barrier between phases
+        it2 = run_phase(defl)
+        lam = F.expr(_pca_lambda_expr("v"))
+        ortho = F.expr(_p2_ortho_text())
+        rows = it2.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("dim"),
+                            round4(
+                                F.col(f"v{j}").cast("double") / float(_PCA_SCALE)
+                            ).alias("loading"),
+                            round4(lam).alias("lambda_est"),
+                            round4(ortho).alias("v1_dot_v2"),
+                        )
+                        for j in range(_PCA_D)
+                    ]
+                )
+            ).alias("r")
+        )
+        return rows.select("r.dim", "r.loading", "r.lambda_est", "r.v1_dot_v2").orderBy(
+            "dim"
+        )
+
+    return _plan_cached("pca_second_component", spark, sf_dir, build)
