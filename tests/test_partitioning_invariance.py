@@ -116,6 +116,7 @@ QUERIES = [
     "mann_kendall_daily",
     "gbdt_residual_stumps",
     "pca_second_component",
+    "svd_rank2_affinity",
 ]
 
 REGIMES = [

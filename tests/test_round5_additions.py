@@ -225,3 +225,42 @@ def test_pca_second_component_matches_numpy(spark):
     cos = abs(np.dot(v, second) / (np.linalg.norm(v) * np.linalg.norm(second)))
     assert cos > 0.999, cos
     assert lam == pytest.approx(w[order[1]] / _PCA_Q, rel=1e-3)
+
+
+def test_svd_rank2_matches_numpy(spark):
+    """Both loading vectors must align with numpy's top-2 right-singular
+    vectors of the SAME cents matrix, sigmas within convergence tolerance,
+    and the emitted orthogonality diagnostic ~0."""
+    import numpy as np
+    import pytest
+
+    con = duckdb.connect()
+    cells = con.execute(
+        f"""SELECT user_id, event_type,
+                   sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS cents
+            FROM '{SF_TEST}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    users = sorted({c[0] for c in cells})
+    types = sorted({c[1] for c in cells})
+    M = np.zeros((len(users), len(types)))
+    ui = {u: i for i, u in enumerate(users)}
+    ti = {t: i for i, t in enumerate(types)}
+    for u, t, c in cells:
+        M[ui[u], ti[t]] = c
+    _, sv, vt = np.linalg.svd(M, full_matrices=False)
+
+    rows = sorted(
+        registry.QUERIES["svd_rank2_affinity"](spark, SF_TEST).collect(),
+        key=lambda r: r.event_type,
+    )
+    assert [r.event_type for r in rows] == types
+    v1 = np.array([r.loading1 for r in rows])
+    v2 = np.array([r.loading2 for r in rows])
+    cos1 = abs(v1 @ vt[0] / (np.linalg.norm(v1) * np.linalg.norm(vt[0])))
+    cos2 = abs(v2 @ vt[1] / (np.linalg.norm(v2) * np.linalg.norm(vt[1])))
+    assert cos1 > 0.999, cos1
+    assert cos2 > 0.995, cos2
+    assert rows[0].sigma1_dollars == pytest.approx(sv[0] / 100.0, rel=1e-3)
+    assert rows[0].sigma2_dollars == pytest.approx(sv[1] / 100.0, rel=1e-2)
+    assert rows[0].sigma1_dollars > rows[0].sigma2_dollars
+    assert all(abs(r.v1_dot_v2) <= 1e-3 for r in rows)

@@ -834,3 +834,316 @@ def q_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _plan_cached("pca_second_component", spark, sf_dir, build)
+
+
+
+
+# ---------------------------------------------------------------------------
+# Rank-2 SVD of the user x event-type spend matrix via the tall-and-skinny
+# Gram route: one distributed exact-integer 5x5 Gram aggregate, then ALL
+# iteration rounds are 1-row expressions (free at any corpus size).
+# ---------------------------------------------------------------------------
+_SVD2_K = 5
+_SVD2_TYPES = ["click", "error", "purchase", "signup", "view"]
+_SVD2_SCALE = 1_000_000
+_SVD2_P1_ROUNDS = 8    # sigma1/sigma2 gap is wide: 8 rounds suffice for v1
+_SVD2_P2_ROUNDS = 48   # deflated spectrum is near-degenerate: see docstring
+
+
+def _svd2_w_exprs(gpfx: str) -> list[tuple[str, str]]:
+    """One mat-vec + max-norm renormalize on the 5x5 ``{gpfx}j_k`` DOUBLE
+    matrix — shared SQL text (DOUBLE ops on exactly-agreed inputs are
+    IEEE-identical cross-engine; v requantizes to 1e6-unit BIGINT)."""
+    steps = []
+    for j in range(_SVD2_K):
+        dot = " + ".join(
+            f"{gpfx}{j}_{k} * CAST(v{k} AS DOUBLE)" for k in range(_SVD2_K)
+        )
+        steps.append((f"w{j}", f"({dot})"))
+    steps.append(
+        ("wmax", "greatest(" + ", ".join(f"abs(w{j})" for j in range(_SVD2_K)) + ")")
+    )
+    for j in range(_SVD2_K):
+        steps.append(
+            (f"n{j}", f"CAST(floor(w{j} * {_SVD2_SCALE}.0 / wmax) AS BIGINT)")
+        )
+    return steps
+
+
+def _svd2_lam_expr(gpfx: str) -> str:
+    """Rayleigh quotient v'Gv / v'v (DOUBLE, fixed operand order)."""
+    num = " + ".join(
+        "("
+        + " + ".join(f"{gpfx}{j}_{k} * CAST(v{k} AS DOUBLE)" for k in range(_SVD2_K))
+        + f") * CAST(v{j} AS DOUBLE)"
+        for j in range(_SVD2_K)
+    )
+    den = " + ".join(
+        f"CAST(v{j} AS DOUBLE) * CAST(v{j} AS DOUBLE)" for j in range(_SVD2_K)
+    )
+    return f"(({num}) / ({den}))"
+
+
+def _svd2_vv_expr(pfx: str) -> str:
+    return (
+        "("
+        + " + ".join(f"CAST({pfx}{j} AS DOUBLE) * CAST({pfx}{j} AS DOUBLE)"
+                     for j in range(_SVD2_K))
+        + ")"
+    )
+
+
+def _svd2_defl_expr(j: int, k: int) -> str:
+    """Deflated Gram entry gd_jk − λ1·v1_j·v1_k/(v1'v1) — shared text."""
+    return (
+        f"(gd{j}_{k} - lam1 * CAST(p{j} AS DOUBLE) * CAST(p{k} AS DOUBLE) / pvv)"
+    )
+
+
+def _svd2_ortho_expr() -> str:
+    dot = " + ".join(
+        f"CAST(p{j} AS DOUBLE) * CAST(v{j} AS DOUBLE)" for j in range(_SVD2_K)
+    )
+    return f"(({dot}) / (sqrt(pvv) * sqrt({_svd2_vv_expr('v')})))"
+
+
+def _svd2_iter_cte(tag: str, t: int, prev: str, carry: str, gpfx: str) -> str:
+    w_layer = ", ".join(
+        f"{expr} AS {name}"
+        for name, expr in _svd2_w_exprs(gpfx)
+        if not name.startswith("n")
+    )
+    n_layer = ", ".join(
+        f"{expr} AS v{name[1:]}"
+        for name, expr in _svd2_w_exprs(gpfx)
+        if name.startswith("n")
+    )
+    return (
+        f"{tag}{t} AS MATERIALIZED (SELECT {carry}, {n_layer} FROM "
+        f"(SELECT *, {w_layer} FROM {prev}))"
+    )
+
+
+def _svd2_oracle() -> str:
+    s = _SVD2_SCALE
+    piv = ", ".join(
+        f"coalesce(sum(CASE WHEN event_type = '{t}' THEN cents END), 0)::BIGINT"
+        f" AS c{j}"
+        for j, t in enumerate(_SVD2_TYPES)
+    )
+    gagg = ", ".join(
+        f"sum((c{j}::HUGEINT) * c{k}) AS gi{j}_{k}"
+        for j in range(_SVD2_K)
+        for k in range(_SVD2_K)
+    )
+    gd = ", ".join(
+        f"CAST(gi{j}_{k} AS DOUBLE) AS gd{j}_{k}"
+        for j in range(_SVD2_K)
+        for k in range(_SVD2_K)
+    )
+    gd_cols = ", ".join(
+        f"gd{j}_{k}" for j in range(_SVD2_K) for k in range(_SVD2_K)
+    )
+    init = ", ".join(f"{s}::BIGINT AS v{j}" for j in range(_SVD2_K))
+    ctes = [
+        """m AS MATERIALIZED (
+      SELECT user_id, event_type,
+             sum(floor(value*100 + 0.5)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1, 2)""",
+        f"pu AS MATERIALIZED (SELECT user_id, {piv} FROM m GROUP BY 1)",
+        f"gi AS (SELECT {gagg} FROM pu)",
+        f"g AS (SELECT {gd} FROM gi)",
+        f"ita0 AS (SELECT *, {init} FROM g)",
+    ]
+    prev = "ita0"
+    for t in range(1, _SVD2_P1_ROUNDS + 1):
+        ctes.append(_svd2_iter_cte("ita", t, prev, gd_cols, "gd"))
+        prev = f"ita{t}"
+    lam1 = _svd2_lam_expr("gd")
+    keep_p = ", ".join(f"v{j} AS p{j}" for j in range(_SVD2_K))
+    ctes.append(
+        f"ph1 AS (SELECT {gd_cols}, {keep_p}, {lam1} AS lam1 FROM {prev})"
+    )
+    ctes.append(f"ph1b AS (SELECT *, {_svd2_vv_expr('p')} AS pvv FROM ph1)")
+    d_cols = ", ".join(
+        f"{_svd2_defl_expr(j, k)} AS dd{j}_{k}"
+        for j in range(_SVD2_K)
+        for k in range(_SVD2_K)
+    )
+    p_cols = ", ".join(f"p{j}" for j in range(_SVD2_K))
+    dd_cols = ", ".join(
+        f"dd{j}_{k}" for j in range(_SVD2_K) for k in range(_SVD2_K)
+    )
+    carry2 = f"{dd_cols}, {p_cols}, pvv, lam1"
+    ctes.append(
+        f"defl AS MATERIALIZED (SELECT {d_cols}, {p_cols}, pvv, lam1 FROM ph1b)"
+    )
+    ctes.append(f"itb0 AS (SELECT *, {init} FROM defl)")
+    prev = "itb0"
+    for t in range(1, _SVD2_P2_ROUNDS + 1):
+        ctes.append(_svd2_iter_cte("itb", t, prev, carry2, "dd"))
+        prev = f"itb{t}"
+    lam2 = _svd2_lam_expr("dd")
+    ortho = _svd2_ortho_expr()
+    rows = "\n    UNION ALL ".join(
+        f"SELECT '{typ}' AS event_type,"
+        f" floor((CAST(p{j} AS DOUBLE) / {s}.0) * 10000 + 0.5)/10000.0 AS loading1,"
+        f" floor((CAST(v{j} AS DOUBLE) / {s}.0) * 10000 + 0.5)/10000.0 AS loading2,"
+        f" floor((sqrt(lam1) / 100.0) * 10000 + 0.5)/10000.0 AS sigma1_dollars,"
+        f" floor((sqrt({lam2}) / 100.0) * 10000 + 0.5)/10000.0 AS sigma2_dollars,"
+        f" floor(({ortho}) * 10000 + 0.5)/10000.0 AS v1_dot_v2"
+        f" FROM {prev}"
+        for j, typ in enumerate(_SVD2_TYPES)
+    )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    {rows}
+    ORDER BY event_type
+    """
+
+
+@register("svd_rank2_affinity", oracle=_svd2_oracle())
+def q_svd_rank2_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 spectral factorization of the user × event-type spend matrix
+    — completing `svd_rank1_affinity`'s "rank k" note — by the
+    tall-and-skinny Gram route: ONE distributed aggregate produces the
+    exact-integer 5×5 Gram matrix MᵀM (per-user pivot, then 25 partial-
+    agg'd product sums with HUGEINT/DECIMAL headroom), after which every
+    power-iteration round is 1-ROW arithmetic — free at any corpus size.
+    That cost model is why this path can afford the 48 deflated rounds
+    the near-degenerate tail needs (σ2:σ3 ≈ 1.09 ⇒ (σ2/σ3)² ≈ 1.18 gain
+    per round; the alternating-join formulation at 6 rounds would emit an
+    unconverged mixture — measured cos≈0.001 against the true v2), where
+    each alternating round costs a distributed join.  Emits both loading
+    vectors, both sigmas (√λ of the Gram Rayleigh quotients), and the
+    v1·v2 cosine diagnostic.
+
+    Exactness: the distributed part (cents cells, pivot, Gram sums) is
+    exact integer and partitioning-invariant; everything after is 1-row
+    DOUBLE arithmetic from shared expression texts (identical operand
+    order ⇒ IEEE-identical cross-engine), with v requantized to 1e6-unit
+    integers every round.  Overflow: Gram entries are Σ cents² — HUGEINT
+    (DuckDB) / DECIMAL(38,0) (Spark) per the house second-moment rule.
+
+    Scale: for a k-column skinny matrix this is THE 100 TB design — the
+    Gram aggregate shuffles k² scalars per task and iteration touches no
+    data; the distributed user factor, when needed, is u_i = M v_i / σ_i,
+    one broadcast join away (demonstrated at rank 1 by
+    `svd_rank1_affinity`'s alternating form).  Codegen: 56 unrolled
+    rounds exceed the 64 KB method limit, so a 1-row eager
+    localCheckpoint barrier lands every 8 rounds (house lesson).
+    """
+    from .registry_ml import _plan_cached
+
+    def build() -> DataFrame:
+        s = _SVD2_SCALE
+        ev = _t(spark, sf_dir, "events")
+        m = ev.groupBy("user_id", "event_type").agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        pu = m.groupBy("user_id").agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("event_type") == t, F.col("cents"))
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"c{j}")
+                for j, t in enumerate(_SVD2_TYPES)
+            ]
+        )
+        gi = pu.agg(
+            *[
+                F.sum(
+                    F.col(f"c{j}").cast("decimal(38,0)") * F.col(f"c{k}")
+                )
+                .cast("decimal(38,0)")
+                .alias(f"gi{j}_{k}")
+                for j in range(_SVD2_K)
+                for k in range(_SVD2_K)
+            ]
+        )
+        it = gi.select(
+            *[
+                F.col(f"gi{j}_{k}").cast("double").alias(f"gd{j}_{k}")
+                for j in range(_SVD2_K)
+                for k in range(_SVD2_K)
+            ]
+        )
+        for j in range(_SVD2_K):
+            it = it.withColumn(f"v{j}", F.lit(s).cast("long"))
+
+        def run_rounds(frame: DataFrame, rounds: int, gpfx: str) -> DataFrame:
+            for r in range(rounds):
+                for name, expr in _svd2_w_exprs(gpfx):
+                    frame = frame.withColumn(name, F.expr(expr))
+                for j in range(_SVD2_K):
+                    frame = frame.withColumn(f"v{j}", F.col(f"n{j}"))
+                frame = frame.drop(
+                    "wmax",
+                    *[f"w{j}" for j in range(_SVD2_K)],
+                    *[f"n{j}" for j in range(_SVD2_K)],
+                )
+                if (r + 1) % 8 == 0:  # 1-row codegen barrier (64 KB limit)
+                    frame = frame.localCheckpoint(eager=True)
+            return frame
+
+        it = run_rounds(it, _SVD2_P1_ROUNDS, "gd")
+        it = it.withColumn("lam1", F.expr(_svd2_lam_expr("gd")))
+        for j in range(_SVD2_K):
+            it = it.withColumn(f"p{j}", F.col(f"v{j}")).drop(f"v{j}")
+        it = it.withColumn("pvv", F.expr(_svd2_vv_expr("p")))
+        for j in range(_SVD2_K):
+            for k in range(_SVD2_K):
+                it = it.withColumn(f"dd{j}_{k}", F.expr(_svd2_defl_expr(j, k)))
+        it = it.select(
+            *[f"dd{j}_{k}" for j in range(_SVD2_K) for k in range(_SVD2_K)],
+            *[f"p{j}" for j in range(_SVD2_K)],
+            "pvv",
+            "lam1",
+        ).localCheckpoint(eager=True)
+        for j in range(_SVD2_K):
+            it = it.withColumn(f"v{j}", F.lit(s).cast("long"))
+        it = run_rounds(it, _SVD2_P2_ROUNDS, "dd")
+        lam2 = _svd2_lam_expr("dd")
+        ortho = _svd2_ortho_expr()
+        rows = it.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("event_type"),
+                            round4(
+                                F.col(f"p{j}").cast("double") / float(s)
+                            ).alias("loading1"),
+                            round4(
+                                F.col(f"v{j}").cast("double") / float(s)
+                            ).alias("loading2"),
+                            round4(F.sqrt(F.col("lam1")) / 100.0).alias(
+                                "sigma1_dollars"
+                            ),
+                            round4(F.expr(f"sqrt({lam2})") / 100.0).alias(
+                                "sigma2_dollars"
+                            ),
+                            round4(F.expr(ortho)).alias("v1_dot_v2"),
+                        )
+                        for j, t in enumerate(_SVD2_TYPES)
+                    ]
+                )
+            ).alias("r")
+        )
+        return rows.select(
+            "r.event_type",
+            "r.loading1",
+            "r.loading2",
+            "r.sigma1_dollars",
+            "r.sigma2_dollars",
+            "r.v1_dot_v2",
+        ).orderBy("event_type")
+
+    return _plan_cached("svd_rank2_affinity", spark, sf_dir, build)
