@@ -117,6 +117,7 @@ QUERIES = [
     "gbdt_residual_stumps",
     "pca_second_component",
     "svd_rank2_affinity",
+    "basket_affinity_pairs",
 ]
 
 REGIMES = [

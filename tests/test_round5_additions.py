@@ -264,3 +264,53 @@ def test_svd_rank2_matches_numpy(spark):
     assert rows[0].sigma2_dollars == pytest.approx(sv[1] / 100.0, rel=1e-2)
     assert rows[0].sigma1_dollars > rows[0].sigma2_dollars
     assert all(abs(r.v1_dot_v2) <= 1e-3 for r in rows)
+
+
+def test_basket_pairs_match_pure_python(spark):
+    """Brute-force basket pair mining in pure Python (no Apriori prefilter
+    — proving the prefilter lossless) must reproduce the top-20 exactly."""
+    from vector_search_spark.registry_round5 import (
+        _BASKET_MIN_SUPPORT,
+        _BASKET_TOP,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{SF_TEST}/lineitem.parquet'"
+    ).fetchall()
+    baskets = defaultdict(set)
+    for o, p in rows:
+        baskets[o].add(p)
+    supp = Counter(p for ps in baskets.values() for p in ps)
+    pair = Counter()
+    for ps in baskets.values():
+        sp = sorted(ps)
+        for i in range(len(sp)):
+            for j in range(i + 1, len(sp)):
+                pair[(sp[i], sp[j])] += 1
+    n = len(baskets)
+    cand = sorted(
+        ((c, p1, p2) for (p1, p2), c in pair.items() if c >= _BASKET_MIN_SUPPORT),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:_BASKET_TOP]
+
+    def r4(x):
+        return math.floor(x * 10000 + 0.5) / 10000.0
+
+    expect = [
+        (
+            p1,
+            p2,
+            c,
+            r4(c / n),
+            r4(c / supp[p1]),
+            r4(c / supp[p2]),
+            r4(c * n / (supp[p1] * supp[p2])),
+        )
+        for c, p1, p2 in cand
+    ]
+    got = [
+        (r.part_1, r.part_2, r.support, r.support_frac, r.conf_1_2, r.conf_2_1, r.lift)
+        for r in registry.QUERIES["basket_affinity_pairs"](spark, SF_TEST).collect()
+    ]
+    assert got == expect

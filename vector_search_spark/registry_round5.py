@@ -1147,3 +1147,117 @@ def q_svd_rank2_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("event_type")
 
     return _plan_cached("svd_rank2_affinity", spark, sf_dir, build)
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining over order baskets.
+# ---------------------------------------------------------------------------
+_BASKET_MIN_SUPPORT = 2
+_BASKET_TOP = 20
+
+
+@register(
+    "basket_affinity_pairs",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+    isupp AS MATERIALIZED (
+      SELECT part, count(*)::BIGINT AS s FROM b GROUP BY 1),
+    bf AS MATERIALIZED (
+      SELECT b.okey, b.part FROM b JOIN isupp i ON i.part = b.part
+      WHERE i.s >= {_BASKET_MIN_SUPPORT}),
+    pairs AS (
+      SELECT a.part AS part_1, c.part AS part_2, count(*)::BIGINT AS support
+      FROM bf a JOIN bf c ON a.okey = c.okey AND a.part < c.part
+      GROUP BY 1, 2),
+    nb AS (SELECT count(DISTINCT okey)::BIGINT AS n FROM b)
+    SELECT p.part_1, p.part_2, p.support,
+           floor((CAST(p.support AS DOUBLE) / CAST(nb.n AS DOUBLE))
+                 * 10000 + 0.5)/10000.0 AS support_frac,
+           floor((CAST(p.support AS DOUBLE) / CAST(s1.s AS DOUBLE))
+                 * 10000 + 0.5)/10000.0 AS conf_1_2,
+           floor((CAST(p.support AS DOUBLE) / CAST(s2.s AS DOUBLE))
+                 * 10000 + 0.5)/10000.0 AS conf_2_1,
+           floor((CAST(p.support AS DOUBLE) * CAST(nb.n AS DOUBLE)
+                  / (CAST(s1.s AS DOUBLE) * CAST(s2.s AS DOUBLE)))
+                 * 10000 + 0.5)/10000.0 AS lift
+    FROM pairs p
+    JOIN isupp s1 ON s1.part = p.part_1
+    JOIN isupp s2 ON s2.part = p.part_2
+    CROSS JOIN nb
+    WHERE p.support >= {_BASKET_MIN_SUPPORT}
+    ORDER BY p.support DESC, p.part_1, p.part_2
+    LIMIT {_BASKET_TOP}
+    """,
+)
+def q_basket_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset pair mining (the Apriori 2-itemset pass) over
+    order baskets: top-{{20}} co-purchased part pairs with support,
+    both directional confidences, and lift — the association-rule
+    primitive behind "bought together" and feature co-occurrence audits.
+
+    Scale: the pair generator self-joins WITHIN basket (keyed on
+    l_orderkey), so output is Σ basket_size² — bounded by the largest
+    basket, never the catalog square.  The Apriori property is applied
+    as a LOSSLESS prefilter (the `token_pair_lift` lesson): a pair with
+    support ≥ {_BASKET_MIN_SUPPORT} needs both items' supports ≥
+    {_BASKET_MIN_SUPPORT}, so the basket table is first restricted to
+    frequent items — one broadcast-joinable aggregate that bounds the
+    pair square to the frequent catalog without changing the result.
+    Support counting is one partial-agg'd groupBy; the top-k is
+    TakeOrderedAndProject on (support DESC, part_1, part_2).
+
+    Exactness: supports are exact integers; the four ratios are
+    single-division DOUBLE expressions with identical operand order in
+    both engines, floor-quantized to 4 dp.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    isupp = b.groupBy("part").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    bf = (
+        b.join(isupp.filter(F.col("s") >= _BASKET_MIN_SUPPORT).select("part"), "part")
+        .select("okey", "part")
+    )
+    a = bf.select(F.col("okey"), F.col("part").alias("part_1"))
+    c = bf.select(F.col("okey"), F.col("part").alias("part_2"))
+    pairs = (
+        a.join(c, "okey")
+        .filter(F.col("part_1") < F.col("part_2"))
+        .groupBy("part_1", "part_2")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    nb = b.agg(F.countDistinct("okey").cast("long").alias("n"))
+    s1 = isupp.select(F.col("part").alias("part_1"), F.col("s").alias("s1"))
+    s2 = isupp.select(F.col("part").alias("part_2"), F.col("s").alias("s2"))
+    return (
+        pairs.join(s1, "part_1")
+        .join(s2, "part_2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_1",
+            "part_2",
+            "support",
+            F.expr(
+                "floor((CAST(support AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * 10000 + 0.5)/10000.0"
+            ).cast("double").alias("support_frac"),
+            F.expr(
+                "floor((CAST(support AS DOUBLE) / CAST(s1 AS DOUBLE))"
+                " * 10000 + 0.5)/10000.0"
+            ).cast("double").alias("conf_1_2"),
+            F.expr(
+                "floor((CAST(support AS DOUBLE) / CAST(s2 AS DOUBLE))"
+                " * 10000 + 0.5)/10000.0"
+            ).cast("double").alias("conf_2_1"),
+            F.expr(
+                "floor((CAST(support AS DOUBLE) * CAST(n AS DOUBLE)"
+                " / (CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+                " * 10000 + 0.5)/10000.0"
+            ).cast("double").alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_1", "part_2")
+        .limit(_BASKET_TOP)
+    )
