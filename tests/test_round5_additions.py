@@ -314,3 +314,67 @@ def test_basket_pairs_match_pure_python(spark):
         for r in registry.QUERIES["basket_affinity_pairs"](spark, SF_TEST).collect()
     ]
     assert got == expect
+
+
+def test_streaming_spend_cells_reproduce_batch_gram(spark):
+    """Drained streaming (user, type) cells must equal batch M exactly;
+    the Gram sums computed from them must equal the batch Gram — so the
+    rank-2 factorization is reproducible from streaming state."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.registry_round5 import _SVD2_K, _SVD2_TYPES
+    from vector_search_spark.streaming.events import (
+        stream_events_from_parquet,
+        streaming_spend_cells,
+    )
+
+    out = streaming_spend_cells(stream_events_from_parquet(spark, SF_TEST))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("spend_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.sql("SELECT user_id, event_type, cents FROM spend_cells")
+
+    batch_m = duckdb.connect().execute(
+        f"""SELECT user_id, event_type,
+                   sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS cents
+            FROM '{SF_TEST}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    got_m = sorted(
+        (r.user_id, r.event_type, r.cents) for r in drained.collect()
+    )
+    assert got_m == [tuple(r) for r in batch_m]
+
+    pu = drained.groupBy("user_id").agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("event_type") == t, F.col("cents"))), F.lit(0))
+            .cast("long")
+            .alias(f"c{j}")
+            for j, t in enumerate(_SVD2_TYPES)
+        ]
+    )
+    gi = pu.agg(
+        *[
+            F.sum(F.col(f"c{j}").cast("decimal(38,0)") * F.col(f"c{k}"))
+            .cast("decimal(38,0)")
+            .alias(f"gi{j}_{k}")
+            for j in range(_SVD2_K)
+            for k in range(_SVD2_K)
+        ]
+    ).collect()[0]
+    expect = defaultdict(int)
+    per_user = defaultdict(lambda: [0] * _SVD2_K)
+    ti = {t: j for j, t in enumerate(_SVD2_TYPES)}
+    for u, t, c in batch_m:
+        per_user[u][ti[t]] += c
+    for cs in per_user.values():
+        for j in range(_SVD2_K):
+            for k in range(_SVD2_K):
+                expect[(j, k)] += cs[j] * cs[k]
+    for j in range(_SVD2_K):
+        for k in range(_SVD2_K):
+            assert int(gi[f"gi{j}_{k}"]) == expect[(j, k)]

@@ -264,3 +264,23 @@ def streaming_ols_moments(li: DataFrame) -> DataFrame:
         else:
             aggs.append(F.sum(F.expr(p)).cast("long").alias(k))
     return feats.groupBy().agg(*aggs)
+
+
+def streaming_spend_cells(events: DataFrame) -> DataFrame:
+    """Streaming twin of `svd_rank2_affinity`'s distributed sufficient
+    statistics: the (user_id, event_type) cents cells maintained as a
+    plain streaming aggregation.  Cents sums are commutative integers, so
+    the drained cells equal the batch matrix M EXACTLY under any
+    micro-batch split — and everything downstream of M (per-user pivot,
+    the 5×5 Gram aggregate, both power-iteration phases) is the
+    deterministic shared-text pipeline, so the factorization is
+    incrementally maintainable at the cost of |users|×|types| state.
+    (The Gram itself is NOT a flat streaming sum — (c+δ)² ≠ c²+δ² — which
+    is exactly why the twin keys on the cell level, the last layer that
+    is commutative.)
+    """
+    return events.groupBy("user_id", "event_type").agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
