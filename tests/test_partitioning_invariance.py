@@ -118,6 +118,12 @@ QUERIES = [
     "pca_second_component",
     "svd_rank2_affinity",
     "basket_affinity_pairs",
+    # round-6 iterative-graph / shared-text-float additions
+    "dup_bfs_hops",
+    "dup_community_modularity",
+    "acf_daily_revenue",
+    "textrank_keywords",
+    "logistic_regression_gd",
 ]
 
 REGIMES = [

@@ -1,0 +1,258 @@
+"""Independent (non-oracle) gates for the round-6 additions: pure-Python
+rebuilds of multi-source BFS, community modularity, the daily-revenue ACF,
+TextRank, and the logistic-regression GD trajectory — the unrolled-CTE
+oracles share iteration structure with the Spark plans, so these re-derive
+the answers from raw inputs with none of that structure."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from fractions import Fraction
+
+import duckdb
+
+from conftest import SF_TEST
+from vector_search_spark import registry
+from vector_search_spark.registry_round5 import LPA_ROUNDS
+from vector_search_spark.registry_round6 import (
+    ACF_MAX_LAG,
+    BFS_ROUNDS,
+    LOGREG_ROUNDS,
+    TEXTRANK_MIN_DF,
+    TEXTRANK_ROUNDS,
+    TEXTRANK_TOPK,
+)
+
+
+def _edges(spark, sf_dir):
+    from vector_search_spark.registry_dedup import _shared_verified_pairs
+
+    pairs = _shared_verified_pairs(spark, sf_dir).select("id_1", "id_2").collect()
+    es = set()
+    for r in pairs:
+        es.add((r.id_1, r.id_2))
+        es.add((r.id_2, r.id_1))
+    return sorted(es)
+
+
+def _round4(x: float) -> float:
+    return math.floor(x * 10000 + 0.5) / 10000.0
+
+
+def test_bfs_hops_matches_pure_python(spark):
+    edges = _edges(spark, SF_TEST)
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[b].add(a)
+    seeds = {v for v, ns in nbrs.items() if v < min(ns)}
+    dist = {v: 0 for v in seeds}
+    for _ in range(BFS_ROUNDS):
+        nxt = dict(dist)
+        for v, ns in nbrs.items():
+            cand = [dist[u] + 1 for u in ns if u in dist]
+            if cand:
+                best = min(cand)
+                if v not in nxt or best < nxt[v]:
+                    nxt[v] = best
+        dist = nxt
+    expect = sorted(dist.items())
+    got = [
+        (r.doc_id, r.dist)
+        for r in registry.QUERIES["dup_bfs_hops"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+
+
+def _lpa_labels(edges):
+    nbrs = defaultdict(list)
+    for a, b in edges:
+        nbrs[b].append(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(LPA_ROUNDS):
+        labels = {
+            v: min(
+                (c for c in Counter(labels[u] for u in ns).items()),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for v, ns in nbrs.items()
+        }
+    return labels
+
+
+def _cc_labels(edges):
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+    labels = {}
+    for v in sorted(nbrs):
+        if v in labels:
+            continue
+        stack, comp = [v], []
+        seen = {v}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for w in nbrs[u]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        root = min(comp)
+        for u in comp:
+            labels[u] = root
+    return labels
+
+
+def test_modularity_matches_fraction_arithmetic(spark):
+    edges = _edges(spark, SF_TEST)
+    tm = len(edges)  # directed count = 2m
+    deg = Counter(a for a, _ in edges)
+    schemes = {"components": _cc_labels(edges), "label_prop": _lpa_labels(edges)}
+    expect = []
+    q_by_scheme = {}
+    for scheme in sorted(schemes):
+        labels = schemes[scheme]
+        comm_nodes = defaultdict(list)
+        for v, l in labels.items():
+            comm_nodes[l].append(v)
+        intra2 = Counter(labels[a] for a, b in edges if labels[a] == labels[b])
+        num_tot = 0
+        rows = []
+        for c in sorted(comm_nodes):
+            d_c = sum(deg[v] for v in comm_nodes[c])
+            n_c = intra2[c] * tm - d_c * d_c
+            num_tot += n_c
+            rows.append((scheme, c, len(comm_nodes[c]), d_c, intra2[c] // 2, n_c))
+        q_by_scheme[scheme] = num_tot
+        expect.extend(rows)
+    got = registry.QUERIES["dup_community_modularity"](spark, SF_TEST).collect()
+    assert len(got) == len(expect)
+    for r, (scheme, c, size, d_c, intra, n_c) in zip(got, expect):
+        assert (r.scheme, r.community, r.size, r.degree_sum, r.intra_edges) == (
+            scheme,
+            c,
+            size,
+            d_c,
+            intra,
+        )
+        assert r.contribution == _round4(n_c / (float(tm) * float(tm)))
+        assert r.modularity == _round4(q_by_scheme[scheme] / (float(tm) * float(tm)))
+    # the diagnosis the query exists for: components beat random linking
+    # decisively; synchronous LPA's oscillation on pair components leaves
+    # its partition fragmented and its Q near zero.
+    assert Fraction(q_by_scheme["components"], tm * tm) > Fraction(1, 2)
+    assert Fraction(q_by_scheme["label_prop"], tm * tm) < Fraction(
+        q_by_scheme["components"], tm * tm
+    )
+
+
+def test_acf_matches_pure_python(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS cents
+        FROM '{SF_TEST}/events.parquet'
+        WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    d0 = min(r[0] for r in rows)
+    series = {(r[0] - d0).days: int(r[1]) for r in rows}
+    n = len(series)
+    s = sum(series.values())
+    dev = {i: n * c - s for i, c in series.items()}
+    den = sum(d * d for d in dev.values())
+    got = registry.QUERIES["acf_daily_revenue"](spark, SF_TEST).collect()
+    assert [r.lag for r in got] == list(range(1, ACF_MAX_LAG + 1))
+    for r in got:
+        pairs = [(i, i - r.lag) for i in dev if i - r.lag in dev]
+        num = sum(dev[i] * dev[j] for i, j in pairs)
+        assert r.n_pairs == len(pairs)
+        assert r.acf == _round4(float(num) / float(den))
+        assert abs(r.acf) < 1.0
+
+
+def test_textrank_matches_pure_python(spark):
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM '{SF_TEST}/documents.parquet' WHERE trim(text) != ''"
+    ).fetchall()
+    docs = [t[0].strip().lower().split() for t in texts]
+    df = Counter()
+    for toks in docs:
+        df.update(set(toks))
+    freq = {t for t, c in df.items() if c >= TEXTRANK_MIN_DF}
+    w = Counter()
+    for toks in docs:
+        for a, b in zip(toks, toks[1:]):
+            if a != b and a in freq and b in freq:
+                w[(a, b)] += 1
+                w[(b, a)] += 1
+    wu = Counter()
+    for (u, _v), c in w.items():
+        wu[u] += c
+    r = {u: 1_000_000 for u in wu}
+    for _ in range(TEXTRANK_ROUNDS):
+        s = defaultdict(int)
+        for (u, v), c in w.items():
+            s[v] += (c * r[u]) // wu[u]
+        r = {v: 150000 + (85 * sv) // 100 for v, sv in s.items()}
+    expect = sorted(((tok, rank, wu[tok]) for tok, rank in r.items()),
+                    key=lambda x: (-x[1], x[0]))[:TEXTRANK_TOPK]
+    got = [
+        (x.tok, x.rank_micro, x.strength)
+        for x in registry.QUERIES["textrank_keywords"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+
+
+def test_logreg_matches_pure_python(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT ts, event_type FROM '{SF_TEST}/events.parquet'"
+    ).fetchall()
+    base = []
+    for ts, et in rows:
+        y = 1 if et == "purchase" else 0
+        h2 = 2 * ts.hour - 23
+        d3 = ((ts.weekday() + 1) % 7) - 3  # Sunday-0 convention
+        base.append((y, h2, d3))
+    n = len(base)
+
+    def fdiv(a, b):
+        return a // b  # python floordiv == the portable _fdiv text
+
+    w0 = w1 = w2 = 0
+    for _ in range(LOGREG_ROUNDS):
+        g0 = g1 = g2 = 0
+        for y, h2, d3 in base:
+            m = 69 * w0 + 3 * w1 * h2 + 23 * w2 * d3
+            p = 1.0 / (1.0 + math.exp(0.0 - (float(m) / 69000000.0)))
+            e = math.floor(p * 1000000.0 + 0.5) - y * 1000000
+            g0 += e
+            g1 += e * h2
+            g2 += e * d3
+        w0 -= fdiv(2 * g0, n)
+        w1 -= fdiv(2 * g1, 23 * n)
+        w2 -= fdiv(2 * g2, 3 * n)
+    correct = 0
+    ll = 0
+    n_pos = 0
+    for y, h2, d3 in base:
+        m = 69 * w0 + 3 * w1 * h2 + 23 * w2 * d3
+        p = 1.0 / (1.0 + math.exp(0.0 - (float(m) / 69000000.0)))
+        correct += 1 if (m >= 0) == (y == 1) else 0
+        ll += math.floor((-math.log(p) if y == 1 else -math.log(1.0 - p)) * 1000000.0 + 0.5)
+        n_pos += y
+    got = registry.QUERIES["logistic_regression_gd"](spark, SF_TEST).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.w0_micro, r.w1_micro, r.w2_micro, r.n, r.n_pos) == (w0, w1, w2, n, n_pos)
+    assert r.accuracy == _round4(correct * 1.0 / n)
+    assert r.avg_logloss == _round4((ll * 1.0 / 1000000.0) / n)
+    # training actually learned the base rate: loss below ln 2 and at the
+    # entropy floor of a no-signal binary problem; accuracy = majority rule
+    assert r.avg_logloss < 0.693
+    assert r.accuracy >= max(r.n_pos, n - r.n_pos) / n - 1e-9
+    # intercept heads to logit(base rate) ≈ −1.40 at sf0.01
+    assert -1_450_000 < r.w0_micro < -1_200_000

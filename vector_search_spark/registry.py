@@ -245,6 +245,7 @@ from . import (  # noqa: E402, F401
     registry_relational,
     registry_round4,
     registry_round5,
+    registry_round6,
     registry_search,
     registry_suffix,
     registry_text,

@@ -1,0 +1,687 @@
+"""Round-6 registry additions: graph analytics, time-series diagnostics,
+in-engine logistic regression, and retrieval-quality operators.
+
+New families on top of the round-5 surface (HANDOFF round-6 candidates:
+deeper dup-graph analytics; in-engine supervised model fits; retrieval
+eval/diversification):
+
+- ``dup_bfs_hops``             — multi-source BFS hop distances to the
+  nearest canonical keeper (6 unrolled min-plus rounds).
+- ``dup_community_modularity`` — Newman modularity of the components vs
+  label-propagation partitions, side by side (exact integer numerators).
+- ``acf_daily_revenue``        — sample autocorrelation of daily purchase
+  revenue at lags 1..7 (n-scaled integer deviations, exact folds).
+- ``textrank_keywords``        — TextRank keyword extraction: weighted
+  PageRank over the token adjacency graph (df-prefiltered vocabulary).
+- ``logistic_regression_gd``   — full-batch gradient-descent logistic
+  regression trained in-engine (8 unrolled rounds, micro-integer weights).
+- ``knn_loo_eval``             — leave-one-out 5-NN label-prediction
+  accuracy over a deterministic embedding sample.
+- ``mmr_diversify_topk``       — maximal-marginal-relevance re-ranking of
+  the exact top-20 KNN candidates (5 unrolled greedy picks).
+- ``rocchio_prf_search``       — Rocchio pseudo-relevance-feedback query
+  expansion (micro-quantized centroid blend, exact re-scan).
+
+House invariants throughout: integer-only iteration state, shared SQL
+expression text for every emitted float, ``round4`` on emitted floats,
+``::BIGINT`` on DuckDB integer aggregates, DECIMAL(38,0)/HUGEINT for
+wide products, portable floor division (``_fdiv``) wherever an operand
+can go negative, NULL-free outputs, id tie-breaks.  The reference
+(p1va/3-2-1-vector-search) has no graph/ML/diversification surface
+(SURVEY.md §2.6); these extend the north-star training-data-pipeline
+families (dup-graph remediation, in-engine model fits beside
+registry_ml's OLS/NB/k-means, retrieval eval beside ann_srp_recall_eval).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .registry_dedup import _shared_verified_pairs
+from .registry_round5 import _SQL_DUP_EDGES, _fdiv, _lpa_round_sql, LPA_ROUNDS
+from .registry_round5 import q_dup_label_propagation
+from .sources.tables import load_table as __load
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return __load(spark, sf_dir, name)
+
+
+def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric directed edge list of the verified near-dup graph —
+    the artifact every dup-graph query starts from (session-shared
+    upstream via `_shared_verified_pairs`)."""
+    pairs = _shared_verified_pairs(spark, sf_dir)
+    return (
+        pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
+        .unionAll(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distances on the dup graph.
+# ---------------------------------------------------------------------------
+BFS_ROUNDS = 6
+
+
+@register(
+    "dup_bfs_hops",
+    oracle=_SQL_DUP_EDGES
+    + """,
+    d0 AS (SELECT b::BIGINT AS doc_id, 0::BIGINT AS dist
+           FROM edges GROUP BY b HAVING b < min(a))"""
+    + "".join(
+        f""",
+    d{i + 1} AS MATERIALIZED (
+      SELECT doc_id, min(dist)::BIGINT AS dist FROM (
+        SELECT doc_id, dist FROM d{i}
+        UNION ALL
+        SELECT e.b AS doc_id, p.dist + 1 AS dist
+        FROM edges e JOIN d{i} p ON e.a = p.doc_id) u
+      GROUP BY doc_id)"""
+        for i in range(BFS_ROUNDS)
+    )
+    + f"""
+    SELECT doc_id, dist FROM d{BFS_ROUNDS} ORDER BY doc_id
+    """,
+)
+def q_dup_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first hop distances on the verified
+    near-duplicate graph: for every document, how many near-dup links
+    separate it from the nearest "canonical keeper" — the local-minimum
+    nodes (doc_id smaller than every neighbor's), which are exactly the
+    anchors pick-one-per-template remediation keeps.  Hop distance is
+    the provenance-radius signal: documents ≤2 hops from a keeper are
+    usually the same template family even when LSH never paired them
+    directly.  Every component contains at least one local minimum (its
+    global minimum), so all nodes are reached.
+
+    Determinism: 6 fixed min-plus rounds (frontier ∪ relaxed-neighbors,
+    then min per node) over integer distances — no floats, no
+    data-dependent iteration count, so any partitioning and the
+    unrolled-CTE DuckDB twin produce identical distances.  Nodes farther
+    than 6 hops from every seed would simply not appear — honest output
+    for a fixed-round traversal (dup components are shallow).
+
+    Scale: each round is ONE join of the O(near-dup) edge list against
+    the current distance table plus a partial-agg'd min — the
+    `dup_graph_pagerank` economics; eager localCheckpoint per round
+    keeps the plan constant-size.  Multi-source BFS costs the same as
+    single-source here (the frontier is a column, not a task), which is
+    why distance-to-nearest-seed is the form a 1000-executor Pregel job
+    actually runs.
+    """
+    edges = _sym_edges(spark, sf_dir)
+    seed = (
+        edges.groupBy("b")
+        .agg(F.min("a").alias("min_nbr"))
+        .filter(F.col("b") < F.col("min_nbr"))
+        .select(F.col("b").cast("long").alias("doc_id"), F.lit(0).cast("long").alias("dist"))
+    )
+    dist = seed.localCheckpoint(eager=True)
+    for _ in range(BFS_ROUNDS):
+        relaxed = edges.join(dist, edges.a == dist.doc_id).select(
+            F.col("b").alias("doc_id"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("doc_id")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the label-propagation communities.
+# ---------------------------------------------------------------------------
+_MOD_CONTRIB = "CAST(num_c AS DOUBLE) / (CAST(tm AS DOUBLE) * CAST(tm AS DOUBLE))"
+_MOD_TOTAL = "CAST(num_tot AS DOUBLE) / (CAST(tm AS DOUBLE) * CAST(tm AS DOUBLE))"
+
+
+_SQL_MOD_TAIL = f"""
+    tm AS (SELECT count(*)::BIGINT AS tm FROM edges),
+    deg AS (SELECT a AS doc_id, count(*)::BIGINT AS deg FROM edges GROUP BY a),
+    lab AS (SELECT scheme, doc_id, community FROM lab_cc
+            UNION ALL SELECT scheme, doc_id, community FROM lab_lpa),
+    comm AS (
+      SELECT l.scheme, l.community, count(*)::BIGINT AS size,
+             sum(d.deg)::BIGINT AS degree_sum
+      FROM lab l JOIN deg d ON l.doc_id = d.doc_id
+      GROUP BY l.scheme, l.community),
+    intra AS (
+      SELECT la.scheme, la.community, count(*)::BIGINT AS intra2
+      FROM edges e
+      JOIN lab la ON e.a = la.doc_id
+      JOIN lab lb ON e.b = lb.doc_id AND la.scheme = lb.scheme
+      WHERE la.community = lb.community
+      GROUP BY la.scheme, la.community),
+    nums AS (
+      SELECT c.scheme, c.community, c.size, c.degree_sum,
+             coalesce(i.intra2, 0)::BIGINT AS intra2,
+             (coalesce(i.intra2, 0)::HUGEINT * tm.tm
+              - c.degree_sum::HUGEINT * c.degree_sum) AS num_c,
+             tm.tm AS tm
+      FROM comm c
+      LEFT JOIN intra i ON c.scheme = i.scheme AND c.community = i.community
+      CROSS JOIN tm),
+    tot AS (SELECT scheme, sum(num_c)::HUGEINT AS num_tot
+            FROM nums GROUP BY scheme)
+    SELECT n.scheme, n.community::BIGINT AS community, n.size, n.degree_sum,
+           {_fdiv("n.intra2", "2")} AS intra_edges,
+           floor(({_MOD_CONTRIB})*10000 + 0.5)/10000.0 AS contribution,
+           floor(({_MOD_TOTAL})*10000 + 0.5)/10000.0 AS modularity
+    FROM nums n JOIN tot t ON n.scheme = t.scheme
+    ORDER BY n.scheme, n.community
+    """
+
+
+@register(
+    "dup_community_modularity",
+    oracle=_SQL_DUP_EDGES.replace("WITH ", "WITH RECURSIVE ", 1).replace(
+        "edges AS (SELECT", "edges AS MATERIALIZED (SELECT"
+    )
+    + """,
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM edges),
+    reach(doc_id, root) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc_id),
+    lab_cc AS (SELECT 'components' AS scheme, doc_id,
+                      min(root)::BIGINT AS community
+               FROM reach GROUP BY doc_id),
+    l0 AS (SELECT DISTINCT a AS doc_id, a AS label FROM edges),"""
+    + ",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(LPA_ROUNDS))
+    + f""",
+    lab_lpa AS (SELECT 'label_prop' AS scheme, doc_id, label::BIGINT AS community
+                FROM l{LPA_ROUNDS}),"""
+    + _SQL_MOD_TAIL,
+)
+def q_dup_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q = Σ_c (intra_c/m − (d_c/2m)²) of TWO
+    partitions of the verified near-duplicate graph, side by side: the
+    connected components (what `dedup_clusters` remediates on) and the
+    synchronous label-propagation communities (`dup_label_propagation`).
+    Emitted per community (size, degree mass, intra edges, contribution)
+    with each partition's global Q on its rows — the "is this partition
+    better than random" gate.  The comparison is the point: on
+    pair-heavy dup graphs synchronous LPA oscillates (a two-node
+    component swaps labels every round and lands fragmented), so its Q
+    collapses toward 0 while the components partition scores near the
+    1 − Σ(d_c/2m)² ceiling — exactly the diagnosis that tells
+    remediation which label set to trust.
+
+    Exactness: with tm = 2m directed edges, Q = Σ_c num_c/tm² where
+    num_c = intra2_c·tm − d_c² is an exact HUGEINT/DECIMAL integer fold
+    (intra2 = directed intra-community edge count); ONE shared float
+    division per emitted value, floor-quantized to 4 dp.  intra2 is even
+    by symmetry, so intra_edges = intra2/2 is exact.
+
+    Scale: labels come from the iterative pointer-jump components /
+    fixed-round LPA already in the engine; modularity itself is one
+    edge-table join against the (broadcastable) label table plus two
+    partial-agg'd groupBys per partition — O(edges), no squares, no
+    iteration.
+    """
+    from .operators.dedup import connected_components
+
+    edges = _sym_edges(spark, sf_dir)
+    pairs = _shared_verified_pairs(spark, sf_dir)
+    cc = connected_components(pairs.select("id_1", "id_2")).select(
+        F.lit("components").alias("scheme"),
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("long").alias("community"),
+    )
+    lpa = q_dup_label_propagation(spark, sf_dir).select(
+        F.lit("label_prop").alias("scheme"),
+        "doc_id",
+        F.col("community").cast("long").alias("community"),
+    )
+    lab = cc.unionByName(lpa).localCheckpoint(eager=True)
+    tm = edges.agg(F.count(F.lit(1)).cast("long").alias("tm"))
+    deg = edges.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    comm = (
+        lab.join(deg, "doc_id")
+        .groupBy("scheme", "community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.sum("deg").cast("long").alias("degree_sum"),
+        )
+    )
+    la = lab.select(
+        F.col("doc_id").alias("a"), F.col("scheme").alias("pa"), F.col("community").alias("ca")
+    )
+    lb = lab.select(
+        F.col("doc_id").alias("b"), F.col("scheme").alias("pb"), F.col("community").alias("cb")
+    )
+    intra = (
+        edges.join(la, "a")
+        .join(lb, "b")
+        .filter((F.col("pa") == F.col("pb")) & (F.col("ca") == F.col("cb")))
+        .groupBy(F.col("pa").alias("scheme"), F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra2"))
+    )
+    nums = (
+        comm.join(intra, ["scheme", "community"], "left")
+        .withColumn("intra2", F.coalesce(F.col("intra2"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(tm))
+        .withColumn(
+            "num_c",
+            (
+                F.col("intra2").cast("decimal(38,0)") * F.col("tm")
+                - F.col("degree_sum").cast("decimal(38,0)") * F.col("degree_sum")
+            ).cast("decimal(38,0)"),
+        )
+    )
+    tot = nums.groupBy("scheme").agg(
+        F.sum("num_c").cast("decimal(38,0)").alias("num_tot")
+    )
+    return (
+        nums.join(F.broadcast(tot), "scheme")
+        .select(
+            "scheme",
+            F.col("community").cast("long").alias("community"),
+            "size",
+            "degree_sum",
+            F.expr(_fdiv("intra2", "2")).alias("intra_edges"),
+            F.expr(f"CAST(floor(({_MOD_CONTRIB})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+                "contribution"
+            ),
+            F.expr(f"CAST(floor(({_MOD_TOTAL})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+                "modularity"
+            ),
+        )
+        .orderBy("scheme", "community")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample autocorrelation of daily purchase revenue, lags 1..7.
+# ---------------------------------------------------------------------------
+ACF_MAX_LAG = 7
+_ACF = "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+
+
+@register(
+    "acf_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(floor(value*100 + 0.5)::BIGINT)::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    idx AS (
+      SELECT (day - (SELECT min(day) FROM daily))::BIGINT AS i, cents
+      FROM daily),
+    nst AS (
+      SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s FROM idx),
+    dev AS (
+      SELECT i, (nst.n * cents - nst.s)::BIGINT AS d FROM idx CROSS JOIN nst),
+    den AS (
+      SELECT sum(d::HUGEINT * d)::HUGEINT AS den FROM dev),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1}))::BIGINT AS lag),
+    num AS (
+      SELECT l.lag, count(*)::BIGINT AS n_pairs,
+             sum(a.d::HUGEINT * b.d)::HUGEINT AS num
+      FROM lags l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.i = a.i - l.lag
+      GROUP BY l.lag)
+    SELECT lag, n_pairs,
+           floor(({_ACF})*10000 + 0.5)/10000.0 AS acf
+    FROM num CROSS JOIN den
+    ORDER BY lag
+    """,
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of daily purchase revenue at lags
+    1..7: r_k = Σ_t (y_t−ȳ)(y_{t−k}−ȳ) / Σ_t (y_t−ȳ)² on the calendar-day
+    index — the weekly-seasonality detector beside `dow_chi_square`
+    (which tests counts, not revenue) and the model-selection input for
+    `seasonal_naive_backtest` (a spike at lag 7 justifies the seasonal
+    naive).  Missing calendar days simply contribute no pair at the lags
+    they'd anchor (standard irregular-series convention, identical in
+    both engines).
+
+    Exactness: deviations are n-scaled integers d_t = n·y_t − S (cents),
+    so numerator and denominator are exact HUGEINT/DECIMAL folds of
+    integer products; ONE shared float division per lag, floor-quantized
+    to 4 dp.  DECIMAL(38,0) holds n²·y²·n ≈ 10³·10²² at a decade of
+    100 TB-scale daily cents with room to spare.
+
+    Scale: the lag joins run on the AGGREGATE day table (one row per
+    day — decades fit in ~10⁴ rows, broadcastable), never on events;
+    upstream is one partial-agg'd groupBy(day) over the purchase slice.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    mind = daily.agg(F.min("day").alias("min_day"))
+    idx = daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff(F.col("day"), F.col("min_day")).cast("long").alias("i"),
+        "cents",
+    )
+    nst = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    dev = idx.crossJoin(F.broadcast(nst)).select(
+        "i", (F.col("n") * F.col("cents") - F.col("s")).cast("long").alias("d")
+    )
+    den = dev.agg(
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+        .cast("decimal(38,0)")
+        .alias("den")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("long").alias("lag"))
+    a = dev.select(F.col("i").alias("ia"), F.col("d").alias("da"))
+    b = dev.select(F.col("i").alias("ib"), F.col("d").alias("db"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ib") == F.col("ia") - F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("da").cast("decimal(38,0)") * F.col("db"))
+            .cast("decimal(38,0)")
+            .alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.expr(f"CAST(floor(({_ACF})*10000 + 0.5)/10000.0 AS DOUBLE)").alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction: weighted PageRank over token adjacency.
+# ---------------------------------------------------------------------------
+TEXTRANK_ROUNDS = 4
+TEXTRANK_MIN_DF = 5
+TEXTRANK_TOPK = 20
+
+
+def _textrank_round_sql(prev: str, cur: str) -> str:
+    """One weighted-PageRank round as an unrolled CTE: per-edge integer
+    contribution (w·r)//W_u (nonnegative, so `//`/`DIV` agree), damped
+    integer update — the `dup_graph_pagerank` arithmetic on the weighted
+    token graph."""
+    return f"""
+    {cur} AS MATERIALIZED (
+      SELECT e.v AS tok,
+             (150000 + (85 * sum((e.w * p.r) // e.wu)) // 100)::BIGINT AS r
+      FROM wedges e JOIN {prev} p ON e.u = p.tok
+      GROUP BY e.v)"""
+
+
+@register(
+    "textrank_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1) AS ord
+      FROM documents WHERE trim(text) != ''),
+    dfq AS (
+      SELECT tok FROM (SELECT DISTINCT doc_id, tok FROM toks)
+      GROUP BY tok HAVING count(*) >= {TEXTRANK_MIN_DF}),
+    adj AS (
+      SELECT a.tok AS u, b.tok AS v
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+      WHERE a.tok != b.tok
+        AND a.tok IN (SELECT tok FROM dfq) AND b.tok IN (SELECT tok FROM dfq)),
+    sym AS (SELECT u, v FROM adj UNION ALL SELECT v, u FROM adj),
+    edges AS (SELECT u, v, count(*)::BIGINT AS w FROM sym GROUP BY u, v),
+    strength AS (SELECT u, sum(w)::BIGINT AS wu FROM edges GROUP BY u),
+    wedges AS MATERIALIZED (
+      SELECT e.u, e.v, e.w, s.wu FROM edges e JOIN strength s ON e.u = s.u),
+    r0 AS (SELECT u AS tok, 1000000::BIGINT AS r FROM strength),"""
+    + ",".join(
+        _textrank_round_sql(f"r{i}", f"r{i + 1}") for i in range(TEXTRANK_ROUNDS)
+    )
+    + f"""
+    SELECT rk.tok, rk.r AS rank_micro, s.wu AS strength
+    FROM r{TEXTRANK_ROUNDS} rk JOIN strength s ON rk.tok = s.u
+    ORDER BY rk.r DESC, rk.tok LIMIT {TEXTRANK_TOPK}
+    """,
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the token adjacency graph — nodes are corpus tokens,
+    edges connect tokens adjacent in running text (window 2, both
+    directions), edge weight = corpus adjacency count; the top-20 ranks
+    are the corpus keywords.  This is the graph-centrality counterpart
+    of `tfidf_top_terms` (frequency-based) — TextRank promotes tokens
+    that glue many contexts together even when raw counts are modest.
+
+    Determinism: the `dup_graph_pagerank` integer arithmetic on a
+    weighted graph — per-edge contribution (w·r)//W_u is a nonnegative
+    integer (truncating and flooring division agree), damped update
+    150000 + (85·Σ)//100, 4 fixed rounds; ranks are exact integers under
+    any partitioning, mirrored by the unrolled-CTE oracle.
+
+    Scale: adjacency is a linear per-document array `transform` (no
+    self-join — O(tokens) pairs), cut to the df ≥ 5 vocabulary BEFORE
+    edge grouping, so the graph is bounded by the frequent-bigram type
+    count (Zipf keeps it tiny vs the corpus); each rank round is ONE
+    join of the edge list against the rank table plus a partial-agg'd
+    sum, eager-localCheckpointed to keep the plan constant-size.
+    """
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    dfq = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= TEXTRANK_MIN_DF)
+        .select("tok")
+    )
+    adj = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS u, t[i] AS v))")
+            ).alias("p")
+        )
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .join(F.broadcast(dfq.withColumnRenamed("tok", "u")), "u")
+        .join(F.broadcast(dfq.withColumnRenamed("tok", "v")), "v")
+        .select("u", "v")
+    )
+    sym = adj.unionAll(adj.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = sym.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    strength = edges.groupBy("u").agg(F.sum("w").cast("long").alias("wu"))
+    wedges = edges.join(strength, "u").localCheckpoint(eager=True)
+    ranks = strength.select(F.col("u").alias("tok")).withColumn(
+        "r", F.lit(1000000).cast("long")
+    )
+    for _ in range(TEXTRANK_ROUNDS):
+        ranks = (
+            wedges.join(ranks, wedges.u == ranks.tok)
+            .select(F.col("v"), F.expr("(w * r) DIV wu").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("v").alias("tok"),
+                (F.lit(150000) + F.expr("(85 * s) DIV 100")).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.join(strength, ranks.tok == strength.u)
+        .select("tok", F.col("r").alias("rank_micro"), F.col("wu").alias("strength"))
+        .orderBy(F.desc("rank_micro"), F.asc("tok"))
+        .limit(TEXTRANK_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-engine logistic regression by full-batch gradient descent.
+# ---------------------------------------------------------------------------
+LOGREG_ROUNDS = 8
+# Shared DOUBLE texts (identical operand order in both engines).  The
+# integer margin numerator m = 69·w0 + 3·w1·(2h−23) + 23·w2·(dw−3) clears
+# the feature denominators (23 and 3, LCD 69), so the sign test and every
+# float expression start from exact integers.
+_LR_M = "(69*w0 + 3*w1*h2 + 23*w2*d3)"
+_LR_P = f"(1.0/(1.0 + exp(0.0 - (CAST({_LR_M} AS DOUBLE)/69000000.0))))"
+_LR_Q = f"CAST(floor({_LR_P}*1000000.0 + 0.5) AS BIGINT)"
+_LR_LL = (
+    f"CAST(floor((CASE WHEN y = 1 THEN 0.0 - ln({_LR_P}) "
+    f"ELSE 0.0 - ln(1.0 - {_LR_P}) END)*1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def _logreg_round_sql(prev: str, cur: str) -> str:
+    """One full-batch GD round as an unrolled CTE: per-row quantized
+    residual e = q − y·1e6 (micro), three integer gradient sums, portable
+    floor-division weight update with learning rate 2."""
+    return f"""
+    g_{cur} AS MATERIALIZED (
+      SELECT sum(e)::HUGEINT AS g0,
+             sum(e * h2)::HUGEINT AS g1,
+             sum(e * d3)::HUGEINT AS g2,
+             count(*)::BIGINT AS n,
+             any_value(w0) AS w0, any_value(w1) AS w1, any_value(w2) AS w2
+      FROM (SELECT base.*, w.w0, w.w1, w.w2,
+                   ({_LR_Q} - y*1000000) AS e
+            FROM base CROSS JOIN {prev} w)),
+    {cur} AS MATERIALIZED (
+      SELECT (w0 - {_fdiv("2*g0", "n")})::BIGINT AS w0,
+             (w1 - {_fdiv("2*g1", "23*n")})::BIGINT AS w1,
+             (w2 - {_fdiv("2*g2", "3*n")})::BIGINT AS w2
+      FROM g_{cur})"""
+
+
+@register(
+    "logistic_regression_gd",
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             (2*hour(ts)::BIGINT - 23) AS h2,
+             ((CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) % 7) - 3) AS d3
+      FROM events),
+    w_0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2),"""
+    + ",".join(
+        _logreg_round_sql(f"w_{i}", f"w_{i + 1}") for i in range(LOGREG_ROUNDS)
+    )
+    + f"""
+    SELECT w.w0 AS w0_micro, w.w1 AS w1_micro, w.w2 AS w2_micro,
+           count(*)::BIGINT AS n,
+           sum(y)::BIGINT AS n_pos,
+           floor((sum(CASE WHEN ({_LR_M} >= 0) = (y = 1) THEN 1 ELSE 0 END) * 1.0
+                  / count(*)) * 10000 + 0.5)/10000.0 AS accuracy,
+           floor(((sum({_LR_LL}) * 1.0 / 1000000.0) / count(*)) * 10000 + 0.5)/10000.0
+             AS avg_logloss
+    FROM base CROSS JOIN w_{LOGREG_ROUNDS} w
+    GROUP BY w.w0, w.w1, w.w2
+    """,
+)
+def q_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained INSIDE the engine: P(purchase) from
+    hour-of-day and day-of-week by full-batch gradient descent — 8
+    unrolled rounds, each ONE partial-agg'd scan producing the three
+    gradient sums against broadcast weight scalars (the
+    sufficient-statistics shape every distributed GD/L-BFGS fit has).
+    Emits the fitted micro-weights plus training accuracy and mean
+    log-loss.  On this uniform synthetic corpus the signal is the base
+    rate — the intercept converges toward logit(P(purchase)) ≈ −1.4 and
+    the slopes stay near zero, which is itself the honest finding (the
+    calibration-over-discrimination regime `calibration_bins` measures).
+
+    Exactness: features are exact integer numerators over the LCD 69
+    (x1 = (2h−23)/23, x2 = (dw−3)/3, Sunday-0 day keys as in
+    `dow_chi_square`); the margin numerator is integer, the sigmoid is
+    ONE shared DOUBLE text whose per-row output is quantized to micro
+    BEFORE summing, gradient sums are HUGEINT/DECIMAL folds, and the
+    weight update is portable floor division (residuals go negative) —
+    so the weight trajectory is bit-identical under any partitioning and
+    in the unrolled-CTE oracle.  Accuracy's decision p ≥ 1/2 is the
+    INTEGER sign test m ≥ 0 — no float compare.
+
+    Scale: 8 scans × (map-side partial agg to 3 sums + a 1-row weight
+    update) — no shuffle wider than the 1-row aggregate; the events scan
+    is the whole cost, exactly like `ols_price_model`'s normal-equation
+    pass.  1-row eager localCheckpoints are the codegen barriers between
+    rounds (HANDOFF: >64 KB generated methods fall back to interpreted).
+    """
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("long").alias("y"),
+        (2 * F.hour("ts").cast("long") - 23).alias("h2"),
+        (((F.dayofweek(F.col("ts").cast("date")).cast("long") - 1) % 7) - 3).alias("d3"),
+    )
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("w0"),
+        F.lit(0).cast("long").alias("w1"),
+        F.lit(0).cast("long").alias("w2"),
+    )
+    for _ in range(LOGREG_ROUNDS):
+        g = (
+            base.crossJoin(F.broadcast(w))
+            .withColumn("e", F.expr(f"{_LR_Q} - y*1000000"))
+            .agg(
+                F.sum(F.col("e").cast("decimal(38,0)")).cast("decimal(38,0)").alias("g0"),
+                F.sum((F.col("e") * F.col("h2")).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias("g1"),
+                F.sum((F.col("e") * F.col("d3")).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias("g2"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.first("w0").alias("w0"),
+                F.first("w1").alias("w1"),
+                F.first("w2").alias("w2"),
+            )
+        )
+        w = g.select(
+            F.expr(f"CAST(w0 - {_fdiv('2*g0', 'n')} AS BIGINT)").alias("w0"),
+            F.expr(f"CAST(w1 - {_fdiv('2*g1', '23*n')} AS BIGINT)").alias("w1"),
+            F.expr(f"CAST(w2 - {_fdiv('2*g2', '3*n')} AS BIGINT)").alias("w2"),
+        ).localCheckpoint(eager=True)
+    return (
+        base.crossJoin(F.broadcast(w))
+        .groupBy("w0", "w1", "w2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.expr(
+                f"CAST(floor((sum(CASE WHEN ({_LR_M} >= 0) = (y = 1) THEN 1 ELSE 0 END) * 1.0"
+                f" / count(*)) * 10000 + 0.5)/10000.0 AS DOUBLE)"
+            ).alias("accuracy"),
+            F.expr(
+                f"CAST(floor(((sum({_LR_LL}) * 1.0 / 1000000.0) / count(*)) * 10000 + 0.5)"
+                f"/10000.0 AS DOUBLE)"
+            ).alias("avg_logloss"),
+        )
+        .select(
+            F.col("w0").alias("w0_micro"),
+            F.col("w1").alias("w1_micro"),
+            F.col("w2").alias("w2_micro"),
+            "n",
+            "n_pos",
+            "accuracy",
+            "avg_logloss",
+        )
+    )
