@@ -124,6 +124,9 @@ QUERIES = [
     "acf_daily_revenue",
     "textrank_keywords",
     "logistic_regression_gd",
+    "knn_loo_eval",
+    "mmr_diversify_topk",
+    "rocchio_prf_search",
 ]
 
 REGIMES = [

@@ -256,3 +256,166 @@ def test_logreg_matches_pure_python(spark):
     assert r.accuracy >= max(r.n_pos, n - r.n_pos) / n - 1e-9
     # intercept heads to logit(base rate) ≈ −1.40 at sf0.01
     assert -1_450_000 < r.w0_micro < -1_200_000
+
+
+def _emb_rows(sf_dir):
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT vec_id, label, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+
+
+def _dot(a, b):
+    # the engines' sequential left-to-right DOUBLE fold
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def test_knn_loo_eval_matches_pure_python(spark):
+    import hashlib
+
+    from vector_search_spark.registry_round6 import LOO_K, LOO_MOD
+
+    rows = _emb_rows(SF_TEST)
+    samp = [
+        r
+        for r in rows
+        if int(hashlib.md5(f"looeval{r[0]}".encode()).hexdigest()[:8], 16) % LOO_MOD == 0
+    ]
+    per_label = defaultdict(lambda: [0, 0])
+    for q in samp:
+        scored = sorted(
+            ((-_dot(q[2], c[2]), c[0], c[1]) for c in samp if c[0] != q[0])
+        )[:LOO_K]
+        votes = Counter(lbl for _, _, lbl in scored)
+        pred = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        per_label[q[1]][0] += 1
+        per_label[q[1]][1] += 1 if pred == q[1] else 0
+    expect = [
+        (lbl, n, c, _round4(c * 1.0 / n))
+        for lbl, (n, c) in sorted(per_label.items())
+    ]
+    got = [
+        (r.label, r.n_vecs, r.n_correct, r.accuracy)
+        for r in registry.QUERIES["knn_loo_eval"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    # on THIS synthetic corpus the labels are geometry-free, so LOO
+    # accuracy sits at the 10-class chance floor — the honest eval
+    # finding (a real embedding table scores far above it); the gate
+    # pins the harness, not the corpus.
+    overall = sum(c for _, _, c, _ in expect) / sum(n for _, n, _, _ in expect)
+    assert 0.03 < overall < 0.35
+
+
+def test_mmr_matches_pure_python_greedy(spark):
+    from vector_search_spark.registry_round6 import MMR_CAND, MMR_PICKS
+
+    rows = _emb_rows(SF_TEST)
+    qv = next(r[2] for r in rows if r[0] == 0)
+    scored = sorted(
+        ((-_dot(r[2], qv), r[0], r[1], r[2]) for r in rows if r[0] != 0)
+    )[:MMR_CAND]
+    cand = [
+        (vec_id, lbl, math.floor(-negs * 1000000 + 0.5), empb)
+        for negs, vec_id, lbl, empb in scored
+    ]
+    sim = {
+        (a[0], b[0]): math.floor(_dot(a[3], b[3]) * 1000000 + 0.5)
+        for a in cand
+        for b in cand
+        if a[0] != b[0]
+    }
+    selected = []
+    expect = []
+    for pick in range(1, MMR_PICKS + 1):
+        best = None
+        for vec_id, lbl, rel, _ in cand:
+            if vec_id in (s for s, _ in selected):
+                continue
+            ms = max((sim[(vec_id, s)] for s, _ in selected), default=0)
+            num = 7 * rel - 3 * ms
+            obj = num // 10  # python floordiv == portable _fdiv
+            if best is None or (obj, -vec_id) > (best[0], -best[1]):
+                best = (obj, vec_id, lbl)
+        selected.append((best[1], best[0]))
+        expect.append((pick, best[1], best[2], best[0]))
+    got = [
+        (r.pick, r.vec_id, r.label, r.mmr_micro)
+        for r in registry.QUERIES["mmr_diversify_topk"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+
+
+def test_rocchio_matches_pure_python(spark):
+    from vector_search_spark.registry_round6 import PRF_FB, PRF_TOPK
+
+    rows = _emb_rows(SF_TEST)
+    qv = next(r[2] for r in rows if r[0] == 0)
+    docs = [r for r in rows if r[0] != 0]
+    fb = sorted(((-_dot(r[2], qv), r[0], r[2]) for r in docs))[:PRF_FB]
+    dim = len(qv)
+    csum = [0] * dim
+    for _, _, e in fb:
+        for j in range(dim):
+            csum[j] += math.floor(float(e[j]) * 1000000 + 0.5)
+    qp = [
+        math.floor(float(qv[j]) * 1000000 + 0.5) + csum[j] // (2 * PRF_FB)
+        for j in range(dim)
+    ]
+    qpd = [float(x) for x in qp]
+    rescored = sorted(((-_dot(r[2], qpd), r[0], r[1]) for r in docs))[:PRF_TOPK]
+    expect = [
+        (vec_id, lbl, _round4(-negs / 1000000.0)) for negs, vec_id, lbl in rescored
+    ]
+    got = [
+        (r.vec_id, r.label, r.score)
+        for r in registry.QUERIES["rocchio_prf_search"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    # scores come out sorted (the emitted page is the ranked page)
+    assert [g[2] for g in got] == sorted((g[2] for g in got), reverse=True)
+
+
+def test_streaming_daily_cells_reproduce_batch_acf(spark):
+    """Drained streaming day cells must equal the batch daily series
+    exactly; the ACF computed from them must equal the batch query —
+    so the autocorrelation monitor is reproducible from streaming state."""
+    from vector_search_spark.streaming.events import (
+        stream_events_from_parquet,
+        streaming_daily_revenue_cells,
+    )
+
+    out = streaming_daily_revenue_cells(stream_events_from_parquet(spark, SF_TEST))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("daily_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = sorted(
+        (r.day, r.cents) for r in spark.sql("SELECT day, cents FROM daily_cells").collect()
+    )
+    batch = duckdb.connect().execute(
+        f"""SELECT CAST(ts AS DATE) AS day,
+                   sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS cents
+            FROM '{SF_TEST}/events.parquet'
+            WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    assert drained == [tuple(r) for r in batch]
+
+    # ACF recomputed from the drained state == the registry query's output
+    d0 = min(d for d, _ in drained)
+    series = {(d - d0).days: int(c) for d, c in drained}
+    n = len(series)
+    s = sum(series.values())
+    dev = {i: n * c - s for i, c in series.items()}
+    den = sum(d * d for d in dev.values())
+    got = registry.QUERIES["acf_daily_revenue"](spark, SF_TEST).collect()
+    for r in got:
+        num = sum(dev[i] * dev[i - r.lag] for i in dev if i - r.lag in dev)
+        assert r.acf == _round4(float(num) / float(den))

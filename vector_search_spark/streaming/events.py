@@ -284,3 +284,25 @@ def streaming_spend_cells(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
+
+
+def streaming_daily_revenue_cells(events: DataFrame) -> DataFrame:
+    """Streaming twin of `acf_daily_revenue`'s sufficient statistics: the
+    per-day purchase cents sums maintained as a plain streaming
+    aggregation.  Cents are commutative integer sums, so the drained
+    stream's final day table equals the batch daily series EXACTLY under
+    any micro-batch split — and the ACF at every lag is a deterministic
+    function of that table (n-scaled integer deviations, exact folds),
+    so the autocorrelation monitor can run continuously without ever
+    rescanning history.  State is one row per day (decades ≈ 10⁴ rows),
+    the series itself, not the events.
+    """
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
