@@ -127,6 +127,12 @@ QUERIES = [
     "knn_loo_eval",
     "mmr_diversify_topk",
     "rocchio_prf_search",
+    "kaplan_meier_conversion",
+    "conformal_price_interval",
+    "decision_tree_depth2",
+    "graph_double_sweep_diameter",
+    "trimmed_mean_value",
+    "uplift_by_segment",
 ]
 
 REGIMES = [

@@ -419,3 +419,269 @@ def test_streaming_daily_cells_reproduce_batch_acf(spark):
     for r in got:
         num = sum(dev[i] * dev[i - r.lag] for i in dev if i - r.lag in dev)
         assert r.acf == _round4(float(num) / float(den))
+
+
+def test_kaplan_meier_matches_pure_python(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM '{SF_TEST}/events.parquet'"
+    ).fetchall()
+    horizon = max(r[1] for r in rows)
+    signup = {}
+    for u, us, et in rows:
+        if et == "signup" and (u not in signup or us < signup[u]):
+            signup[u] = us
+    first_p = {}
+    for u, us, et in rows:
+        if et == "purchase" and u in signup and us > signup[u]:
+            if u not in first_p or us < first_p[u]:
+                first_p[u] = us
+    durs = []
+    for u, s_us in signup.items():
+        if u in first_p:
+            durs.append(((first_p[u] - s_us) // 86_400_000_000, 1))
+        else:
+            durs.append(((horizon - s_us) // 86_400_000_000, 0))
+    days = sorted({d for d, _ in durs})
+    ev_c = Counter(d for d, e in durs if e)
+    cen_c = Counter(d for d, e in durs if not e)
+    expect = []
+    cum_ln = 0
+    for d in days:
+        n_risk = sum(ev_c[x] + cen_c[x] for x in days if x >= d)
+        if ev_c[d] > 0 and n_risk > ev_c[d]:
+            cum_ln += math.floor(
+                math.log((n_risk - ev_c[d]) / n_risk) * 1000000.0 + 0.5
+            )
+            expect.append(
+                (d, n_risk, ev_c[d], cen_c[d], _round4(math.exp(cum_ln / 1000000.0)))
+            )
+    got = [
+        (r.duration_days, r.n_risk, r.n_events, r.n_censored, r.survival)
+        for r in registry.QUERIES["kaplan_meier_conversion"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    # survival is a proper decreasing curve starting below 1
+    survs = [g[4] for g in got]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+    assert 0 < survs[-1] < survs[0] < 1
+
+
+def test_conformal_matches_pure_python_and_covers(spark):
+    import hashlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+                   CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+            FROM '{SF_TEST}/lineitem.parquet'"""
+    ).fetchall()
+    split = []
+    for ok, ln, rf, ls, y in rows:
+        b = int(hashlib.md5(f"conf{ok}-{ln}".encode()).hexdigest()[:8], 16) % 5
+        split.append((b, rf, ls, y))
+    tr = [(rf, ls, y) for b, rf, ls, y in split if b <= 2]
+    mu = {}
+    agg = defaultdict(lambda: [0, 0])
+    for rf, ls, y in tr:
+        agg[(rf, ls)][0] += y
+        agg[(rf, ls)][1] += 1
+    for k, (s, n) in agg.items():
+        mu[k] = s // n
+    cal = sorted(
+        abs(y - mu[(rf, ls)]) for b, rf, ls, y in split if b == 3
+    )
+    n_cal = len(cal)
+    k = (9 * (n_cal + 1) + 9) // 10
+    q_hat = cal[k - 1]
+    test = [abs(y - mu[(rf, ls)]) for b, rf, ls, y in split if b == 4]
+    cov = sum(1 for r in test if r <= q_hat) / len(test)
+    r = registry.QUERIES["conformal_price_interval"](spark, SF_TEST).collect()[0]
+    assert (r.n_train, r.n_cal, r.n_test, r.q_hat_cents) == (
+        len(tr),
+        n_cal,
+        len(test),
+        q_hat,
+    )
+    assert r.coverage == _round4(cov)
+    # the split-conformal guarantee, realized on the held-out slice
+    assert 0.85 <= r.coverage <= 0.95
+
+
+def test_tree_depth2_matches_pure_python(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(floor(l_quantity + 0.5) AS BIGINT),
+                   CAST(floor(l_discount*100 + 0.5) AS BIGINT),
+                   CAST(floor(l_tax*100 + 0.5) AS BIGINT),
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+            FROM '{SF_TEST}/lineitem.parquet'"""
+    ).fetchall()
+    feats = ["quantity", "discount_pct", "tax_pct"]
+
+    def gini_gain(nl, pl, n, p):
+        # mirrors registry_ml._gini_gain's operand order exactly
+        nd, pd = float(n), float(p)
+        nld, pld = float(nl), float(pl)
+        nrd, prd = nd - nld, pd - pld
+        parent = 1.0 - (pd / nd) * (pd / nd) - ((nd - pd) / nd) * ((nd - pd) / nd)
+        left = 1.0 - (pld / nld) * (pld / nld) - ((nld - pld) / nld) * ((nld - pld) / nld)
+        right = 1.0 - (prd / nrd) * (prd / nrd) - ((nrd - prd) / nrd) * ((nrd - prd) / nrd)
+        return parent - ((nld / nd) * left + (nrd / nd) * right)
+
+    def best_split(subset):
+        n = len(subset)
+        p = sum(r[3] for r in subset)
+        best = None
+        for fi, fname in enumerate(feats):
+            hist = defaultdict(lambda: [0, 0])
+            for r in subset:
+                hist[r[fi]][0] += 1
+                hist[r[fi]][1] += r[3]
+            cum_n = cum_p = 0
+            for val in sorted(hist):
+                cum_n += hist[val][0]
+                cum_p += hist[val][1]
+                if cum_n >= n:
+                    continue
+                g = math.floor(gini_gain(cum_n, cum_p, n, p) * 1e9 + 0.5)
+                key = (-g, fname, val)
+                if best is None or key < best[0]:
+                    best = (key, (fname, val, g, n, p, cum_n, cum_p))
+        return best[1]
+
+    root = best_split(rows)
+    fidx = {f: i for i, f in enumerate(feats)}
+    left = [r for r in rows if r[fidx[root[0]]] <= root[1]]
+    right = [r for r in rows if r[fidx[root[0]]] > root[1]]
+    expect = []
+    for node, subset in (("left", left), ("right", right), ("root", rows)):
+        f, v, g, n, p, cn, cp = best_split(subset) if node != "root" else root
+        expect.append(
+            (node, f, v, _round4(g / 1e9), n, p, cn, cp, n - cn, p - cp)
+        )
+    got = [
+        (
+            r.node,
+            r.feature,
+            r.threshold,
+            r.gain,
+            r.n_node,
+            r.pos_node,
+            r.n_left,
+            r.pos_left,
+            r.n_right,
+            r.pos_right,
+        )
+        for r in registry.QUERIES["decision_tree_depth2"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    # the tree is a refinement: children partition the root's rows
+    assert got[0][4] + got[1][4] == got[2][4]
+    assert got[0][5] + got[1][5] == got[2][5]
+
+
+def test_double_sweep_matches_pure_python(spark):
+    from vector_search_spark.registry_round6 import DIAM_ROUNDS
+
+    edges = _edges(spark, SF_TEST)
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+    comp = _cc_labels(edges)
+    comps = defaultdict(list)
+    for v, c in comp.items():
+        comps[c].append(v)
+
+    def bfs(seed, rounds):
+        dist = {seed: 0}
+        for _ in range(rounds):
+            nxt = dict(dist)
+            for u in list(dist):
+                for w in nbrs[u]:
+                    if w not in nxt or dist[u] + 1 < nxt[w]:
+                        nxt[w] = dist[u] + 1
+            dist = nxt
+        return dist
+
+    expect = []
+    for c in sorted(comps):
+        d1 = bfs(c, DIAM_ROUNDS)
+        ecc_node = min((v for v in d1), key=lambda v: (-d1[v], v))
+        d2 = bfs(ecc_node, DIAM_ROUNDS)
+        expect.append((c, len(comps[c]), ecc_node, max(d2.values())))
+    got = [
+        (r.component, r.n_nodes, r.ecc_node, r.diameter_lb)
+        for r in registry.QUERIES["graph_double_sweep_diameter"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    # every component is at least an edge
+    assert all(d >= 1 for _, n, _, d in got if n >= 2)
+
+
+def test_trimmed_mean_matches_sorted_python(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT)
+            FROM '{SF_TEST}/events.parquet'"""
+    ).fetchall()
+    per = defaultdict(list)
+    for et, c in rows:
+        per[et].append(c)
+    expect = []
+    for et in sorted(per):
+        vals = sorted(per[et])
+        n = len(vals)
+        k = n // 10
+        kept = vals[k : n - k]
+        expect.append(
+            (
+                et,
+                n,
+                k,
+                _round4((float(sum(kept)) / float(len(kept))) / 100.0),
+                _round4((float(sum(vals)) / float(n)) / 100.0),
+            )
+        )
+    got = [
+        (r.event_type, r.n, r.n_trimmed_each_side, r.trimmed_mean, r.raw_mean)
+        for r in registry.QUERIES["trimmed_mean_value"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+
+
+def test_uplift_matches_pure_python_and_reads_null(spark):
+    import hashlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT user_id, count(*),
+                   sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+            FROM '{SF_TEST}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # n_t, n_c, conv_t, conv_c
+    for u, n_ev, pc in rows:
+        seg = "low" if n_ev < 62 else ("mid" if n_ev < 72 else "high")
+        arm = int(hashlib.md5(f"uplift{u}".encode()).hexdigest()[:8], 16) % 2
+        conv = 1 if pc >= 14 else 0
+        c = cells[seg]
+        if arm == 1:
+            c[0] += 1
+            c[2] += conv
+        else:
+            c[1] += 1
+            c[3] += conv
+    expect = []
+    for seg in sorted(cells):
+        n_t, n_c, ct, cc_ = cells[seg]
+        up = float(ct) / float(n_t) - float(cc_) / float(n_c)
+        pp = (float(ct) + float(cc_)) / (float(n_t) + float(n_c))
+        z = up / math.sqrt(pp * (1.0 - pp) * (1.0 / float(n_t) + 1.0 / float(n_c)))
+        expect.append((seg, n_t, n_c, ct, cc_, _round4(up), _round4(z)))
+    got = [
+        (r.segment, r.n_t, r.n_c, r.conv_t, r.conv_c, r.uplift, r.z)
+        for r in registry.QUERIES["uplift_by_segment"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    # md5 arms are exchangeable: the A/A read must be null in every segment
+    assert all(abs(z) < 3.5 for *_, z in got)

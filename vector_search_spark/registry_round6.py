@@ -21,6 +21,18 @@ eval/diversification):
   the exact top-20 KNN candidates (5 unrolled greedy picks).
 - ``rocchio_prf_search``       — Rocchio pseudo-relevance-feedback query
   expansion (micro-quantized centroid blend, exact re-scan).
+- ``kaplan_meier_conversion``  — Kaplan–Meier signup→purchase survival
+  with right censoring (micro-nat log folds over exact risk sets).
+- ``conformal_price_interval`` — split-conformal interval around a
+  group-mean model (exact order-statistic q̂, held-out coverage ≈ 0.9).
+- ``decision_tree_depth2``     — level-wise histogram-grown Gini tree
+  (two scans, (node, feature, bin) histograms, nano-quantized argmax).
+- ``graph_double_sweep_diameter`` — per-component diameter lower bound
+  (two fixed-round multi-component BFS sweeps, frontier-as-a-column).
+- ``trimmed_mean_value``       — exact 10% two-sided trimmed mean via the
+  value-histogram route (no per-row ranks, tie-exact trim boundaries).
+- ``uplift_by_segment``        — user-level md5 A/A uplift with pooled
+  two-proportion z per activity segment (null read expected and asserted).
 
 House invariants throughout: integer-only iteration state, shared SQL
 expression text for every emitted float, ``round4`` on emitted floats,
@@ -1047,3 +1059,838 @@ def q_rocchio_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier conversion survival (signup → first purchase, censored).
+# ---------------------------------------------------------------------------
+_KM_LNFAC = (
+    "CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+_KM_SURV = "exp(CAST(cum_ln AS DOUBLE) / 1000000.0)"
+
+
+@register(
+    "kaplan_meier_conversion",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+    horizon AS (SELECT max(us)::BIGINT AS h FROM e),
+    t0 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'signup' THEN us END)::BIGINT AS s_us
+      FROM e GROUP BY user_id HAVING s_us IS NOT NULL),
+    conv AS (
+      SELECT t0.user_id, t0.s_us,
+             min(CASE WHEN e.event_type = 'purchase' AND e.us > t0.s_us
+                      THEN e.us END)::BIGINT AS p_us
+      FROM t0 JOIN e ON e.user_id = t0.user_id
+      GROUP BY t0.user_id, t0.s_us),
+    dur AS (
+      SELECT user_id,
+             CASE WHEN p_us IS NOT NULL THEN (p_us - s_us) // 86400000000
+                  ELSE ((SELECT h FROM horizon) - s_us) // 86400000000
+             END AS d,
+             CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM conv),
+    days AS (
+      SELECT d, sum(ev)::BIGINT AS n_events,
+             sum(1 - ev)::BIGINT AS n_censored
+      FROM dur GROUP BY d),
+    risk AS (
+      SELECT d, n_events, n_censored,
+             sum(n_events + n_censored)
+               OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING)::BIGINT AS n_risk
+      FROM days),
+    evd AS (
+      SELECT d, n_risk, n_events, n_censored,
+             {_KM_LNFAC} AS lnfac
+      FROM risk WHERE n_events > 0 AND n_risk > n_events),
+    surv AS (
+      SELECT d, n_risk, n_events, n_censored,
+             sum(lnfac) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_ln
+      FROM evd)
+    SELECT d::BIGINT AS duration_days, n_risk, n_events, n_censored,
+           floor(({_KM_SURV})*10000 + 0.5)/10000.0 AS survival
+    FROM surv ORDER BY duration_days
+    """,
+)
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for signup→first-purchase conversion
+    with right censoring: per user, duration = days from first signup to
+    first strictly-later purchase, censored at the data horizon when no
+    purchase follows; S(d) = Π_{{event days ≤ d}} (1 − d_i/n_i) over
+    risk sets that shrink by both events and censorings — THE estimator
+    for "how long until users convert" that naive latency averages get
+    wrong by silently dropping the users who never did (compare
+    `conversion_latency_percentiles`, which conditions on conversion).
+
+    Exactness: durations and risk-set counts are exact integers; each
+    event day contributes ONE shared ln((n−d)/n) quantized to micro-nats
+    BEFORE the cumulative sum (an ordered prefix sum over the day-level
+    aggregate — deterministic under any partitioning); survival is
+    exp(cum/1e6) floor-quantized on emit.  Days with n_events = 0 add no
+    factor (censoring-only days shape n_risk, not S), matching the
+    estimator's definition.
+
+    Scale: everything upstream is two partial-agg'd groupBys over events
+    (per-user firsts, then per-day counts); the windows run on the
+    AGGREGATE day table (one row per duration day — decades ≈ 10⁴ rows),
+    so the unpartitioned prefix sums cost nothing at any corpus size.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_type",
+    )
+    horizon = ev.agg(F.max("us").cast("long").alias("h"))
+    t0 = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("us")))
+            .cast("long")
+            .alias("s_us")
+        )
+        .filter(F.col("s_us").isNotNull())
+    )
+    conv = (
+        t0.join(ev, "user_id")
+        .groupBy("user_id", "s_us")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("us") > F.col("s_us")),
+                    F.col("us"),
+                )
+            )
+            .cast("long")
+            .alias("p_us")
+        )
+    )
+    dur = conv.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("p_us").isNotNull(),
+            F.expr("(p_us - s_us) DIV 86400000000"),
+        )
+        .otherwise(F.expr("(h - s_us) DIV 86400000000"))
+        .alias("d"),
+        F.when(F.col("p_us").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    days = dur.groupBy("d").agg(
+        F.sum("ev").cast("long").alias("n_events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("n_censored"),
+    )
+    w_risk = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = days.withColumn(
+        "n_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_risk).cast("long"),
+    )
+    evd = risk.filter((F.col("n_events") > 0) & (F.col("n_risk") > F.col("n_events"))).withColumn(
+        "lnfac", F.expr(_KM_LNFAC)
+    )
+    w_surv = Window.orderBy(F.asc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    surv = evd.withColumn("cum_ln", F.sum("lnfac").over(w_surv).cast("long"))
+    return surv.select(
+        F.col("d").cast("long").alias("duration_days"),
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.expr(f"CAST(floor(({_KM_SURV})*10000 + 0.5)/10000.0 AS DOUBLE)").alias("survival"),
+    ).orderBy("duration_days")
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval for a group-mean price model.
+# ---------------------------------------------------------------------------
+CONF_ALPHA_NUM = 9  # nominal coverage 9/10
+_CONF_Y = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+_CONF_BUCKET = (
+    "('0x' || substr(md5('conf' || CAST(l_orderkey AS VARCHAR) || '-' "
+    "|| CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 5"
+)
+
+
+@register(
+    "conformal_price_interval",
+    oracle=f"""
+    WITH li AS MATERIALIZED (
+      SELECT l_returnflag AS rf, l_linestatus AS ls, {_CONF_Y} AS y,
+             {_CONF_BUCKET} AS bucket
+      FROM lineitem),
+    model AS (
+      SELECT rf, ls, {_fdiv("sum(y)", "count(*)")} AS mu
+      FROM li WHERE bucket <= 2 GROUP BY rf, ls),
+    cal AS (
+      SELECT abs(li.y - m.mu)::BIGINT AS r
+      FROM li JOIN model m ON li.rf = m.rf AND li.ls = m.ls
+      WHERE li.bucket = 3),
+    ncal AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+    rk AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal),
+    qhat AS (
+      SELECT min(r)::BIGINT AS q FROM rk CROSS JOIN ncal
+      WHERE rn >= (({CONF_ALPHA_NUM} * (n_cal + 1)) + 9) // 10),
+    test AS (
+      SELECT abs(li.y - m.mu)::BIGINT AS r
+      FROM li JOIN model m ON li.rf = m.rf AND li.ls = m.ls
+      WHERE li.bucket = 4),
+    ntr AS (SELECT count(*)::BIGINT AS n_train FROM li WHERE bucket <= 2)
+    SELECT ntr.n_train, ncal.n_cal,
+           count(*)::BIGINT AS n_test,
+           qhat.q AS q_hat_cents,
+           CAST(0.9 AS DOUBLE) AS nominal,
+           floor((sum(CASE WHEN test.r <= qhat.q THEN 1 ELSE 0 END) * 1.0
+                  / count(*)) * 10000 + 0.5)/10000.0 AS coverage
+    FROM test CROSS JOIN qhat CROSS JOIN ncal CROSS JOIN ntr
+    GROUP BY ntr.n_train, ncal.n_cal, qhat.q
+    """,
+)
+def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval around a group-mean price
+    model: fit per-(returnflag, linestatus) mean prices on an md5 60%
+    train split, take q̂ = the ⌈0.9·(n+1)⌉-th smallest absolute residual
+    on a disjoint calibration split, and report empirical coverage of
+    μ ± q̂ on the held-out test split — the distribution-free interval
+    whose ≥90% marginal coverage holds for ANY model, which is why
+    conformal calibration is the production way to ship uncertainty
+    from an engine that can't retrain per query.  Coverage landing near
+    0.9 on the test split is the estimator working as guaranteed.
+
+    Exactness: cents targets and md5 buckets are integers; the model is
+    portable floor-division means; q̂ is an exact order statistic
+    (min r with rank ≥ ⌈0.9(n+1)⌉, the ceiling done in integers as
+    (9(n+1)+9)//10); coverage is one integer count with a single float
+    division on emit.
+
+    Scale: the fit is one groupBy over the train slice (6 groups); the
+    quantile is a rank selection on the calibration slice (range-
+    partitioned sort at cluster scale — the same global-order machinery
+    the percentile queries use); coverage is one broadcast-joined scan
+    of the test slice.  No step touches more than one pass over each
+    split.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.expr(_CONF_Y).alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("conf"),
+                            F.col("l_orderkey").cast("string"),
+                            F.lit("-"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("bucket"),
+    )
+    model = (
+        li.filter(F.col("bucket") <= 2)
+        .groupBy("rf", "ls")
+        .agg(F.expr(_fdiv("sum(y)", "count(*)")).alias("mu"))
+    )
+    joined = li.join(F.broadcast(model), ["rf", "ls"])
+    cal = joined.filter(F.col("bucket") == 3).select(
+        F.abs(F.col("y") - F.col("mu")).cast("long").alias("r")
+    )
+    ncal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    w = Window.orderBy("r")
+    qhat = (
+        cal.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(ncal))
+        .filter(F.col("rn") >= F.expr(f"(({CONF_ALPHA_NUM} * (n_cal + 1)) + 9) DIV 10"))
+        .agg(F.min("r").cast("long").alias("q"))
+    )
+    ntr = li.filter(F.col("bucket") <= 2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
+    test = joined.filter(F.col("bucket") == 4).select(
+        F.abs(F.col("y") - F.col("mu")).cast("long").alias("r")
+    )
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(ncal))
+        .crossJoin(F.broadcast(ntr))
+        .groupBy("n_train", "n_cal", "q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.expr(
+                "CAST(floor((sum(CASE WHEN r <= q THEN 1 ELSE 0 END) * 1.0"
+                " / count(*)) * 10000 + 0.5)/10000.0 AS DOUBLE)"
+            ).alias("coverage"),
+        )
+        .select(
+            "n_train",
+            "n_cal",
+            "n_test",
+            F.col("q").alias("q_hat_cents"),
+            F.lit(0.9).cast("double").alias("nominal"),
+            "coverage",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Depth-2 decision tree (level-wise histogram growth) on the returns label.
+# ---------------------------------------------------------------------------
+def _tree_oracle() -> str:
+    from .registry_ml import _STUMP_FEATURES, _STUMP_LABEL, _gini_gain
+
+    val_branches = "\n      UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr} AS val, {_STUMP_LABEL} AS pos"
+        f" FROM lineitem"
+        for name, expr in _STUMP_FEATURES
+    )
+    tagged_branches = "\n      UNION ALL ".join(
+        f"SELECT node, '{name}' AS feature, {expr} AS val, pos FROM tag_li"
+        for name, expr in _STUMP_FEATURES
+    )
+    chosen_val = (
+        "CASE r.feature "
+        + " ".join(f"WHEN '{name}' THEN {expr}" for name, expr in _STUMP_FEATURES)
+        + " END"
+    )
+    gain = _gini_gain("cum_n", "cum_pos", "n_tot", "pos_tot")
+    return f"""
+    WITH base AS MATERIALIZED ({val_branches}),
+    agg0 AS (
+      SELECT feature, val, count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS pos
+      FROM base GROUP BY 1, 2),
+    cum0 AS (
+      SELECT feature, val, (sum(cnt) OVER w)::BIGINT AS cum_n,
+             (sum(pos) OVER w)::BIGINT AS cum_pos,
+             (sum(cnt) OVER (PARTITION BY feature))::BIGINT AS n_tot,
+             (sum(pos) OVER (PARTITION BY feature))::BIGINT AS pos_tot
+      FROM agg0
+      WINDOW w AS (PARTITION BY feature ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    root AS MATERIALIZED (
+      SELECT feature, val, cum_n, cum_pos, n_tot, pos_tot,
+             floor(({gain})*1000000000 + 0.5)::BIGINT AS gain_nano
+      FROM cum0 WHERE cum_n < n_tot
+      ORDER BY floor(({gain})*1000000000 + 0.5) DESC, feature, val LIMIT 1),
+    tag_li AS MATERIALIZED (
+      SELECT lineitem.*, {_STUMP_LABEL} AS pos,
+             CASE WHEN ({chosen_val}) <= r.val
+                  THEN 'left' ELSE 'right' END AS node
+      FROM lineitem CROSS JOIN root r),
+    tagged AS MATERIALIZED ({tagged_branches}),
+    agg1 AS (
+      SELECT node, feature, val, count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS pos
+      FROM tagged GROUP BY 1, 2, 3),
+    cum1 AS (
+      SELECT node, feature, val, (sum(cnt) OVER w)::BIGINT AS cum_n,
+             (sum(pos) OVER w)::BIGINT AS cum_pos,
+             (sum(cnt) OVER (PARTITION BY node, feature))::BIGINT AS n_tot,
+             (sum(pos) OVER (PARTITION BY node, feature))::BIGINT AS pos_tot
+      FROM agg1
+      WINDOW w AS (PARTITION BY node, feature ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    childbest AS (
+      SELECT node, feature, val, cum_n, cum_pos, n_tot, pos_tot, gain_nano
+      FROM (
+        SELECT *, floor(({gain})*1000000000 + 0.5)::BIGINT AS gain_nano,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY floor(({gain})*1000000000 + 0.5) DESC,
+                                           feature, val) AS rn
+        FROM cum1 WHERE cum_n < n_tot)
+      WHERE rn = 1),
+    allnodes AS (
+      SELECT 'root' AS node, feature, val, cum_n, cum_pos, n_tot, pos_tot, gain_nano
+      FROM root
+      UNION ALL
+      SELECT node, feature, val, cum_n, cum_pos, n_tot, pos_tot, gain_nano
+      FROM childbest)
+    SELECT node, feature, val AS threshold,
+           floor((gain_nano / 1000000000.0)*10000 + 0.5)/10000.0 AS gain,
+           n_tot AS n_node, pos_tot AS pos_node,
+           cum_n AS n_left, cum_pos AS pos_left,
+           (n_tot - cum_n)::BIGINT AS n_right,
+           (pos_tot - cum_pos)::BIGINT AS pos_right
+    FROM allnodes ORDER BY node
+    """
+
+
+@register("decision_tree_depth2", oracle=_tree_oracle())
+def q_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 decision tree on the lineitem returns label, grown
+    level-wise with the histogram algorithm: the root split is the exact
+    Gini-gain argmax over all (feature, threshold) cells (the
+    `decision_stump_returns` search, globalized); rows are then tagged
+    left/right by ONE broadcast scalar, and each child runs the same
+    histogram search on its slice — i.e. exactly how XGBoost/LightGBM
+    grow a level, with the (node, feature, bin) histogram as the only
+    shuffled state.  Emits root + both children with thresholds, gains
+    and branch class counts.
+
+    Determinism: histogram counts are exact integers; the Gini gain is
+    ONE shared DOUBLE text (fixed operand order) nano-quantized before
+    every argmax; argmax ties break (feature, val); the left/right tag
+    compares the chosen feature's INTEGER value to the integer
+    threshold.  Child nodes whose slice cannot split (single distinct
+    value) would simply emit no row.
+
+    Scale: two scans — one per tree level, NOT one per candidate split:
+    each level is a partial-agg'd (node, feature, bin) histogram
+    (bounded by Σ|feature domains| × nodes, ~320 cells here) plus a
+    1-row TakeOrderedAndProject argmax broadcast back.  This is the
+    reason histogram-based trees train on 100 TB: the shuffle carries
+    histograms, never rows.
+    """
+    from .registry_ml import _STUMP_FEATURES, _STUMP_LABEL, _gini_gain
+
+    li = _t(spark, sf_dir, "lineitem")
+    fv = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(name).alias("feature"), F.expr(expr).alias("val"))
+                for name, expr in _STUMP_FEATURES
+            ]
+        )
+    ).alias("fv")
+    base = li.select(fv, F.expr(_STUMP_LABEL).alias("pos")).select(
+        "fv.feature", "fv.val", "pos"
+    )
+    gain = _gini_gain("cum_n", "cum_pos", "n_tot", "pos_tot")
+
+    def _best(df: DataFrame, keys: list[str]) -> DataFrame:
+        agg = df.groupBy(*keys, "feature", "val").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("pos"),
+        )
+        w = (
+            Window.partitionBy(*keys, "feature")
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wt = Window.partitionBy(*keys, "feature")
+        cum = agg.select(
+            *keys,
+            "feature",
+            "val",
+            F.sum("cnt").over(w).cast("long").alias("cum_n"),
+            F.sum("pos").over(w).cast("long").alias("cum_pos"),
+            F.sum("cnt").over(wt).cast("long").alias("n_tot"),
+            F.sum("pos").over(wt).cast("long").alias("pos_tot"),
+        ).filter(F.col("cum_n") < F.col("n_tot"))
+        scored = cum.withColumn(
+            "gain_nano", F.expr(f"CAST(floor(({gain})*1000000000 + 0.5) AS BIGINT)")
+        )
+        if keys:
+            wr = Window.partitionBy(*keys).orderBy(
+                F.desc("gain_nano"), F.asc("feature"), F.asc("val")
+            )
+            return scored.withColumn("rn", F.row_number().over(wr)).filter(
+                F.col("rn") == 1
+            ).drop("rn")
+        return scored.orderBy(F.desc("gain_nano"), F.asc("feature"), F.asc("val")).limit(1)
+
+    root = _best(base, []).localCheckpoint(eager=True)
+    chosen_val = (
+        "CASE r_feature "
+        + " ".join(f"WHEN '{name}' THEN {expr}" for name, expr in _STUMP_FEATURES)
+        + " END"
+    )
+    tagged = (
+        li.crossJoin(
+            F.broadcast(
+                root.select(
+                    F.col("feature").alias("r_feature"), F.col("val").alias("r_val")
+                )
+            )
+        )
+        .withColumn(
+            "node",
+            F.when(F.expr(chosen_val) <= F.col("r_val"), F.lit("left")).otherwise(
+                F.lit("right")
+            ),
+        )
+        .select("node", fv, F.expr(_STUMP_LABEL).alias("pos"))
+        .select("node", "fv.feature", "fv.val", "pos")
+    )
+    childbest = _best(tagged, ["node"])
+    allnodes = root.withColumn("node", F.lit("root")).select(
+        "node", "feature", "val", "cum_n", "cum_pos", "n_tot", "pos_tot", "gain_nano"
+    ).unionByName(
+        childbest.select(
+            "node", "feature", "val", "cum_n", "cum_pos", "n_tot", "pos_tot", "gain_nano"
+        )
+    )
+    return allnodes.select(
+        "node",
+        "feature",
+        F.col("val").alias("threshold"),
+        F.expr(
+            "CAST(floor((gain_nano / 1000000000.0)*10000 + 0.5)/10000.0 AS DOUBLE)"
+        ).alias("gain"),
+        F.col("n_tot").alias("n_node"),
+        F.col("pos_tot").alias("pos_node"),
+        F.col("cum_n").alias("n_left"),
+        F.col("cum_pos").alias("pos_left"),
+        (F.col("n_tot") - F.col("cum_n")).cast("long").alias("n_right"),
+        (F.col("pos_tot") - F.col("cum_pos")).cast("long").alias("pos_right"),
+    ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Double-sweep diameter lower bound per dup-graph component.
+# ---------------------------------------------------------------------------
+DIAM_ROUNDS = 6
+
+
+def _sweep_sql(tag: str, start: str, rounds: int) -> str:
+    """Unrolled per-component BFS: state (comp, doc_id, dist), each round
+    relaxes over the edge list and keeps the min per (comp, node)."""
+    ctes = []
+    prev = start
+    for i in range(rounds):
+        cur = f"{tag}{i + 1}"
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+      SELECT comp, doc_id, min(dist)::BIGINT AS dist FROM (
+        SELECT comp, doc_id, dist FROM {prev}
+        UNION ALL
+        SELECT p.comp, e.b AS doc_id, p.dist + 1 AS dist
+        FROM edges e JOIN {prev} p ON e.a = p.doc_id) u
+      GROUP BY comp, doc_id)"""
+        )
+        prev = cur
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_double_sweep_diameter",
+    oracle=_SQL_DUP_EDGES.replace("WITH ", "WITH RECURSIVE ", 1).replace(
+        "edges AS (SELECT", "edges AS MATERIALIZED (SELECT"
+    )
+    + f""",
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM edges),
+    reach(doc_id, root) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc_id),
+    cc AS MATERIALIZED (SELECT doc_id, min(root)::BIGINT AS comp
+                        FROM reach GROUP BY doc_id),
+    s0 AS (SELECT comp, comp AS doc_id, 0::BIGINT AS dist FROM cc GROUP BY comp),
+    {_sweep_sql("s", "s0", DIAM_ROUNDS)},
+    far AS MATERIALIZED (
+      SELECT comp, doc_id AS ecc_node, dist AS ecc FROM (
+        SELECT comp, doc_id, dist,
+               row_number() OVER (PARTITION BY comp
+                                  ORDER BY dist DESC, doc_id) AS rn
+        FROM s{DIAM_ROUNDS}) x WHERE rn = 1),
+    t0 AS (SELECT comp, ecc_node AS doc_id, 0::BIGINT AS dist FROM far),
+    {_sweep_sql("t", "t0", DIAM_ROUNDS)},
+    sz AS (SELECT comp, count(*)::BIGINT AS n_nodes FROM cc GROUP BY comp)
+    SELECT f.comp AS component, sz.n_nodes, f.ecc_node,
+           max(t.dist)::BIGINT AS diameter_lb
+    FROM t{DIAM_ROUNDS} t
+    JOIN far f ON t.comp = f.comp
+    JOIN sz ON sz.comp = f.comp
+    GROUP BY f.comp, sz.n_nodes, f.ecc_node
+    ORDER BY component
+    """,
+)
+def q_graph_double_sweep_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component diameter lower bound of the verified near-duplicate
+    graph by the double-sweep heuristic: BFS from each component's root
+    (its min doc_id), take the farthest node (the eccentric witness,
+    ties to the smallest id), BFS again from it — the second sweep's
+    max distance is the classic tight diameter lower bound (exact on
+    trees, which near-dup template families usually are).  Diameter
+    tells remediation how stringy a component is: diameter 1–2 means a
+    genuine template clique; a long chain means transitive LSH gluing
+    that cluster-keep-best should NOT collapse to one keeper.
+
+    Determinism: both sweeps are fixed-round integer min-plus relaxations
+    keyed by (component, node); the witness argmax ties to the smallest
+    doc_id; everything is exact integers, mirrored by the unrolled-CTE
+    oracle.
+
+    Scale: the state is (comp, node, dist) — ALL components sweep
+    simultaneously in the same joins (frontier-as-a-column, the Pregel
+    form), so the cost is 2×6 edge-list joins with partial-agg'd mins
+    regardless of component count; eager localCheckpoint per round keeps
+    the plan constant-size.
+    """
+    from .operators.dedup import connected_components
+
+    edges = _sym_edges(spark, sf_dir)
+    pairs = _shared_verified_pairs(spark, sf_dir)
+    cc = connected_components(pairs.select("id_1", "id_2")).select(
+        F.col("node").alias("doc_id"), F.col("label").cast("long").alias("comp")
+    ).localCheckpoint(eager=True)
+
+    def _sweep(start: DataFrame) -> DataFrame:
+        dist = start.localCheckpoint(eager=True)
+        for _ in range(DIAM_ROUNDS):
+            relaxed = edges.join(dist, edges.a == dist.doc_id).select(
+                "comp", F.col("b").alias("doc_id"), (F.col("dist") + 1).alias("dist")
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("comp", "doc_id")
+                .agg(F.min("dist").cast("long").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+        return dist
+
+    s0 = cc.select("comp").distinct().select(
+        "comp", F.col("comp").alias("doc_id"), F.lit(0).cast("long").alias("dist")
+    )
+    sweep1 = _sweep(s0)
+    w = Window.partitionBy("comp").orderBy(F.desc("dist"), F.asc("doc_id"))
+    far = (
+        sweep1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("comp", F.col("doc_id").alias("ecc_node"))
+        .localCheckpoint(eager=True)
+    )
+    t0 = far.select("comp", F.col("ecc_node").alias("doc_id"), F.lit(0).cast("long").alias("dist"))
+    sweep2 = _sweep(t0)
+    sz = cc.groupBy("comp").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        sweep2.groupBy("comp")
+        .agg(F.max("dist").cast("long").alias("diameter_lb"))
+        .join(far, "comp")
+        .join(sz, "comp")
+        .select(
+            F.col("comp").alias("component"), "n_nodes", "ecc_node", "diameter_lb"
+        )
+        .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sided trimmed mean per event type (histogram route).
+# ---------------------------------------------------------------------------
+TRIM_PCT_NUM = 1  # trim floor(n/10) from each side
+_TRIM_MEAN = "(CAST(s_kept AS DOUBLE) / CAST(c_kept AS DOUBLE)) / 100.0"
+_RAW_MEAN = "(CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0"
+
+
+@register(
+    "trimmed_mean_value",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_type, floor(value*100 + 0.5)::BIGINT AS c FROM events),
+    hist AS (
+      SELECT event_type, c, count(*)::BIGINT AS cnt
+      FROM cents GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, c, cnt,
+             (sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+             (sum(cnt) OVER (PARTITION BY event_type))::BIGINT AS n
+      FROM hist),
+    kept AS (
+      SELECT event_type, n, (n // 10)::BIGINT AS k,
+             greatest(0, least(cum, n - (n // 10))
+                         - greatest(cum - cnt + 1, (n // 10) + 1) + 1) AS kc,
+             c
+      FROM cum),
+    agg AS (
+      SELECT event_type, n, k,
+             sum(kc)::BIGINT AS c_kept, sum(kc * c)::BIGINT AS s_kept
+      FROM kept GROUP BY 1, 2, 3),
+    raw AS (
+      SELECT event_type, sum(c)::BIGINT AS s_all FROM cents GROUP BY 1)
+    SELECT a.event_type, a.n, a.k AS n_trimmed_each_side,
+           floor(({_TRIM_MEAN})*10000 + 0.5)/10000.0 AS trimmed_mean,
+           floor(({_RAW_MEAN})*10000 + 0.5)/10000.0 AS raw_mean
+    FROM agg a JOIN raw r ON a.event_type = r.event_type
+    ORDER BY a.event_type
+    """,
+)
+def q_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10% two-sided trimmed mean of event value per event type —
+    the outlier-robust center the raw mean isn't (one fat-finger
+    purchase at 10⁶ moves the mean, not the trimmed mean), beside
+    `robust_mad_outliers` (which flags rows) and
+    `event_value_percentiles` (which reports quantiles, not a center).
+    Emitted beside the raw mean so the gap itself is the tail-mass
+    diagnostic.
+
+    Exactness: ranks never materialize per row — the per-type cents
+    HISTOGRAM (value, count) carries cumulative ranks, and each value
+    contributes kc = overlap(|its rank interval ∩ [k+1, n−k]|) rows to
+    the kept sum, which handles ties straddling the trim boundary
+    exactly; k = n//10 in integers; sums are exact BIGINTs with ONE
+    shared float division per emitted mean.
+
+    Scale: this is the histogram trick again — the shuffle carries
+    (type, cents-value) cells (bounded by the value domain, not the row
+    count), the windows run per type over those AGGREGATE cells, and no
+    per-row global sort ever happens.  A naive row_number() approach
+    would single-task each type's full slice at 100 TB; this shape
+    cannot.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c")
+    )
+    hist = cents.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "c",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+        F.sum("cnt").over(wt).cast("long").alias("n"),
+    )
+    kept = cum.select(
+        "event_type",
+        "n",
+        F.expr("n DIV 10").cast("long").alias("k"),
+        F.expr(
+            "greatest(0, least(cum, n - (n DIV 10))"
+            " - greatest(cum - cnt + 1, (n DIV 10) + 1) + 1)"
+        ).alias("kc"),
+        "c",
+    )
+    agg = kept.groupBy("event_type", "n", "k").agg(
+        F.sum("kc").cast("long").alias("c_kept"),
+        F.sum(F.col("kc") * F.col("c")).cast("long").alias("s_kept"),
+    )
+    raw = cents.groupBy("event_type").agg(F.sum("c").cast("long").alias("s_all"))
+    return (
+        agg.join(raw, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.col("k").alias("n_trimmed_each_side"),
+            F.expr(f"CAST(floor(({_TRIM_MEAN})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+                "trimmed_mean"
+            ),
+            F.expr(f"CAST(floor(({_RAW_MEAN})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+                "raw_mean"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-model uplift by activity segment (md5 treatment assignment).
+# ---------------------------------------------------------------------------
+_UPLIFT = "(CAST(conv_t AS DOUBLE)/CAST(n_t AS DOUBLE) - CAST(conv_c AS DOUBLE)/CAST(n_c AS DOUBLE))"
+_UPLIFT_P = "((CAST(conv_t AS DOUBLE) + CAST(conv_c AS DOUBLE)) / (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE)))"
+_UPLIFT_Z = (
+    f"({_UPLIFT} / sqrt({_UPLIFT_P} * (1.0 - {_UPLIFT_P})"
+    f" * (1.0/CAST(n_t AS DOUBLE) + 1.0/CAST(n_c AS DOUBLE))))"
+)
+
+
+@register(
+    "uplift_by_segment",
+    oracle=f"""
+    WITH usr AS (
+      SELECT user_id, count(*)::BIGINT AS n_ev,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id),
+    seg AS (
+      SELECT user_id, conv,
+             CASE WHEN n_ev < 62 THEN 'low'
+                  WHEN n_ev < 72 THEN 'mid' ELSE 'high' END AS segment,
+             ('0x' || substr(md5('uplift' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm
+      FROM usr),
+    cells AS (
+      SELECT segment,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+             sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS conv_t,
+             sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS conv_c
+      FROM seg GROUP BY segment)
+    SELECT segment, n_t, n_c, conv_t, conv_c,
+           floor(({_UPLIFT})*10000 + 0.5)/10000.0 AS uplift,
+           floor(({_UPLIFT_Z})*10000 + 0.5)/10000.0 AS z
+    FROM cells ORDER BY segment
+    """,
+)
+def q_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-model uplift analysis by user-activity segment: users are
+    md5-assigned to treatment/control at the USER level (the unit of
+    randomization a real experiment uses — event-level splits leak the
+    same user into both arms), conversion = a heavy-purchaser flag
+    (≥14 purchases, the corpus median — every synthetic user purchases
+    at least once, so "any purchase" would be degenerate), and each
+    activity segment reports Δ = p_t − p_c with its pooled two-proportion
+    z — the heterogeneous-treatment-effect readout that decides who a
+    feature actually helps.  On this synthetic corpus the md5 arms are
+    exchangeable, so uplift ≈ 0 with |z| < 2 in every segment — the
+    correct A/A-test reading, which is exactly what this audit is for
+    (a significant segment under a null assignment means the analysis,
+    not the feature, is broken).
+
+    Exactness: cells are four integer counts per segment; uplift and z
+    are ONE shared DOUBLE text each (pooled variance, fixed operand
+    order), floor-quantized on emit.
+
+    Scale: one partial-agg'd groupBy(user) then a 3-row segment
+    aggregate — the scan is the whole cost.
+    """
+    ev = _t(spark, sf_dir, "events")
+    usr = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("conv"),
+    )
+    seg = usr.select(
+        "conv",
+        F.when(F.col("n_ev") < 62, "low")
+        .when(F.col("n_ev") < 72, "mid")
+        .otherwise("high")
+        .alias("segment"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("uplift"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    cells = seg.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_c"),
+    )
+    return cells.select(
+        "segment",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.expr(f"CAST(floor(({_UPLIFT})*10000 + 0.5)/10000.0 AS DOUBLE)").alias("uplift"),
+        F.expr(f"CAST(floor(({_UPLIFT_Z})*10000 + 0.5)/10000.0 AS DOUBLE)").alias("z"),
+    ).orderBy("segment")
