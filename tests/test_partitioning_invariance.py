@@ -133,6 +133,9 @@ QUERIES = [
     "graph_double_sweep_diameter",
     "trimmed_mean_value",
     "uplift_by_segment",
+    "seasonal_decomposition_dow",
+    "k_anonymity_audit",
+    "markov_expected_steps",
 ]
 
 REGIMES = [

@@ -297,3 +297,63 @@ def test_bm25_topk_bounded_before_window(spark):
     df = registry.QUERIES["bm25_topk"](spark, SF_TEST)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_textrank_no_cartesian_and_broadcast_vocab(spark):
+    """TextRank's adjacency must come from the linear array transform cut
+    by BROADCAST joins against the frequent vocabulary — never a
+    cartesian or sort-merge pair square over tokens."""
+    df = registry.QUERIES["textrank_keywords"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_logreg_final_pass_is_one_scan_with_broadcast_weights(spark):
+    """The logistic-regression metrics pass must be ONE events scan with
+    the 1-row weight frame broadcast in — partial-agg'd to a single
+    row, no row-level shuffle of events."""
+    df = registry.QUERIES["logistic_regression_gd"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the only exchanges are the 1-row aggregate folds, never a
+    # hashpartitioning of the events rows themselves
+    assert "hashpartitioning(y" not in plan
+
+
+def test_tree_shuffles_histograms_not_rows(spark):
+    """The depth-2 tree's exchanges must carry (node, feature, bin)
+    histogram cells (partial_count/partial_sum BEFORE the exchange), so
+    the shuffle is domain-sized, not row-sized."""
+    df = registry.QUERIES["decision_tree_depth2"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "CartesianProduct" not in plan
+    # root scalar comes back via broadcast, not a row-shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_trimmed_mean_no_global_sort_of_rows(spark):
+    """The trimmed mean must rank via the per-type value HISTOGRAM —
+    no per-row global sort/window over the events rows."""
+    df = registry.QUERIES["trimmed_mean_value"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    # the aggregate under the first exchange is keyed by (event_type, c)
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    # windows run over the aggregate cells partitioned by type — a
+    # partition-less row_number over raw rows would show a single-
+    # partition Sort with no hashpartitioning parent
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_kaplan_meier_windows_on_day_aggregate(spark):
+    """KM's prefix sums must run AFTER the groupBy(d) collapse — the
+    window input is the day aggregate, not the per-user durations."""
+    df = registry.QUERIES["kaplan_meier_conversion"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    assert plan.count("Window") >= 2
+    # the per-user and per-day collapses happen in HashAggregates BEFORE
+    # any window touches the data
+    assert plan.count("HashAggregate") >= 2

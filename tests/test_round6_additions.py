@@ -685,3 +685,167 @@ def test_uplift_matches_pure_python_and_reads_null(spark):
     assert got == expect
     # md5 arms are exchangeable: the A/A read must be null in every segment
     assert all(abs(z) < 3.5 for *_, z in got)
+
+
+def test_seasonal_decomposition_matches_pure_python(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(ts AS DATE) AS day,
+                   sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS cents
+            FROM '{SF_TEST}/events.parquet'
+            WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    keyed = [(((d.weekday() + 1) % 7), int(c)) for d, c in rows]
+    per = defaultdict(list)
+    for dow, c in keyed:
+        per[dow].append(c)
+    seas = {dow: sum(v) // len(v) for dow, v in per.items()}
+    resid = [(c - seas[dow]) for dow, c in keyed]
+    ys = [c for _, c in keyed]
+    n, sy, sr = len(ys), sum(ys), sum(resid)
+    var_t = sum((n * y - sy) ** 2 for y in ys)
+    var_r = sum((n * r - sr) ** 2 for r in resid)
+    expect = [
+        (
+            dow,
+            len(per[dow]),
+            _round4(float(seas[dow]) / 100.0),
+            _round4(1.0 - float(var_r) / float(var_t)),
+        )
+        for dow in sorted(per)
+    ]
+    got = [
+        (r.dow, r.n_days, r.seasonal_mean, r.variance_reduction)
+        for r in registry.QUERIES["seasonal_decomposition_dow"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    # removing a fitted component can only reduce n-scaled variance
+    assert all(vr >= 0 for *_, vr in got)
+
+
+def test_k_anonymity_matches_pure_python(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, hour(ts), CAST(ts AS DATE) FROM '{SF_TEST}/events.parquet'"
+    ).fetchall()
+    grp = Counter(
+        (et, h // 6, (d.weekday() + 1) % 7) for et, h, d in rows
+    )
+    per = defaultdict(list)
+    for (et, _, _), sz in grp.items():
+        per[et].append(sz)
+    expect = [
+        (
+            et,
+            len(szs),
+            sum(1 for s in szs if s < 10),
+            sum(s for s in szs if s < 10),
+            min(szs),
+        )
+        for et, szs in sorted(per.items())
+    ]
+    got = [
+        (r.event_type, r.n_groups, r.n_below_k, r.rows_below_k, r.min_group_size)
+        for r in registry.QUERIES["k_anonymity_audit"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+
+
+def test_streaming_value_histogram_reproduces_batch_trimmed_mean(spark):
+    """Drained streaming (type, cents) cells must equal the batch
+    histogram exactly; the trimmed mean recomputed from them must equal
+    the batch query's output."""
+    from vector_search_spark.streaming.events import (
+        stream_events_from_parquet,
+        streaming_value_histogram_cells,
+    )
+
+    out = streaming_value_histogram_cells(stream_events_from_parquet(spark, SF_TEST))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("vh_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = sorted(
+        (r.event_type, r.c, r.cnt)
+        for r in spark.sql("SELECT event_type, c, cnt FROM vh_cells").collect()
+    )
+    batch = duckdb.connect().execute(
+        f"""SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS c,
+                   count(*) FROM '{SF_TEST}/events.parquet'
+            GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    assert drained == [tuple(r) for r in batch]
+    per = defaultdict(list)
+    for et, c, cnt in drained:
+        per[et].extend([c] * cnt)
+    got = {
+        r.event_type: (r.trimmed_mean, r.n)
+        for r in registry.QUERIES["trimmed_mean_value"](spark, SF_TEST).collect()
+    }
+    for et, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        k = n // 10
+        kept = vals[k : n - k]
+        assert got[et] == (
+            _round4((float(sum(kept)) / float(len(kept))) / 100.0),
+            n,
+        )
+
+
+def test_markov_expected_steps_matches_python_and_exact_solve(spark):
+    import numpy as np
+
+    from vector_search_spark.registry_ml import _MK_TYPES
+    from vector_search_spark.registry_round6 import HIT_ROUNDS, _HIT_SCALE
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT prev, event_type, count(*) FROM (
+              SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev, event_type
+              FROM '{SF_TEST}/events.parquet')
+            WHERE prev IS NOT NULL GROUP BY 1, 2"""
+    ).fetchall()
+    k = len(_MK_TYPES)
+    idx = {t: i for i, t in enumerate(_MK_TYPES)}
+    c = [[0] * k for _ in range(k)]
+    for a, b, n in rows:
+        c[idx[a]][idx[b]] = n
+    r = [sum(row) for row in c]
+    nonabs = [i for i, t in enumerate(_MK_TYPES) if t != "purchase"]
+    # exact mirrored recursion (floor-quantized micro-steps)
+    e = {i: 0 for i in nonabs}
+    for _ in range(HIT_ROUNDS):
+        e = {
+            i: _HIT_SCALE
+            + math.floor(
+                sum(float(c[i][j]) * float(e[j]) for j in nonabs) / float(r[i]) + 0.5
+            )
+            for i in nonabs
+        }
+    pidx = idx["purchase"]
+    expect = sorted(
+        (
+            _MK_TYPES[i],
+            _round4(e[i] / float(_HIT_SCALE)),
+            _round4(float(c[i][pidx]) / float(r[i])),
+            r[i],
+        )
+        for i in nonabs
+    )
+    got = [
+        (x.event_type, x.expected_steps, x.direct_purchase_prob, x.out_transitions)
+        for x in registry.QUERIES["markov_expected_steps"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    # numpy exact fundamental-matrix solve: truncation error < 1e-3 steps
+    Q = np.array([[c[i][j] / r[i] for j in nonabs] for i in nonabs])
+    exact = np.linalg.solve(np.eye(len(nonabs)) - Q, np.ones(len(nonabs)))
+    by_type = dict(zip([_MK_TYPES[i] for i in nonabs], exact))
+    for et, es, _, _ in got:
+        assert abs(es - by_type[et]) < 1e-3

@@ -33,6 +33,12 @@ eval/diversification):
   value-histogram route (no per-row ranks, tie-exact trim boundaries).
 - ``uplift_by_segment``        — user-level md5 A/A uplift with pooled
   two-proportion z per activity segment (null read expected and asserted).
+- ``seasonal_decomposition_dow`` — additive day-of-week decomposition of
+  daily revenue with the variance reduction the seasonal term explains.
+- ``k_anonymity_audit``        — QI-group size audit (groups below k,
+  rows exposed, minima) per event type — the dp_noisy_counts trigger.
+- ``markov_expected_steps``    — truncated hitting time to 'purchase'
+  (48 floor-quantized Neumann rounds on the 25-cell count frame).
 
 House invariants throughout: integer-only iteration state, shared SQL
 expression text for every emitted float, ``round4`` on emitted floats,
@@ -1894,3 +1900,361 @@ def q_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(floor(({_UPLIFT})*10000 + 0.5)/10000.0 AS DOUBLE)").alias("uplift"),
         F.expr(f"CAST(floor(({_UPLIFT_Z})*10000 + 0.5)/10000.0 AS DOUBLE)").alias("z"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Additive day-of-week seasonal decomposition of daily revenue.
+# ---------------------------------------------------------------------------
+_SEAS_RED = "(1.0 - CAST(var_r AS DOUBLE) / CAST(var_t AS DOUBLE))"
+_SEAS_MEAN = "(CAST(seas AS DOUBLE) / 100.0)"
+
+
+@register(
+    "seasonal_decomposition_dow",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(floor(value*100 + 0.5)::BIGINT)::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    keyed AS (
+      SELECT day, cents,
+             CAST(dayofweek(day) AS BIGINT) % 7 AS dow
+      FROM daily),
+    seas AS (
+      SELECT dow, count(*)::BIGINT AS n_days, sum(cents)::BIGINT AS s,
+             {_fdiv("sum(cents)", "count(*)")} AS seas
+      FROM keyed GROUP BY dow),
+    resid AS (
+      SELECT k.day, k.dow, k.cents, (k.cents - s.seas)::BIGINT AS r
+      FROM keyed k JOIN seas s ON k.dow = s.dow),
+    tot AS (
+      SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS sy,
+             sum(r)::BIGINT AS sr FROM resid),
+    var_ AS (
+      SELECT sum((tot.n * cents - tot.sy)::HUGEINT
+                 * (tot.n * cents - tot.sy))::HUGEINT AS var_t,
+             sum((tot.n * r - tot.sr)::HUGEINT
+                 * (tot.n * r - tot.sr))::HUGEINT AS var_r
+      FROM resid CROSS JOIN tot)
+    SELECT s.dow, s.n_days,
+           floor(({_SEAS_MEAN})*10000 + 0.5)/10000.0 AS seasonal_mean,
+           floor(({_SEAS_RED})*10000 + 0.5)/10000.0 AS variance_reduction
+    FROM seas s CROSS JOIN var_
+    ORDER BY s.dow
+    """,
+)
+def q_seasonal_decomposition_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive day-of-week seasonal decomposition of daily purchase
+    revenue: the seasonal component is each weekday's mean (Sunday-0
+    keys as everywhere), the residual is the day's revenue minus its
+    weekday mean, and the headline number is the variance reduction the
+    seasonal term explains — the quantitative answer to "should the
+    forecast be seasonal" that `acf_daily_revenue` (lag-7 spike) and
+    `dow_chi_square` (count uniformity) only hint at, and the direct
+    justification for `seasonal_naive_backtest`'s model choice.
+
+    Exactness: weekday means are portable floor-division integers
+    (cents); residuals are exact integers; both variances are n-scaled
+    integer deviation folds (the ACF machinery) in HUGEINT/DECIMAL;
+    exactly one shared float division per emitted value.
+
+    Scale: one groupBy(day) over the purchase slice, a 7-row seasonal
+    aggregate broadcast back over the day table, and one more fold over
+    the ≈10⁴-row day aggregate.  The scan is the whole cost.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    keyed = daily.select(
+        "cents",
+        ((F.dayofweek(F.col("day")).cast("long") - 1) % 7).alias("dow"),
+    )
+    seas = keyed.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr(_fdiv("sum(cents)", "count(*)")).alias("seas"),
+    )
+    resid = keyed.join(F.broadcast(seas), "dow").select(
+        "dow", "cents", (F.col("cents") - F.col("seas")).cast("long").alias("r")
+    )
+    tot = resid.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum("r").cast("long").alias("sr"),
+    )
+    var_ = (
+        resid.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("cents") - F.col("sy")).cast("decimal(38,0)")
+                * (F.col("n") * F.col("cents") - F.col("sy"))
+            )
+            .cast("decimal(38,0)")
+            .alias("var_t"),
+            F.sum(
+                (F.col("n") * F.col("r") - F.col("sr")).cast("decimal(38,0)")
+                * (F.col("n") * F.col("r") - F.col("sr"))
+            )
+            .cast("decimal(38,0)")
+            .alias("var_r"),
+        )
+    )
+    return (
+        seas.crossJoin(F.broadcast(var_))
+        .select(
+            "dow",
+            "n_days",
+            F.expr(f"CAST(floor(({_SEAS_MEAN})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+                "seasonal_mean"
+            ),
+            F.expr(f"CAST(floor(({_SEAS_RED})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+                "variance_reduction"
+            ),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over event quasi-identifiers.
+# ---------------------------------------------------------------------------
+KANON_K = 10
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH qi AS (
+      SELECT event_type,
+             (hour(ts)::BIGINT // 6) AS hour_band,
+             CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) % 7 AS dow
+      FROM events),
+    grp AS (
+      SELECT event_type, hour_band, dow, count(*)::BIGINT AS sz
+      FROM qi GROUP BY 1, 2, 3)
+    SELECT event_type,
+           count(*)::BIGINT AS n_groups,
+           sum(CASE WHEN sz < {KANON_K} THEN 1 ELSE 0 END)::BIGINT AS n_below_k,
+           coalesce(sum(CASE WHEN sz < {KANON_K} THEN sz END), 0)::BIGINT
+             AS rows_below_k,
+           min(sz)::BIGINT AS min_group_size
+    FROM grp GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the events table over the quasi-identifier
+    tuple (event_type, 6-hour band, day-of-week): per event type, how
+    many QI groups exist, how many fall below k = 10, how many ROWS sit
+    in those under-k groups (the re-identification exposure), and the
+    smallest group — the release-gate a privacy review runs before any
+    event-level extract ships (a group of size 1 is a fingerprint; the
+    `dp_noisy_counts` operator is the remediation for the cells this
+    audit flags).
+
+    Exactness: pure integer counting — group sizes, threshold counts,
+    minima; the Sunday-0 day key and 6-hour banding match
+    `dow_chi_square`'s normalization in both engines.
+
+    Scale: one partial-agg'd groupBy over the QI tuple (bounded by the
+    QI domain, 5×4×7 = 140 cells here) then a per-type fold — nothing
+    but the scan, which is the defining property of a QI audit you can
+    afford to run on every extract.
+    """
+    ev = _t(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.expr("CAST(hour(ts) AS BIGINT) DIV 6").alias("hour_band"),
+        ((F.dayofweek(F.col("ts").cast("date")).cast("long") - 1) % 7).alias("dow"),
+    )
+    grp = qi.groupBy("event_type", "hour_band", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        grp.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("sz") < KANON_K, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_k"),
+            F.coalesce(F.sum(F.when(F.col("sz") < KANON_K, F.col("sz"))), F.lit(0))
+            .cast("long")
+            .alias("rows_below_k"),
+            F.min("sz").cast("long").alias("min_group_size"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expected steps to purchase (truncated Markov hitting time).
+# ---------------------------------------------------------------------------
+HIT_ROUNDS = 48
+_HIT_SCALE = 1_000_000
+
+
+def _hit_nonabs() -> list[int]:
+    from .registry_ml import _MK_TYPES
+
+    return [i for i, t in enumerate(_MK_TYPES) if t != "purchase"]
+
+
+def _hit_step_exprs() -> list[tuple[str, str]]:
+    """One truncated hitting-time round as generated text (same in both
+    engines): e_i' = 1 step + Σ_{j non-absorbing} (c_ij/r_i)·e_j, in
+    micro-steps, floor(+0.5)-quantized per state per round."""
+    nonabs = _hit_nonabs()
+    out = []
+    for i in nonabs:
+        mv = " + ".join(
+            f"(CAST(c{i}_{j} AS DOUBLE) * CAST(e{j} AS DOUBLE))" for j in nonabs
+        )
+        out.append(
+            (
+                f"ne{i}",
+                f"CAST({_HIT_SCALE} + floor(({mv}) / CAST(r{i} AS DOUBLE) + 0.5)"
+                f" AS BIGINT)",
+            )
+        )
+    return out
+
+
+def _hit_oracle() -> str:
+    from .registry_ml import _MK_K, _MK_TYPES
+
+    nonabs = _hit_nonabs()
+    pidx = _MK_TYPES.index("purchase")
+    cnt = ", ".join(
+        f"sum(CASE WHEN prev = '{a}' AND event_type = '{b}' THEN 1 ELSE 0 END)::BIGINT"
+        f" AS c{i}_{j}"
+        for i, a in enumerate(_MK_TYPES)
+        for j, b in enumerate(_MK_TYPES)
+    )
+    rows = ", ".join(
+        "(" + " + ".join(f"c{i}_{j}" for j in range(_MK_K)) + f") AS r{i}"
+        for i in range(_MK_K)
+    )
+    init = ", ".join(f"0::BIGINT AS e{i}" for i in nonabs)
+    keep = ", ".join(
+        [f"c{i}_{j}" for i in range(_MK_K) for j in range(_MK_K)]
+        + [f"r{i}" for i in range(_MK_K)]
+    )
+    ctes = [
+        """pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev,
+             event_type
+      FROM events)""",
+        f"c AS MATERIALIZED (SELECT {cnt} FROM pairs WHERE prev IS NOT NULL)",
+        f"it0 AS (SELECT *, {init} FROM (SELECT *, {rows} FROM c))",
+    ]
+    prev = "it0"
+    for t in range(HIT_ROUNDS):
+        layer = ", ".join(f"{sql} AS e{name[2:]}" for name, sql in _hit_step_exprs())
+        ctes.append(f"it{t + 1} AS MATERIALIZED (SELECT {keep}, {layer} FROM {prev})")
+        prev = f"it{t + 1}"
+    sel = "\n      UNION ALL ".join(
+        f"SELECT '{_MK_TYPES[i]}' AS event_type, "
+        f"floor((CAST(e{i} AS DOUBLE) / {_HIT_SCALE}.0)*10000 + 0.5)/10000.0"
+        f" AS expected_steps, "
+        f"floor((CAST(c{i}_{pidx} AS DOUBLE) / CAST(r{i} AS DOUBLE))*10000 + 0.5)"
+        f"/10000.0 AS direct_purchase_prob, "
+        f"r{i}::BIGINT AS out_transitions FROM {prev}"
+        for i in nonabs
+    )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    {sel}
+    ORDER BY event_type
+    """
+
+
+@register("markov_expected_steps", oracle=_hit_oracle())
+def q_markov_expected_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected number of steps to reach 'purchase' from each other
+    event state in the first-order user-journey chain — the hitting-time
+    companion to `markov_stationary_events` (long-run occupancy),
+    `markov_attribution` (absorption probability), and
+    `markov_entropy_rate` (predictability): it answers "how FAR is each
+    state from conversion", the journey-length metric funnel design
+    optimizes.  Computed as the truncated Neumann recursion
+    e ← 1 + Q·e over the 48-step horizon (Q = the chain restricted to
+    non-purchase states; mass that transitions to purchase leaves the
+    recursion, which is what makes it a hitting time).  With every
+    state leaking ≈1/5 to purchase per step, the truncation error at 48
+    rounds is ≈0.8⁴⁸ ≈ 2·10⁻⁵ of a step — below the emitted 4 dp.
+
+    Exactness: transition counts are exact integers from per-user lag
+    pairs; each round is generated ONCE as SQL text (fixed operand
+    order) and floor(+0.5)-quantized to integer micro-steps per state
+    BEFORE the next round, so the trajectory is bit-identical in both
+    engines and under any partitioning.
+
+    Scale: the `markov_stationary_events` economics — ONE partial-agg'd
+    scan collapses the corpus to a 25-cell count frame; all 48 rounds
+    are 1-row arithmetic (checkpoint barriers every 4 rounds keep
+    generated methods under the 64 KB codegen limit).
+    """
+    from .registry_ml import _MK_K, _MK_TYPES
+
+    nonabs = _hit_nonabs()
+    pidx = _MK_TYPES.index("purchase")
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev"), "event_type"
+    ).filter(F.col("prev").isNotNull())
+    cnt_aggs = [
+        F.sum(
+            F.when((F.col("prev") == a) & (F.col("event_type") == b), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias(f"c{i}_{j}")
+        for i, a in enumerate(_MK_TYPES)
+        for j, b in enumerate(_MK_TYPES)
+    ]
+    it = pairs.agg(*cnt_aggs)
+    for i in range(_MK_K):
+        it = it.withColumn(
+            f"r{i}", F.expr(" + ".join(f"c{i}_{j}" for j in range(_MK_K)))
+        )
+    for i in nonabs:
+        it = it.withColumn(f"e{i}", F.lit(0).cast("long"))
+    for t in range(HIT_ROUNDS):
+        for name, sql in _hit_step_exprs():
+            it = it.withColumn(name, F.expr(sql))
+        for i in nonabs:
+            it = it.withColumn(f"e{i}", F.col(f"ne{i}"))
+        it = it.drop(*[f"ne{i}" for i in nonabs])
+        if (t + 1) % 4 == 0:
+            it = it.localCheckpoint(eager=True)
+    rows = it.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(_MK_TYPES[i]).alias("event_type"),
+                        F.expr(
+                            f"CAST(floor((CAST(e{i} AS DOUBLE) / {_HIT_SCALE}.0)"
+                            f"*10000 + 0.5)/10000.0 AS DOUBLE)"
+                        ).alias("expected_steps"),
+                        F.expr(
+                            f"CAST(floor((CAST(c{i}_{pidx} AS DOUBLE) / CAST(r{i} AS DOUBLE))"
+                            f"*10000 + 0.5)/10000.0 AS DOUBLE)"
+                        ).alias("direct_purchase_prob"),
+                        F.col(f"r{i}").cast("long").alias("out_transitions"),
+                    )
+                    for i in nonabs
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return rows.orderBy("event_type")

@@ -306,3 +306,23 @@ def streaming_daily_revenue_cells(events: DataFrame) -> DataFrame:
             .alias("cents")
         )
     )
+
+
+def streaming_value_histogram_cells(events: DataFrame) -> DataFrame:
+    """Streaming twin of `trimmed_mean_value`'s sufficient statistics:
+    the per-(event_type, cents) histogram maintained as a plain
+    streaming aggregation.  Counts are commutative integer sums, so the
+    drained cells equal the batch histogram EXACTLY under any
+    micro-batch split — and the trimmed mean's cumulative-rank walk is a
+    deterministic function of that histogram, so the robust center can
+    be monitored continuously without rescanning.  State is bounded by
+    the value domain (cents cells), not the row count — the same reason
+    the batch operator scales.
+    """
+    return (
+        events.groupBy(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
