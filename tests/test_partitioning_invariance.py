@@ -136,6 +136,8 @@ QUERIES = [
     "seasonal_decomposition_dow",
     "k_anonymity_audit",
     "markov_expected_steps",
+    "dup_personalized_pagerank",
+    "bagging_split_stability",
 ]
 
 REGIMES = [

@@ -849,3 +849,117 @@ def test_markov_expected_steps_matches_python_and_exact_solve(spark):
     by_type = dict(zip([_MK_TYPES[i] for i in nonabs], exact))
     for et, es, _, _ in got:
         assert abs(es - by_type[et]) < 1e-3
+
+
+def test_personalized_pagerank_matches_pure_python(spark):
+    from vector_search_spark.registry_round6 import PPR_ITER
+
+    edges = _edges(spark, SF_TEST)
+    nbrs_in = defaultdict(list)
+    deg = Counter(a for a, _ in edges)
+    for a, b in edges:
+        nbrs_in[b].append(a)
+    nodes = sorted({a for a, _ in edges})
+    seed = min(nodes)
+    n = len(nodes)
+    r = {v: 1_000_000 for v in nodes}
+    for _ in range(PPR_ITER):
+        r = {
+            v: (150000 * n if v == seed else 0)
+            + (85 * sum(r[u] // deg[u] for u in nbrs_in[v])) // 100
+            for v in nodes
+        }
+    expect = sorted(r.items())
+    got = [
+        (x.doc_id, x.ppr_micro)
+        for x in registry.QUERIES["dup_personalized_pagerank"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    # restart mass concentrates: the seed's component dominates; nodes
+    # outside it hold only the geometrically-decayed uniform start
+    comp = _cc_labels(edges)
+    seed_comp = comp[seed]
+    in_max = max(v for k, v in expect if comp[k] == seed_comp)
+    out_max = max((v for k, v in expect if comp[k] != seed_comp), default=0)
+    assert in_max > out_max
+
+
+def test_bagging_split_stability_matches_pure_python(spark):
+    import hashlib
+
+    from vector_search_spark.registry_ml import _POIS_T
+    from vector_search_spark.registry_round6 import BAG_B
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+                   || '-' || CAST(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                                  AS VARCHAR),
+                   CAST(floor(l_quantity + 0.5) AS BIGINT),
+                   CAST(floor(l_discount*100 + 0.5) AS BIGINT),
+                   CAST(floor(l_tax*100 + 0.5) AS BIGINT),
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+            FROM '{SF_TEST}/lineitem.parquet'"""
+    ).fetchall()
+    feats = ["quantity", "discount_pct", "tax_pct"]
+
+    def pois(u):
+        for k, t in enumerate(_POIS_T):
+            if u < t:
+                return k
+        return 7
+
+    def gini_gain(nl, pl, nn, pp):
+        nd, pd = float(nn), float(pp)
+        nld, pld = float(nl), float(pl)
+        nrd, prd = nd - nld, pd - pld
+        parent = 1.0 - (pd / nd) * (pd / nd) - ((nd - pd) / nd) * ((nd - pd) / nd)
+        left = 1.0 - (pld / nld) * (pld / nld) - ((nld - pld) / nld) * ((nld - pld) / nld)
+        right = 1.0 - (prd / nrd) * (prd / nrd) - ((nrd - prd) / nrd) * ((nrd - prd) / nrd)
+        return parent - ((nld / nd) * left + (nrd / nd) * right)
+
+    wins = Counter()
+    digests = [
+        [hashlib.md5(f"bagg{g}:{sig}".encode()).hexdigest() for g in range(BAG_B // 4)]
+        for sig, *_ in rows
+    ]
+    for b in range(BAG_B):
+        hist = {f: defaultdict(lambda: [0, 0]) for f in feats}
+        g, lane = b // 4, b % 4
+        for (sig, q, d, t, pos), hs in zip(rows, digests):
+            u = int(hs[g][lane * 8 : lane * 8 + 8], 16)
+            w = pois(u)
+            if w == 0:
+                continue
+            for fname, val in (("quantity", q), ("discount_pct", d), ("tax_pct", t)):
+                hist[fname][val][0] += w
+                hist[fname][val][1] += w * pos
+        best = None
+        for fname in feats:
+            n_tot = sum(c for c, _ in hist[fname].values())
+            p_tot = sum(p for _, p in hist[fname].values())
+            if n_tot == 0:
+                continue
+            cn = cp = 0
+            for val in sorted(hist[fname]):
+                cn += hist[fname][val][0]
+                cp += hist[fname][val][1]
+                if cn >= n_tot:
+                    continue
+                gn = math.floor(gini_gain(cn, cp, n_tot, p_tot) * 1e9 + 0.5)
+                key = (-gn, fname, val)
+                if best is None or key < best[0]:
+                    best = (key, (fname, val))
+        wins[best[1]] += 1
+    expect = sorted(
+        ((f, v, w, BAG_B) for (f, v), w in wins.items()),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )
+    got = [
+        (r.feature, r.threshold, r.wins, r.n_replicas)
+        for r in registry.QUERIES["bagging_split_stability"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    assert sum(w for *_, w, _ in got) == BAG_B
+    # near-zero gains ⇒ an unstable vote — the diagnostic's finding here
+    assert len(got) > 1

@@ -39,6 +39,10 @@ eval/diversification):
   rows exposed, minima) per event type — the dp_noisy_counts trigger.
 - ``markov_expected_steps``    — truncated hitting time to 'purchase'
   (48 floor-quantized Neumann rounds on the 25-cell count frame).
+- ``dup_personalized_pagerank`` — random-walk-with-restart affinity to a
+  seed document (guilt-by-association template expansion).
+- ``bagging_split_stability``  — 16 Poisson-bootstrap replicas of the
+  stump argmax in ONE scan; the vote table is the stability diagnostic.
 
 House invariants throughout: integer-only iteration state, shared SQL
 expression text for every emitted float, ``round4`` on emitted floats,
@@ -2258,3 +2262,262 @@ def q_markov_expected_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     ).select("s.*")
     return rows.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (restart to a seed document).
+# ---------------------------------------------------------------------------
+PPR_ITER = 5
+
+
+def _ppr_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS MATERIALIZED (
+      SELECT n.doc_id,
+             ((CASE WHEN n.doc_id = (SELECT s FROM seed)
+                    THEN 150000 * (SELECT n FROM nn) ELSE 0 END)
+              + (85 * coalesce(s.m, 0)) // 100)::BIGINT AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.b AS doc_id, sum(p.r // d.deg)::BIGINT AS m
+        FROM edges e JOIN {prev} p ON e.a = p.doc_id
+        JOIN deg d ON e.a = d.doc_id
+        GROUP BY e.b) s ON n.doc_id = s.doc_id)"""
+
+
+@register(
+    "dup_personalized_pagerank",
+    oracle=_SQL_DUP_EDGES.replace("edges AS (SELECT", "edges AS MATERIALIZED (SELECT")
+    + """,
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS doc_id FROM edges),
+    deg AS MATERIALIZED (SELECT a AS doc_id, count(*)::BIGINT AS deg
+                         FROM edges GROUP BY a),
+    seed AS (SELECT min(doc_id)::BIGINT AS s FROM nodes),
+    nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+    p0 AS (SELECT doc_id, 1000000::BIGINT AS r FROM nodes),"""
+    + ",".join(_ppr_round_sql(f"p{i}", f"p{i + 1}") for i in range(PPR_ITER))
+    + f"""
+    SELECT doc_id, r AS ppr_micro FROM p{PPR_ITER} ORDER BY doc_id
+    """,
+)
+def q_dup_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the verified near-duplicate graph with
+    ALL restart mass directed at a seed document (the graph's smallest
+    doc_id, standing in for "a doc a reviewer just flagged"): after 5
+    damped rounds, a node's score is its random-walk affinity to the
+    seed — the guilt-by-association expansion that finds the rest of a
+    bad template family even beyond direct LSH pairs, where the uniform
+    `dup_graph_pagerank` only measures global centrality.  Mass in
+    components the seed can't reach decays toward 0 geometrically
+    (0.85⁵ of the uniform start) — the separation IS the signal.
+
+    Determinism: the `dup_graph_pagerank` integer arithmetic with the
+    teleport term concentrated on the seed (150000·n micro-units, the
+    same total restart mass the uniform variant spreads); per-edge
+    contributions r//deg are nonnegative integer divisions; 5 fixed
+    rounds; left join + coalesce keeps in-edge-less nodes exact.
+
+    Scale: one edge-join + partial-agg'd sum per round against the
+    broadcastable rank table, eager-localCheckpointed — identical
+    economics to the uniform variant; the seed and node-count scalars
+    are 1-row broadcasts.
+    """
+    edges = _sym_edges(spark, sf_dir)
+    nodes = edges.select(F.col("a").alias("doc_id")).distinct().localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    seed = nodes.agg(F.min("doc_id").cast("long").alias("s"))
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    src = edges.join(deg.withColumnRenamed("doc_id", "a"), "a").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("r", F.lit(1000000).cast("long"))
+    for _ in range(PPR_ITER):
+        m = (
+            src.join(ranks, src.a == ranks.doc_id)
+            .select(F.col("b"), F.expr("r DIV deg").alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").cast("long").alias("m"))
+        )
+        ranks = (
+            nodes.join(m, nodes.doc_id == m.b, "left")
+            .crossJoin(F.broadcast(seed))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "doc_id",
+                (
+                    F.when(F.col("doc_id") == F.col("s"), 150000 * F.col("n")).otherwise(0)
+                    + F.expr("(85 * coalesce(m, 0)) DIV 100")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("doc_id", F.col("r").alias("ppr_micro")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Bagged stump split stability (Poisson bootstrap of the histogram argmax).
+# ---------------------------------------------------------------------------
+BAG_B = 16
+
+
+def _bag_oracle() -> str:
+    from .registry_ml import _STUMP_FEATURES, _STUMP_LABEL, _gini_gain, _pois_w
+
+    h_cols = ", ".join(
+        f"md5('bagg{g}:' || rowsig) AS h{g}" for g in range(BAG_B // 4)
+    )
+    hsel = (
+        "CASE (b // 4) "
+        + " ".join(f"WHEN {g} THEN h{g}" for g in range(BAG_B // 4))
+        + " END"
+    )
+    u = f"(('0x' || substr({hsel}, (b % 4) * 8 + 1, 8))::BIGINT)"
+    val_branches = "\n      UNION ALL ".join(
+        f"SELECT rowsig, {', '.join(f'h{g}' for g in range(BAG_B // 4))}, "
+        f"'{name}' AS feature, {expr} AS val, {_STUMP_LABEL} AS pos FROM sig"
+        for name, expr in _STUMP_FEATURES
+    )
+    gain = _gini_gain("cum_n", "cum_pos", "n_tot", "pos_tot")
+    return f"""
+    WITH sig AS MATERIALIZED (
+      SELECT *, CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+                || '-' || CAST(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                               AS VARCHAR) AS rowsig0,
+             {h_cols.replace("rowsig", "rowsig0")}
+      FROM lineitem),
+    fv AS MATERIALIZED ({val_branches.replace("rowsig, ", "rowsig0 AS rowsig, ")}),
+    rep AS (
+      SELECT f.feature, f.val, f.pos, b.b,
+             {_pois_w(u.replace('(b ', '(b.b ').replace('(b %', '(b.b %'))} AS w
+      FROM fv f CROSS JOIN (SELECT unnest(range(0, {BAG_B}))::BIGINT AS b) b),
+    agg AS (
+      SELECT b, feature, val, sum(w)::BIGINT AS cnt,
+             sum(w * pos)::BIGINT AS pos
+      FROM rep GROUP BY 1, 2, 3),
+    cum AS (
+      SELECT b, feature, val,
+             (sum(cnt) OVER w)::BIGINT AS cum_n,
+             (sum(pos) OVER w)::BIGINT AS cum_pos,
+             (sum(cnt) OVER (PARTITION BY b, feature))::BIGINT AS n_tot,
+             (sum(pos) OVER (PARTITION BY b, feature))::BIGINT AS pos_tot
+      FROM agg
+      WINDOW w AS (PARTITION BY b, feature ORDER BY val
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    winners AS (
+      SELECT b, feature, val FROM (
+        SELECT *, floor(({gain})*1000000000 + 0.5)::BIGINT AS gain_nano,
+               row_number() OVER (PARTITION BY b
+                                  ORDER BY floor(({gain})*1000000000 + 0.5) DESC,
+                                           feature, val) AS rn
+        FROM cum WHERE cum_n < n_tot AND n_tot > 0) x
+      WHERE rn = 1)
+    SELECT feature, val AS threshold, count(*)::BIGINT AS wins,
+           {BAG_B}::BIGINT AS n_replicas
+    FROM winners GROUP BY feature, val
+    ORDER BY wins DESC, feature, threshold
+    """
+
+
+@register("bagging_split_stability", oracle=_bag_oracle())
+def q_bagging_split_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap stability of the decision-stump split: 16 deterministic
+    Poisson(1) bootstrap replicas (the `bootstrap_value_ci` md5 ladder)
+    each rerun the exact histogram Gini argmax, and the output is the
+    distribution of winning (feature, threshold) pairs across replicas —
+    the model-stability diagnostic that separates a real split from a
+    coin flip (`decision_tree_depth2`'s near-zero gains on this uniform
+    corpus predict a scattered vote, and that scatter is the honest
+    finding).  This is bagging's vote table, computed without training
+    16 models row-by-row.
+
+    Exactness: replica weights are integer Poisson ladder values from
+    md5 uniforms (4 lanes per digest); weighted histogram counts are
+    exact integer sums; the gain is the shared nano-quantized text with
+    (feature, val) tie-breaks per replica.
+
+    Scale: ONE scan fans out to (replica, feature, bin) weighted
+    histogram cells via map-side explode — the shuffle carries
+    B × Σ|feature domains| cells (~2,500 rows), never data rows, and
+    all 16 argmaxes are windows over those cells.  This is why bagged
+    tree ensembles train on 100 TB: replication happens in the
+    sufficient statistics, not the data.
+    """
+    from .registry_ml import _STUMP_FEATURES, _STUMP_LABEL, _gini_gain, _pois_w
+
+    li = _t(spark, sf_dir, "lineitem")
+    sig = li.withColumn(
+        "rowsig",
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+            F.lit("-"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").cast("string"),
+        ),
+    )
+    for g in range(BAG_B // 4):
+        sig = sig.withColumn(
+            f"h{g}", F.md5(F.concat(F.lit(f"bagg{g}:"), F.col("rowsig")))
+        )
+    fv = sig.select(
+        *[F.col(f"h{g}") for g in range(BAG_B // 4)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(name).alias("feature"), F.expr(expr).alias("val"))
+                    for name, expr in _STUMP_FEATURES
+                ]
+            )
+        ).alias("p"),
+        F.expr(_STUMP_LABEL).alias("pos"),
+    ).select(*[f"h{g}" for g in range(BAG_B // 4)], "p.feature", "p.val", "pos")
+    hsel = (
+        "CASE (b DIV 4) "
+        + " ".join(f"WHEN {g} THEN h{g}" for g in range(BAG_B // 4))
+        + " END"
+    )
+    u = f"(CAST(conv(substr({hsel}, CAST((b % 4) * 8 + 1 AS INT), 8), 16, 10) AS BIGINT))"
+    rep = fv.select(
+        "feature",
+        "val",
+        "pos",
+        F.explode(F.sequence(F.lit(0), F.lit(BAG_B - 1))).alias("b"),
+        *[F.col(f"h{g}") for g in range(BAG_B // 4)],
+    ).select("b", "feature", "val", "pos", F.expr(_pois_w(u)).alias("w"))
+    agg = rep.groupBy("b", "feature", "val").agg(
+        F.sum("w").cast("long").alias("cnt"),
+        F.sum(F.col("w") * F.col("pos")).cast("long").alias("pos"),
+    )
+    wcum = (
+        Window.partitionBy("b", "feature")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("b", "feature")
+    gain = _gini_gain("cum_n", "cum_pos", "n_tot", "pos_tot")
+    cum = agg.select(
+        "b",
+        "feature",
+        "val",
+        F.sum("cnt").over(wcum).cast("long").alias("cum_n"),
+        F.sum("pos").over(wcum).cast("long").alias("cum_pos"),
+        F.sum("cnt").over(wtot).cast("long").alias("n_tot"),
+        F.sum("pos").over(wtot).cast("long").alias("pos_tot"),
+    ).filter((F.col("cum_n") < F.col("n_tot")) & (F.col("n_tot") > 0))
+    wr = Window.partitionBy("b").orderBy(
+        F.desc("gain_nano"), F.asc("feature"), F.asc("val")
+    )
+    winners = (
+        cum.withColumn(
+            "gain_nano", F.expr(f"CAST(floor(({gain})*1000000000 + 0.5) AS BIGINT)")
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        winners.groupBy("feature", F.col("val").alias("threshold"))
+        .agg(F.count(F.lit(1)).cast("long").alias("wins"))
+        .withColumn("n_replicas", F.lit(BAG_B).cast("long"))
+        .orderBy(F.desc("wins"), "feature", "threshold")
+    )
