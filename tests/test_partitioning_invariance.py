@@ -138,6 +138,10 @@ QUERIES = [
     "markov_expected_steps",
     "dup_personalized_pagerank",
     "bagging_split_stability",
+    "conformal_group_coverage",
+    "ab_sprt_monitor",
+    "logrank_test_conversion",
+    "isotonic_hour_calibration",
 ]
 
 REGIMES = [

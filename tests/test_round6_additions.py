@@ -963,3 +963,209 @@ def test_bagging_split_stability_matches_pure_python(spark):
     assert sum(w for *_, w, _ in got) == BAG_B
     # near-zero gains ⇒ an unstable vote — the diagnostic's finding here
     assert len(got) > 1
+
+
+def test_conformal_group_coverage_matches_pure_python(spark):
+    import hashlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+                   CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+            FROM '{SF_TEST}/lineitem.parquet'"""
+    ).fetchall()
+    split = []
+    for ok, ln, rf, ls, y in rows:
+        b = int(hashlib.md5(f"conf{ok}-{ln}".encode()).hexdigest()[:8], 16) % 5
+        split.append((b, rf, ls, y))
+    agg = defaultdict(lambda: [0, 0])
+    for b, rf, ls, y in split:
+        if b <= 2:
+            agg[(rf, ls)][0] += y
+            agg[(rf, ls)][1] += 1
+    mu = {k: s // n for k, (s, n) in agg.items()}
+    cal_g = defaultdict(list)
+    for b, rf, ls, y in split:
+        if b == 3:
+            cal_g[(rf, ls)].append(abs(y - mu[(rf, ls)]))
+    cal_all = sorted(r for rs in cal_g.values() for r in rs)
+    kq = (9 * (len(cal_all) + 1) + 9) // 10
+    q_glob = cal_all[kq - 1]
+    expect = []
+    for (rf, ls) in sorted(cal_g):
+        rs = sorted(cal_g[(rf, ls)])
+        n_cal = len(rs)
+        q_g = rs[(9 * (n_cal + 1) + 9) // 10 - 1]
+        test = [
+            abs(y - mu[(rf2, ls2)])
+            for b, rf2, ls2, y in split
+            if b == 4 and (rf2, ls2) == (rf, ls)
+        ]
+        expect.append(
+            (
+                f"{rf}/{ls}",
+                n_cal,
+                q_g,
+                q_glob,
+                len(test),
+                _round4(sum(1 for r in test if r <= q_g) / len(test)),
+                _round4(sum(1 for r in test if r <= q_glob) / len(test)),
+            )
+        )
+    got = [
+        (
+            r.grp,
+            r.n_cal,
+            r.q_hat_group,
+            r.q_hat_global,
+            r.n_test,
+            r.coverage_group,
+            r.coverage_global,
+        )
+        for r in registry.QUERIES["conformal_group_coverage"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    # every group's own interval sits near nominal
+    assert all(0.85 <= cg <= 0.95 for *_, cg, _ in got)
+
+
+def test_sprt_matches_pure_python_and_stops_early(spark):
+    import hashlib
+
+    from vector_search_spark.registry_round6 import SPRT_THRESH_MICRO
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT user_id, CAST(ts AS DATE) AS day,
+                   max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+            FROM '{SF_TEST}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    ctl_n = ctl_x = 0
+    trt = defaultdict(lambda: [0, 0])
+    for u, d, conv in rows:
+        arm = int(hashlib.md5(f"sprt{u}".encode()).hexdigest()[:8], 16) % 2
+        if arm == 0:
+            ctl_n += 1
+            ctl_x += conv
+        else:
+            trt[d][0] += 1
+            trt[d][1] += conv
+    p0 = float(ctl_x) / float(ctl_n)
+    p1 = p0 + 0.05
+    d0 = min(trt)
+    cum = 0
+    expect = []
+    for d in sorted(trt):
+        n, x = trt[d]
+        l = math.floor(
+            (float(x) * math.log(p1 / p0) + float(n - x) * math.log((1.0 - p1) / (1.0 - p0)))
+            * 1000000.0
+            + 0.5
+        )
+        cum += l
+        state = (
+            "accept_h1"
+            if cum >= SPRT_THRESH_MICRO
+            else ("accept_h0" if cum <= -SPRT_THRESH_MICRO else "continue")
+        )
+        expect.append(((d - d0).days, n, x, _round4(cum / 1000000.0), state))
+        if state != "continue":
+            break
+    got = [
+        (r.day_idx, r.n_trials, r.successes, r.cum_llr, r.state)
+        for r in registry.QUERIES["ab_sprt_monitor"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    # the A/A monitor must accept H0 (no +5pp lift exists) and do so
+    # EARLY — sequential testing's whole value proposition
+    assert got[-1][4] == "accept_h0"
+    assert got[-1][0] < max((d - d0).days for d in trt)
+
+
+def test_logrank_matches_pure_python_and_reads_null(spark):
+    import hashlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, epoch_ns(ts) // 1000, event_type FROM '{SF_TEST}/events.parquet'"
+    ).fetchall()
+    horizon = max(r[1] for r in rows)
+    signup, first_p = {}, {}
+    for u, us, et in rows:
+        if et == "signup" and (u not in signup or us < signup[u]):
+            signup[u] = us
+    for u, us, et in rows:
+        if et == "purchase" and u in signup and us > signup[u]:
+            if u not in first_p or us < first_p[u]:
+                first_p[u] = us
+    durs = []
+    for u, s_us in signup.items():
+        arm = int(hashlib.md5(f"logrank{u}".encode()).hexdigest()[:8], 16) % 2
+        if u in first_p:
+            durs.append((arm, (first_p[u] - s_us) // 86_400_000_000, 1))
+        else:
+            durs.append((arm, (horizon - s_us) // 86_400_000_000, 0))
+    days = sorted({d for _, d, _ in durs})
+    o1 = o2 = e1_micro = v_micro = n_event_days = 0
+    for d in days:
+        d1 = sum(1 for a, dd, e in durs if a == 0 and dd == d and e)
+        d2 = sum(1 for a, dd, e in durs if a == 1 and dd == d and e)
+        n1 = sum(1 for a, dd, _ in durs if a == 0 and dd >= d)
+        n2 = sum(1 for a, dd, _ in durs if a == 1 and dd >= d)
+        nn, ddt = n1 + n2, d1 + d2
+        if ddt == 0:
+            continue
+        n_event_days += 1
+        o1 += d1
+        o2 += d2
+        e1_micro += math.floor(float(ddt) * float(n1) / float(nn) * 1000000.0 + 0.5)
+        frac = float(nn - ddt) / float(nn - 1) if nn > 1 else 0.0
+        v_micro += math.floor(
+            float(ddt) * (float(n1) / float(nn)) * (1.0 - float(n1) / float(nn)) * frac
+            * 1000000.0
+            + 0.5
+        )
+    z = (float(o1 * 1000000 - e1_micro) / 1000000.0) / math.sqrt(v_micro / 1000000.0)
+    r = registry.QUERIES["logrank_test_conversion"](spark, SF_TEST).collect()[0]
+    assert (r.o1, r.o2, r.n_event_days) == (o1, o2, n_event_days)
+    assert r.e1 == _round4(e1_micro / 1000000.0)
+    assert r.z == _round4(z)
+    # exchangeable md5 arms ⇒ the survival curves are equal ⇒ null read
+    assert abs(r.z) < 2.5
+
+
+def test_isotonic_matches_fraction_pava(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT hour(ts), count(*),
+                   sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+            FROM '{SF_TEST}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    # true PAVA with exact Fraction pool means
+    pools = [[Fraction(x), Fraction(n), [h]] for h, n, x in rows]
+    merged = [pools[0]]
+    for p in pools[1:]:
+        merged.append(p)
+        while len(merged) >= 2 and (
+            merged[-2][0] / merged[-2][1] > merged[-1][0] / merged[-1][1]
+        ):
+            x2, n2, hs2 = merged.pop()
+            merged[-1][0] += x2
+            merged[-1][1] += n2
+            merged[-1][2].extend(hs2)
+    iso_true = {}
+    for x, n, hs in merged:
+        for h in hs:
+            iso_true[h] = x / n
+    got = registry.QUERIES["isotonic_hour_calibration"](spark, SF_TEST).collect()
+    assert len(got) == len(rows)
+    for r, (h, n, x) in zip(got, rows):
+        assert (r.hour, r.n, r.x) == (h, n, x)
+        assert r.raw_rate == _round4(x / n)
+        # floor-monotonicity identity: the engine's quantized minimax IS
+        # floor(1e9 · true PAVA), re-rounded to 4 dp on emit
+        iso_nano = (iso_true[h].numerator * 10**9) // iso_true[h].denominator
+        assert r.iso_rate == _round4(iso_nano / 1e9)
+    # the fitted curve is nondecreasing (the isotonic constraint)
+    iso_vals = [r.iso_rate for r in got]
+    assert all(a <= b + 1e-12 for a, b in zip(iso_vals, iso_vals[1:]))

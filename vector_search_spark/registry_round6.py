@@ -43,6 +43,14 @@ eval/diversification):
   seed document (guilt-by-association template expansion).
 - ``bagging_split_stability``  — 16 Poisson-bootstrap replicas of the
   stump argmax in ONE scan; the vote table is the stability diagnostic.
+- ``conformal_group_coverage`` — Mondrian group-conditional conformal
+  vs the marginal interval, coverage side by side per group.
+- ``ab_sprt_monitor``          — Wald SPRT daily A/B monitor with
+  ±ln19 boundaries; accepts H0 early on the A/A arms (asserted).
+- ``logrank_test_conversion``  — log-rank comparison of the two md5
+  arms' survival curves (hypergeometric O−E terms; null read asserted).
+- ``isotonic_hour_calibration`` — exact PAVA via the minimax formula on
+  the hour aggregate (floor-monotone identity proven in the gate).
 
 House invariants throughout: integer-only iteration state, shared SQL
 expression text for every emitted float, ``round4`` on emitted floats,
@@ -2520,4 +2528,581 @@ def q_bagging_split_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("wins"))
         .withColumn("n_replicas", F.lit(BAG_B).cast("long"))
         .orderBy(F.desc("wins"), "feature", "threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mondrian (group-conditional) conformal coverage.
+# ---------------------------------------------------------------------------
+@register(
+    "conformal_group_coverage",
+    oracle=f"""
+    WITH li AS MATERIALIZED (
+      SELECT l_returnflag AS rf, l_linestatus AS ls, {_CONF_Y} AS y,
+             {_CONF_BUCKET} AS bucket
+      FROM lineitem),
+    model AS (
+      SELECT rf, ls, {_fdiv("sum(y)", "count(*)")} AS mu
+      FROM li WHERE bucket <= 2 GROUP BY rf, ls),
+    cal AS MATERIALIZED (
+      SELECT li.rf, li.ls, abs(li.y - m.mu)::BIGINT AS r
+      FROM li JOIN model m ON li.rf = m.rf AND li.ls = m.ls
+      WHERE li.bucket = 3),
+    ncal_g AS (SELECT rf, ls, count(*)::BIGINT AS n_cal FROM cal GROUP BY rf, ls),
+    rk_g AS (
+      SELECT rf, ls, r,
+             row_number() OVER (PARTITION BY rf, ls ORDER BY r) AS rn
+      FROM cal),
+    qg AS (
+      SELECT k.rf, k.ls, k.n_cal, min(r)::BIGINT AS q_group
+      FROM rk_g j JOIN ncal_g k ON j.rf = k.rf AND j.ls = k.ls
+      WHERE j.rn >= ((9 * (k.n_cal + 1)) + 9) // 10
+      GROUP BY k.rf, k.ls, k.n_cal),
+    ncal AS (SELECT count(*)::BIGINT AS n FROM cal),
+    rk AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal),
+    qglob AS (
+      SELECT min(r)::BIGINT AS q FROM rk CROSS JOIN ncal
+      WHERE rn >= ((9 * (n + 1)) + 9) // 10),
+    test AS (
+      SELECT li.rf, li.ls, abs(li.y - m.mu)::BIGINT AS r
+      FROM li JOIN model m ON li.rf = m.rf AND li.ls = m.ls
+      WHERE li.bucket = 4)
+    SELECT t.rf || '/' || t.ls AS grp, qg.n_cal, qg.q_group AS q_hat_group,
+           qglob.q AS q_hat_global,
+           count(*)::BIGINT AS n_test,
+           floor((sum(CASE WHEN t.r <= qg.q_group THEN 1 ELSE 0 END) * 1.0
+                  / count(*)) * 10000 + 0.5)/10000.0 AS coverage_group,
+           floor((sum(CASE WHEN t.r <= qglob.q THEN 1 ELSE 0 END) * 1.0
+                  / count(*)) * 10000 + 0.5)/10000.0 AS coverage_global
+    FROM test t
+    JOIN qg ON t.rf = qg.rf AND t.ls = qg.ls
+    CROSS JOIN qglob
+    GROUP BY t.rf, t.ls, qg.n_cal, qg.q_group, qglob.q
+    ORDER BY grp
+    """,
+)
+def q_conformal_group_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian (group-conditional) conformal calibration, contrasted
+    with the marginal interval: per (returnflag, linestatus) group, fit
+    the group's own q̂ = ⌈0.9(n_g+1)⌉-th calibration residual and report
+    held-out coverage under BOTH the group q̂ and the global q̂ from
+    `conformal_price_interval`.  Split conformal only guarantees
+    MARGINAL coverage — a heteroscedastic group can sit at 80% while the
+    average reads 90%; Mondrian buys per-group validity at the price of
+    smaller calibration sets.  The side-by-side coverage columns make
+    that trade measurable, per group, in one query.
+
+    Exactness: same md5 splits and floor-division model as the marginal
+    query; each group's q̂ is an exact order statistic (integer ceiling
+    rank); coverage is integer counting with one float division on emit.
+
+    Scale: per-group ranks partition the calibration slice by group
+    (range-partitioned sort within each — groups are the Mondrian
+    taxonomy, bounded); everything else is the broadcast-joined
+    one-pass shape of the marginal query.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.expr(_CONF_Y).alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("conf"),
+                            F.col("l_orderkey").cast("string"),
+                            F.lit("-"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("bucket"),
+    )
+    model = (
+        li.filter(F.col("bucket") <= 2)
+        .groupBy("rf", "ls")
+        .agg(F.expr(_fdiv("sum(y)", "count(*)")).alias("mu"))
+    )
+    joined = li.join(F.broadcast(model), ["rf", "ls"])
+    cal = joined.filter(F.col("bucket") == 3).select(
+        "rf", "ls", F.abs(F.col("y") - F.col("mu")).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    ncal_g = cal.groupBy("rf", "ls").agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    wg = Window.partitionBy("rf", "ls").orderBy("r")
+    qg = (
+        cal.withColumn("rn", F.row_number().over(wg))
+        .join(F.broadcast(ncal_g), ["rf", "ls"])
+        .filter(F.col("rn") >= F.expr("((9 * (n_cal + 1)) + 9) DIV 10"))
+        .groupBy("rf", "ls", "n_cal")
+        .agg(F.min("r").cast("long").alias("q_group"))
+    )
+    ncal = cal.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("r")
+    qglob = (
+        cal.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(ncal))
+        .filter(F.col("rn") >= F.expr("((9 * (n + 1)) + 9) DIV 10"))
+        .agg(F.min("r").cast("long").alias("q"))
+    )
+    test = joined.filter(F.col("bucket") == 4).select(
+        "rf", "ls", F.abs(F.col("y") - F.col("mu")).cast("long").alias("r")
+    )
+    return (
+        test.join(F.broadcast(qg), ["rf", "ls"])
+        .crossJoin(F.broadcast(qglob))
+        .groupBy("rf", "ls", "n_cal", "q_group", "q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.expr(
+                "CAST(floor((sum(CASE WHEN r <= q_group THEN 1 ELSE 0 END) * 1.0"
+                " / count(*)) * 10000 + 0.5)/10000.0 AS DOUBLE)"
+            ).alias("coverage_group"),
+            F.expr(
+                "CAST(floor((sum(CASE WHEN r <= q THEN 1 ELSE 0 END) * 1.0"
+                " / count(*)) * 10000 + 0.5)/10000.0 AS DOUBLE)"
+            ).alias("coverage_global"),
+        )
+        .select(
+            F.concat(F.col("rf"), F.lit("/"), F.col("ls")).alias("grp"),
+            "n_cal",
+            F.col("q_group").alias("q_hat_group"),
+            F.col("q").alias("q_hat_global"),
+            "n_test",
+            "coverage_group",
+            "coverage_global",
+        )
+        .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential A/B monitor on daily conversion (A/A arms).
+# ---------------------------------------------------------------------------
+SPRT_THRESH_MICRO = 2_944_439  # ln(0.95/0.05) in micro-nats (alpha = beta = 0.05)
+_SPRT_P0 = "(CAST(cx AS DOUBLE) / CAST(cn AS DOUBLE))"
+_SPRT_P1 = f"({_SPRT_P0} + 0.05)"
+_SPRT_LLR = (
+    f"CAST(floor((CAST(x AS DOUBLE) * ln({_SPRT_P1} / {_SPRT_P0})"
+    f" + CAST(n - x AS DOUBLE) * ln((1.0 - {_SPRT_P1}) / (1.0 - {_SPRT_P0})))"
+    f" * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "ab_sprt_monitor",
+    oracle=f"""
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+             ('0x' || substr(md5('sprt' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    ctl AS (
+      SELECT count(*)::BIGINT AS cn, sum(conv)::BIGINT AS cx
+      FROM ud WHERE arm = 0),
+    trt AS (
+      SELECT day, count(*)::BIGINT AS n, sum(conv)::BIGINT AS x
+      FROM ud WHERE arm = 1 GROUP BY day),
+    idx AS (
+      SELECT (day - (SELECT min(day) FROM trt))::BIGINT AS day_idx, n, x
+      FROM trt),
+    llr AS (
+      SELECT day_idx, n, x, {_SPRT_LLR} AS l
+      FROM idx CROSS JOIN ctl),
+    cum AS (
+      SELECT day_idx, n, x,
+             (sum(l) OVER (ORDER BY day_idx ROWS UNBOUNDED PRECEDING))::BIGINT
+               AS cum_l
+      FROM llr),
+    crossing AS (
+      SELECT coalesce(min(day_idx), (SELECT max(day_idx) FROM cum))::BIGINT AS cd
+      FROM cum WHERE cum_l >= {SPRT_THRESH_MICRO} OR cum_l <= -{SPRT_THRESH_MICRO})
+    SELECT day_idx, n AS n_trials, x AS successes,
+           floor((CAST(cum_l AS DOUBLE) / 1000000.0)*10000 + 0.5)/10000.0 AS cum_llr,
+           CASE WHEN cum_l >= {SPRT_THRESH_MICRO} THEN 'accept_h1'
+                WHEN cum_l <= -{SPRT_THRESH_MICRO} THEN 'accept_h0'
+                ELSE 'continue' END AS state
+    FROM cum CROSS JOIN crossing
+    WHERE day_idx <= cd
+    ORDER BY day_idx
+    """,
+)
+def q_ab_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test run as a daily A/B
+    monitor: treatment user-days stream in day by day, and the running
+    log-likelihood ratio of H1 (conversion lifted +5 pp over the control
+    rate) vs H0 (equal to control) is compared to the ±ln(0.95/0.05)
+    boundaries (α = β = 0.05) — the early-stopping discipline that
+    replaces the invalid "peek at the z-test every day" habit
+    (`ab_test_zscore` is the fixed-horizon companion; this is the
+    anytime-valid one).  Emitted day-by-day UP TO the first boundary
+    crossing, with the decision state on each row.  On these md5 A/A
+    arms the LLR drifts down and accepts H0 — the monitor correctly
+    refusing to call a lift that isn't there, in finitely many days.
+
+    Exactness: control rate p0 is an exact integer ratio; the two ln
+    terms are ONE shared DOUBLE text; each day's LLR increment is
+    quantized to micro-nats BEFORE the cumulative sum (an ordered
+    prefix sum over the ~10⁴-row day aggregate); the boundary compare
+    and crossing-day argmin are pure integers.
+
+    Scale: one partial-agg'd groupBy(user, day) collapse, a 1-row
+    control aggregate broadcast into the per-day treatment table, and
+    windows over the day AGGREGATE — the scan is the whole cost, which
+    is what lets the monitor rerun after every daily load.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    ).withColumn(
+        "arm",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sprt"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2,
+    )
+    ctl = ud.filter(F.col("arm") == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum("conv").cast("long").alias("cx"),
+    )
+    trt = (
+        ud.filter(F.col("arm") == 1)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("conv").cast("long").alias("x"),
+        )
+    )
+    mind = trt.agg(F.min("day").alias("min_day"))
+    idx = trt.crossJoin(F.broadcast(mind)).select(
+        F.datediff(F.col("day"), F.col("min_day")).cast("long").alias("day_idx"),
+        "n",
+        "x",
+    )
+    llr = idx.crossJoin(F.broadcast(ctl)).withColumn("l", F.expr(_SPRT_LLR))
+    wc = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    cum = llr.withColumn("cum_l", F.sum("l").over(wc).cast("long")).localCheckpoint(
+        eager=True
+    )
+    crossed = cum.filter(
+        (F.col("cum_l") >= SPRT_THRESH_MICRO) | (F.col("cum_l") <= -SPRT_THRESH_MICRO)
+    ).agg(F.min("day_idx").alias("mcd"))
+    maxd = cum.agg(F.max("day_idx").alias("mxd"))
+    crossing = crossed.crossJoin(F.broadcast(maxd)).select(
+        F.coalesce(F.col("mcd"), F.col("mxd")).cast("long").alias("cd")
+    )
+    return (
+        cum.crossJoin(F.broadcast(crossing))
+        .filter(F.col("day_idx") <= F.col("cd"))
+        .select(
+            "day_idx",
+            F.col("n").alias("n_trials"),
+            F.col("x").alias("successes"),
+            F.expr(
+                "CAST(floor((CAST(cum_l AS DOUBLE) / 1000000.0)*10000 + 0.5)"
+                "/10000.0 AS DOUBLE)"
+            ).alias("cum_llr"),
+            F.when(F.col("cum_l") >= SPRT_THRESH_MICRO, "accept_h1")
+            .when(F.col("cum_l") <= -SPRT_THRESH_MICRO, "accept_h0")
+            .otherwise("continue")
+            .alias("state"),
+        )
+        .orderBy("day_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: conversion survival compared between two md5 arms.
+# ---------------------------------------------------------------------------
+_LR_E1 = "CAST(floor((CAST(dd AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+_LR_V = (
+    "CAST(floor((CAST(dd AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nn AS DOUBLE))"
+    " * (1.0 - CAST(n1 AS DOUBLE) / CAST(nn AS DOUBLE))"
+    " * (CASE WHEN nn > 1 THEN CAST(nn - dd AS DOUBLE) / CAST(nn - 1 AS DOUBLE)"
+    " ELSE 0.0 END)) * 1000000.0 + 0.5) AS BIGINT)"
+)
+_LR_Z = "(CAST(o1 * 1000000 - e1_micro AS DOUBLE) / 1000000.0) / sqrt(CAST(v_micro AS DOUBLE) / 1000000.0)"
+
+
+@register(
+    "logrank_test_conversion",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+    horizon AS (SELECT max(us)::BIGINT AS h FROM e),
+    t0 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'signup' THEN us END)::BIGINT AS s_us
+      FROM e GROUP BY user_id HAVING s_us IS NOT NULL),
+    conv AS (
+      SELECT t0.user_id, t0.s_us,
+             min(CASE WHEN e.event_type = 'purchase' AND e.us > t0.s_us
+                      THEN e.us END)::BIGINT AS p_us
+      FROM t0 JOIN e ON e.user_id = t0.user_id
+      GROUP BY t0.user_id, t0.s_us),
+    dur AS (
+      SELECT user_id,
+             ('0x' || substr(md5('logrank' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             CASE WHEN p_us IS NOT NULL THEN (p_us - s_us) // 86400000000
+                  ELSE ((SELECT h FROM horizon) - s_us) // 86400000000
+             END AS d,
+             CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM conv),
+    days AS (
+      SELECT d,
+             sum(CASE WHEN arm = 0 THEN ev ELSE 0 END)::BIGINT AS d1,
+             sum(CASE WHEN arm = 1 THEN ev ELSE 0 END)::BIGINT AS d2,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS t1,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS t2
+      FROM dur GROUP BY d),
+    risk AS (
+      SELECT d, d1, d2,
+             (sum(t1) OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING))::BIGINT AS n1,
+             (sum(t2) OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING))::BIGINT AS n2
+      FROM days),
+    terms AS (
+      SELECT d, d1, d2, n1, n2, (n1 + n2) AS nn, (d1 + d2) AS dd,
+             {_LR_E1} AS e1_t, {_LR_V} AS v_t
+      FROM risk WHERE (d1 + d2) > 0),
+    tot AS (
+      SELECT sum(d1)::BIGINT AS o1, sum(d2)::BIGINT AS o2,
+             sum(e1_t)::BIGINT AS e1_micro, sum(v_t)::BIGINT AS v_micro,
+             count(*)::BIGINT AS n_event_days
+      FROM terms)
+    SELECT o1, o2, n_event_days,
+           floor((CAST(e1_micro AS DOUBLE) / 1000000.0)*10000 + 0.5)/10000.0 AS e1,
+           floor(({_LR_Z})*10000 + 0.5)/10000.0 AS z
+    FROM tot
+    """,
+)
+def q_logrank_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing the signup→purchase survival curves of two
+    md5 user arms: at each event day the observed arm-0 events are
+    compared with their hypergeometric expectation under "curves are
+    equal", and z = (O₁−E₁)/√V aggregates the per-day terms — THE
+    standard test for "does treatment change time-to-conversion", the
+    inferential companion to `kaplan_meier_conversion`'s estimate
+    (means of censored durations are biased; the log-rank isn't).  On
+    these exchangeable A/A arms z sits inside ±2 — the null read this
+    audit exists to certify.
+
+    Exactness: durations, risk sets and event counts are exact integers
+    (the KM machinery, per arm); each event day's expectation and
+    variance terms are ONE shared DOUBLE text quantized to micro BEFORE
+    the sums; z is a single shared expression over the integer totals.
+
+    Scale: two partial-agg'd groupBys (per-user firsts, per-day arm
+    counts) and reverse prefix sums on the day AGGREGATE — identical
+    economics to the KM query it tests.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts)").alias("us"), "event_type"
+    )
+    horizon = ev.agg(F.max("us").cast("long").alias("h"))
+    t0 = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("us")))
+            .cast("long")
+            .alias("s_us")
+        )
+        .filter(F.col("s_us").isNotNull())
+    )
+    conv = (
+        t0.join(ev, "user_id")
+        .groupBy("user_id", "s_us")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("us") > F.col("s_us")),
+                    F.col("us"),
+                )
+            )
+            .cast("long")
+            .alias("p_us")
+        )
+    )
+    dur = conv.crossJoin(F.broadcast(horizon)).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("logrank"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+        F.when(F.col("p_us").isNotNull(), F.expr("(p_us - s_us) DIV 86400000000"))
+        .otherwise(F.expr("(h - s_us) DIV 86400000000"))
+        .alias("d"),
+        F.when(F.col("p_us").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    days = dur.groupBy("d").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("ev")).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0)).cast("long").alias("d2"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("t1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("t2"),
+    )
+    w_risk = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = days.select(
+        "d",
+        "d1",
+        "d2",
+        F.sum("t1").over(w_risk).cast("long").alias("n1"),
+        F.sum("t2").over(w_risk).cast("long").alias("n2"),
+    )
+    terms = (
+        risk.withColumn("nn", F.col("n1") + F.col("n2"))
+        .withColumn("dd", F.col("d1") + F.col("d2"))
+        .filter(F.col("dd") > 0)
+        .withColumn("e1_t", F.expr(_LR_E1))
+        .withColumn("v_t", F.expr(_LR_V))
+    )
+    tot = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("d2").cast("long").alias("o2"),
+        F.sum("e1_t").cast("long").alias("e1_micro"),
+        F.sum("v_t").cast("long").alias("v_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_event_days"),
+    )
+    return tot.select(
+        "o1",
+        "o2",
+        "n_event_days",
+        F.expr(
+            "CAST(floor((CAST(e1_micro AS DOUBLE) / 1000000.0)*10000 + 0.5)/10000.0"
+            " AS DOUBLE)"
+        ).alias("e1"),
+        F.expr(f"CAST(floor(({_LR_Z})*10000 + 0.5)/10000.0 AS DOUBLE)").alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration of P(purchase) vs hour (exact minimax formula).
+# ---------------------------------------------------------------------------
+@register(
+    "isotonic_hour_calibration",
+    oracle="""
+    WITH cells AS (
+      SELECT hour(ts)::BIGINT AS h, count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x
+      FROM events GROUP BY 1),
+    pre AS (
+      SELECT h, n, x,
+             (sum(n) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING))::BIGINT AS pn,
+             (sum(x) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING))::BIGINT AS px
+      FROM cells),
+    iv AS (
+      SELECT a.h AS a, b.h AS b,
+             ((b.px - a.px + a.x) * 1000000000) // (b.pn - a.pn + a.n) AS m_nano
+      FROM pre a JOIN pre b ON a.h <= b.h),
+    inner_min AS (
+      SELECT c.h, iv.a, min(iv.m_nano)::BIGINT AS mn
+      FROM cells c JOIN iv ON iv.a <= c.h AND iv.b >= c.h
+      GROUP BY c.h, iv.a),
+    iso AS (
+      SELECT h, max(mn)::BIGINT AS iso_nano FROM inner_min GROUP BY h)
+    SELECT c.h AS hour, c.n, c.x,
+           floor((CAST(c.x AS DOUBLE) / CAST(c.n AS DOUBLE))*10000 + 0.5)/10000.0
+             AS raw_rate,
+           floor((CAST(i.iso_nano AS DOUBLE) / 1000000000.0)*10000 + 0.5)/10000.0
+             AS iso_rate
+    FROM cells c JOIN iso i ON c.h = i.h
+    ORDER BY hour
+    """,
+)
+def q_isotonic_hour_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration of the purchase
+    rate as a function of hour-of-day, solved EXACTLY by the minimax
+    characterization of the PAVA solution: iso(h) = max_{a≤h} min_{b≥h}
+    weighted-mean(rate over hours a..b).  Isotonic fits are the
+    standard score-calibration step (beside `calibration_bins`, which
+    only measures miscalibration) and the usual monotone-constraint
+    smoother for dose-response curves; on this uniform corpus the fit
+    collapses toward a flat staircase — the honest no-signal read.
+
+    Exactness: interval means never materialize as floats — each of the
+    ≤ 24·25/2 intervals carries floor(10⁹·X/N) as an INTEGER, and
+    because floor is monotone, max-of-min over quantized means equals
+    the quantized max-of-min: iso_nano(h) = floor(10⁹·iso_true(h))
+    EXACTLY (the pure-Python Fraction PAVA gate checks this identity).
+    No iteration, no data-dependent pooling order — the minimax form is
+    what makes PAVA, an inherently sequential algorithm, a closed-form
+    distributed query.
+
+    Scale: the corpus collapses to 24 hour cells in one partial-agg'd
+    scan; prefix sums, the 300-interval self-join and both minimax
+    folds all run on that constant-size aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(F.hour("ts").cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    wp = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    pre = cells.select(
+        "h",
+        "n",
+        "x",
+        F.sum("n").over(wp).cast("long").alias("pn"),
+        F.sum("x").over(wp).cast("long").alias("px"),
+    )
+    a = pre.select(
+        F.col("h").alias("a"), F.col("n").alias("an"), F.col("x").alias("ax"),
+        F.col("pn").alias("apn"), F.col("px").alias("apx"),
+    )
+    b = pre.select(
+        F.col("h").alias("b"), F.col("pn").alias("bpn"), F.col("px").alias("bpx")
+    )
+    iv = (
+        a.join(b, F.col("a") <= F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.expr("((bpx - apx + ax) * 1000000000) DIV (bpn - apn + an)").alias(
+                "m_nano"
+            ),
+        )
+    )
+    inner_min = (
+        cells.select(F.col("h"))
+        .join(iv, (F.col("a") <= F.col("h")) & (F.col("b") >= F.col("h")))
+        .groupBy("h", "a")
+        .agg(F.min("m_nano").cast("long").alias("mn"))
+    )
+    iso = inner_min.groupBy("h").agg(F.max("mn").cast("long").alias("iso_nano"))
+    return (
+        cells.join(iso, "h")
+        .select(
+            F.col("h").alias("hour"),
+            "n",
+            "x",
+            F.expr(
+                "CAST(floor((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))*10000 + 0.5)"
+                "/10000.0 AS DOUBLE)"
+            ).alias("raw_rate"),
+            F.expr(
+                "CAST(floor((CAST(iso_nano AS DOUBLE) / 1000000000.0)*10000 + 0.5)"
+                "/10000.0 AS DOUBLE)"
+            ).alias("iso_rate"),
+        )
+        .orderBy("hour")
     )
