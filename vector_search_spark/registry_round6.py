@@ -1690,7 +1690,7 @@ def q_graph_double_sweep_diameter(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 # Exact two-sided trimmed mean per event type (histogram route).
 # ---------------------------------------------------------------------------
-TRIM_PCT_NUM = 1  # trim floor(n/10) from each side
+TRIM_DIV = 10  # trim floor(n/TRIM_DIV) from each side (10 => 10% two-sided)
 _TRIM_MEAN = "(CAST(s_kept AS DOUBLE) / CAST(c_kept AS DOUBLE)) / 100.0"
 _RAW_MEAN = "(CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0"
 
@@ -1710,14 +1710,14 @@ _RAW_MEAN = "(CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0"
              (sum(cnt) OVER (PARTITION BY event_type))::BIGINT AS n
       FROM hist),
     kept AS (
-      SELECT event_type, n, (n // 10)::BIGINT AS k,
-             greatest(0, least(cum, n - (n // 10))
-                         - greatest(cum - cnt + 1, (n // 10) + 1) + 1) AS kc,
+      SELECT event_type, n, (n // {TRIM_DIV})::BIGINT AS k,
+             greatest(0, least(cum, n - (n // {TRIM_DIV}))
+                         - greatest(cum - cnt + 1, (n // {TRIM_DIV}) + 1) + 1) AS kc,
              c
       FROM cum),
     agg AS (
       SELECT event_type, n, k,
-             sum(kc)::BIGINT AS c_kept, sum(kc * c)::BIGINT AS s_kept
+             sum(kc)::BIGINT AS c_kept, sum(kc::HUGEINT * c) AS s_kept
       FROM kept GROUP BY 1, 2, 3),
     raw AS (
       SELECT event_type, sum(c)::BIGINT AS s_all FROM cents GROUP BY 1)
@@ -1741,8 +1741,10 @@ def q_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     HISTOGRAM (value, count) carries cumulative ranks, and each value
     contributes kc = overlap(|its rank interval ∩ [k+1, n−k]|) rows to
     the kept sum, which handles ties straddling the trim boundary
-    exactly; k = n//10 in integers; sums are exact BIGINTs with ONE
-    shared float division per emitted mean.
+    exactly; k = n//10 in integers; the kept-sum accumulates kc·c in
+    DECIMAL(38,0)/HUGEINT (kc can approach n, so the product would wrap
+    BIGINT on large corpora) with ONE shared float division per emitted
+    mean.
 
     Scale: this is the histogram trick again — the shuffle carries
     (type, cents-value) cells (bounded by the value domain, not the row
@@ -1774,16 +1776,16 @@ def q_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = cum.select(
         "event_type",
         "n",
-        F.expr("n DIV 10").cast("long").alias("k"),
+        F.expr(f"n DIV {TRIM_DIV}").cast("long").alias("k"),
         F.expr(
-            "greatest(0, least(cum, n - (n DIV 10))"
-            " - greatest(cum - cnt + 1, (n DIV 10) + 1) + 1)"
+            f"greatest(0, least(cum, n - (n DIV {TRIM_DIV}))"
+            f" - greatest(cum - cnt + 1, (n DIV {TRIM_DIV}) + 1) + 1)"
         ).alias("kc"),
         "c",
     )
     agg = kept.groupBy("event_type", "n", "k").agg(
         F.sum("kc").cast("long").alias("c_kept"),
-        F.sum(F.col("kc") * F.col("c")).cast("long").alias("s_kept"),
+        F.sum(F.col("kc").cast("decimal(38,0)") * F.col("c")).alias("s_kept"),
     )
     raw = cents.groupBy("event_type").agg(F.sum("c").cast("long").alias("s_all"))
     return (
@@ -2686,8 +2688,13 @@ def q_conformal_group_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SPRT sequential A/B monitor on daily conversion (A/A arms).
 # ---------------------------------------------------------------------------
 SPRT_THRESH_MICRO = 2_944_439  # ln(0.95/0.05) in micro-nats (alpha = beta = 0.05)
-_SPRT_P0 = "(CAST(cx AS DOUBLE) / CAST(cn AS DOUBLE))"
-_SPRT_P1 = f"({_SPRT_P0} + 0.05)"
+# p0 guarded away from 0 (greatest(cx,1)) and p1 clamped below 1 so the two
+# ln() terms never see a non-positive argument — a control rate of exactly 0
+# or >= 0.95 would otherwise turn the LLR into NaN/Inf with no warning.  On
+# any corpus where 0 < p0 < 0.95 - eps (every real one) the clamps are
+# no-ops, so the shared expression text stays bit-identical across engines.
+_SPRT_P0 = "(CAST(greatest(cx, 1) AS DOUBLE) / CAST(cn AS DOUBLE))"
+_SPRT_P1 = f"least({_SPRT_P0} + 0.05, 0.999999)"
 _SPRT_LLR = (
     f"CAST(floor((CAST(x AS DOUBLE) * ln({_SPRT_P1} / {_SPRT_P0})"
     f" + CAST(n - x AS DOUBLE) * ln((1.0 - {_SPRT_P1}) / (1.0 - {_SPRT_P0})))"
@@ -2747,7 +2754,9 @@ def q_ab_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms the LLR drifts down and accepts H0 — the monitor correctly
     refusing to call a lift that isn't there, in finitely many days.
 
-    Exactness: control rate p0 is an exact integer ratio; the two ln
+    Exactness: control rate p0 is an exact integer ratio, guarded >0 and
+    p1 clamped <1 so the ln arguments are always positive (no-op clamps
+    on any corpus with 0 < p0 < 0.95); the two ln
     terms are ONE shared DOUBLE text; each day's LLR increment is
     quantized to micro-nats BEFORE the cumulative sum (an ordered
     prefix sum over the ~10⁴-row day aggregate); the boundary compare
@@ -3010,7 +3019,8 @@ def q_logrank_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cells),
     iv AS (
       SELECT a.h AS a, b.h AS b,
-             ((b.px - a.px + a.x) * 1000000000) // (b.pn - a.pn + a.n) AS m_nano
+             ((b.px - a.px + a.x)::HUGEINT * 1000000000
+              // (b.pn - a.pn + a.n))::BIGINT AS m_nano
       FROM pre a JOIN pre b ON a.h <= b.h),
     inner_min AS (
       SELECT c.h, iv.a, min(iv.m_nano)::BIGINT AS mn
@@ -3042,6 +3052,10 @@ def q_isotonic_hour_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     because floor is monotone, max-of-min over quantized means equals
     the quantized max-of-min: iso_nano(h) = floor(10⁹·iso_true(h))
     EXACTLY (the pure-Python Fraction PAVA gate checks this identity).
+    The 10⁹-scaled numerator is widened to DECIMAL(38,0)/HUGEINT before
+    the multiply — cumulative purchase counts past ~9.2e9 would wrap a
+    BIGINT product silently in Spark while DuckDB errors, breaking
+    engine parity exactly where 100 TB corpora live.
     No iteration, no data-dependent pooling order — the minimax form is
     what makes PAVA, an inherently sequential algorithm, a closed-form
     distributed query.
@@ -3077,9 +3091,10 @@ def q_isotonic_hour_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a",
             "b",
-            F.expr("((bpx - apx + ax) * 1000000000) DIV (bpn - apn + an)").alias(
-                "m_nano"
-            ),
+            F.expr(
+                "CAST((CAST(bpx - apx + ax AS DECIMAL(38,0)) * 1000000000)"
+                " DIV (bpn - apn + an) AS BIGINT)"
+            ).alias("m_nano"),
         )
     )
     inner_min = (
