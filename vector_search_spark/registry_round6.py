@@ -2446,10 +2446,15 @@ def q_bagging_split_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer sums; the gain is the shared nano-quantized text with
     (feature, val) tie-breaks per replica.
 
-    Scale: ONE scan fans out to (replica, feature, bin) weighted
-    histogram cells via map-side explode — the shuffle carries
-    B × Σ|feature domains| cells (~2,500 rows), never data rows, and
-    all 16 argmaxes are windows over those cells.  This is why bagged
+    Scale: the scan collapses straight onto the JOINT feature-value key
+    ((q, d, t, label) packed into one long — ≤ 50·64·64·2 cells), with
+    all 16 replica weights computed ONCE per data row as plain columns:
+    no row ever fans out before the collapse, so the map side does
+    B = 16 Poisson evaluations per row (not B × |features| — an earlier
+    explode-first shape paid 5× that and it was the whole cold cost),
+    and the shuffle carries ≤ ~10⁴ wide cells.  Per-feature marginals,
+    the stack() unpivot to (replica, feature, bin), and all 16 argmax
+    windows run on that constant-size aggregate.  This is why bagged
     tree ensembles train on 100 TB: replication happens in the
     sufficient statistics, not the data.
     """
@@ -2470,32 +2475,53 @@ def q_bagging_split_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig = sig.withColumn(
             f"h{g}", F.md5(F.concat(F.lit(f"bagg{g}:"), F.col("rowsig")))
         )
-    fv = sig.select(
-        *[F.col(f"h{g}") for g in range(BAG_B // 4)],
+
+    def _w_expr(b: int) -> str:
+        # replica b reads 32-bit lane b%4 of digest h{b//4}; constant
+        # offsets let codegen skip the digest/lane dispatch CASEs.
+        u = f"(CAST(conv(substr(h{b // 4}, {(b % 4) * 8 + 1}, 8), 16, 10) AS BIGINT))"
+        return _pois_w(u)
+
+    fexprs = [e for _, e in _STUMP_FEATURES]
+    # radix-64 packing is safe: discount_pct <= 10, tax_pct <= 8 by schema.
+    joint = (
+        sig.select(
+            F.expr(
+                f"((({fexprs[0]}) * 64 + ({fexprs[1]})) * 64 + ({fexprs[2]}))"
+                f" * 2 + ({_STUMP_LABEL})"
+            ).alias("jk"),
+            *[F.expr(_w_expr(b)).cast("long").alias(f"w{b}") for b in range(BAG_B)],
+        )
+        .groupBy("jk")
+        .agg(*[F.sum(f"w{b}").cast("long").alias(f"c{b}") for b in range(BAG_B)])
+    )
+    decoded = joint.select(
+        F.expr("jk DIV (64*64*2)").alias("v0"),
+        F.expr("(jk DIV (64*2)) % 64").alias("v1"),
+        F.expr("(jk DIV 2) % 64").alias("v2"),
+        F.expr("jk % 2").alias("pos"),
+        *[f"c{b}" for b in range(BAG_B)],
+    )
+    fv = decoded.select(
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(name).alias("feature"), F.expr(expr).alias("val"))
-                    for name, expr in _STUMP_FEATURES
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        F.col(f"v{i}").cast("long").alias("val"),
+                    )
+                    for i, (name, _) in enumerate(_STUMP_FEATURES)
                 ]
             )
         ).alias("p"),
-        F.expr(_STUMP_LABEL).alias("pos"),
-    ).select(*[f"h{g}" for g in range(BAG_B // 4)], "p.feature", "p.val", "pos")
-    hsel = (
-        "CASE (b DIV 4) "
-        + " ".join(f"WHEN {g} THEN h{g}" for g in range(BAG_B // 4))
-        + " END"
-    )
-    u = f"(CAST(conv(substr({hsel}, CAST((b % 4) * 8 + 1 AS INT), 8), 16, 10) AS BIGINT))"
-    rep = fv.select(
-        "feature",
-        "val",
         "pos",
-        F.explode(F.sequence(F.lit(0), F.lit(BAG_B - 1))).alias("b"),
-        *[F.col(f"h{g}") for g in range(BAG_B // 4)],
-    ).select("b", "feature", "val", "pos", F.expr(_pois_w(u)).alias("w"))
-    agg = rep.groupBy("b", "feature", "val").agg(
+        *[f"c{b}" for b in range(BAG_B)],
+    ).select("p.feature", "p.val", "pos", *[f"c{b}" for b in range(BAG_B)])
+    stack_args = ", ".join(f"{b}L, c{b}" for b in range(BAG_B))
+    long_cells = fv.select(
+        "feature", "val", "pos", F.expr(f"stack({BAG_B}, {stack_args}) AS (b, w)")
+    )
+    agg = long_cells.groupBy("b", "feature", "val").agg(
         F.sum("w").cast("long").alias("cnt"),
         F.sum(F.col("w") * F.col("pos")).cast("long").alias("pos"),
     )
