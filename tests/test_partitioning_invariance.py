@@ -142,6 +142,9 @@ QUERIES = [
     "ab_sprt_monitor",
     "logrank_test_conversion",
     "isotonic_hour_calibration",
+    # round-5 additions
+    "decision_tree_depth3",
+    "ab_group_sequential",
 ]
 
 REGIMES = [

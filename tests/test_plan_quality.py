@@ -335,6 +335,17 @@ def test_tree_shuffles_histograms_not_rows(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_tree_depth3_shuffles_histograms_not_rows(spark):
+    """Depth 3 composes the same level-wise invariant: every exchange
+    carries (node, feature, bin) histogram cells, level tags come back
+    via broadcast, and no level degrades to a cartesian or row-shuffle."""
+    df = registry.QUERIES["decision_tree_depth3"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_trimmed_mean_no_global_sort_of_rows(spark):
     """The trimmed mean must rank via the per-type value HISTOGRAM —
     no per-row global sort/window over the events rows."""

@@ -1169,3 +1169,154 @@ def test_isotonic_matches_fraction_pava(spark):
     # the fitted curve is nondecreasing (the isotonic constraint)
     iso_vals = [r.iso_rate for r in got]
     assert all(a <= b + 1e-12 for a, b in zip(iso_vals, iso_vals[1:]))
+
+
+def test_tree_depth3_matches_pure_python(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(floor(l_quantity + 0.5) AS BIGINT),
+                   CAST(floor(l_discount*100 + 0.5) AS BIGINT),
+                   CAST(floor(l_tax*100 + 0.5) AS BIGINT),
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+            FROM '{SF_TEST}/lineitem.parquet'"""
+    ).fetchall()
+    feats = ["quantity", "discount_pct", "tax_pct"]
+    fidx = {f: i for i, f in enumerate(feats)}
+
+    def gini_gain(nl, pl, n, p):
+        nd, pd = float(n), float(p)
+        nld, pld = float(nl), float(pl)
+        nrd, prd = nd - nld, pd - pld
+        parent = 1.0 - (pd / nd) * (pd / nd) - ((nd - pd) / nd) * ((nd - pd) / nd)
+        left = 1.0 - (pld / nld) * (pld / nld) - ((nld - pld) / nld) * ((nld - pld) / nld)
+        right = 1.0 - (prd / nrd) * (prd / nrd) - ((nrd - prd) / nrd) * ((nrd - prd) / nrd)
+        return parent - ((nld / nd) * left + (nrd / nd) * right)
+
+    def best_split(subset):
+        n = len(subset)
+        p = sum(r[3] for r in subset)
+        best = None
+        for fi, fname in enumerate(feats):
+            hist = defaultdict(lambda: [0, 0])
+            for r in subset:
+                hist[r[fi]][0] += 1
+                hist[r[fi]][1] += r[3]
+            cum_n = cum_p = 0
+            for val in sorted(hist):
+                cum_n += hist[val][0]
+                cum_p += hist[val][1]
+                if cum_n >= n:
+                    continue
+                g = math.floor(gini_gain(cum_n, cum_p, n, p) * 1e9 + 0.5)
+                key = (-g, fname, val)
+                if best is None or key < best[0]:
+                    best = (key, (fname, val, g, n, p, cum_n, cum_p))
+        return None if best is None else best[1]
+
+    def split_rows(subset, f, v):
+        return (
+            [r for r in subset if r[fidx[f]] <= v],
+            [r for r in subset if r[fidx[f]] > v],
+        )
+
+    expect = {}
+    root = best_split(rows)
+    expect["root"] = root
+    l1, r1 = split_rows(rows, root[0], root[1])
+    for node, subset in (("left", l1), ("right", r1)):
+        s = best_split(subset)
+        if s is None:
+            continue
+        expect[node] = s
+        cl, cr = split_rows(subset, s[0], s[1])
+        for suffix, child in ((".left", cl), (".right", cr)):
+            s2 = best_split(child)
+            if s2 is not None:
+                expect[node + suffix] = s2
+
+    want = [
+        (
+            node, f, v, _round4(g / 1e9), n, p, cn, cp, n - cn, p - cp,
+        )
+        for node, (f, v, g, n, p, cn, cp) in sorted(expect.items())
+    ]
+    got = [
+        (
+            r.node, r.feature, r.threshold, r.gain, r.n_node, r.pos_node,
+            r.n_left, r.pos_left, r.n_right, r.pos_right,
+        )
+        for r in registry.QUERIES["decision_tree_depth3"](spark, SF_TEST).collect()
+    ]
+    assert got == want
+    # refinement invariants: each level partitions its parent's rows
+    by = {t[0]: t for t in got}
+    assert by["left"][4] + by["right"][4] == by["root"][4]
+    for parent in ("left", "right"):
+        kids = [by[k] for k in (f"{parent}.left", f"{parent}.right") if k in by]
+        if len(kids) == 2:
+            assert kids[0][4] + kids[1][4] == by[parent][4]
+            assert kids[0][5] + kids[1][5] == by[parent][5]
+    # depth 3 really grew past depth 2
+    assert any("." in t[0] for t in got)
+
+
+def test_group_sequential_matches_pure_python_and_never_stops(spark):
+    import hashlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT user_id, CAST(ts AS DATE) AS day,
+                   max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+            FROM '{SF_TEST}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    d0 = min(d for _, d, _ in rows)
+    wk = defaultdict(lambda: [0, 0, 0, 0])  # w -> [n1, x1, n0, x0]
+    for u, d, conv in rows:
+        arm = int(hashlib.md5(f"sprt{u}".encode()).hexdigest()[:8], 16) % 2
+        w = (d - d0).days // 7
+        if arm == 1:
+            wk[w][0] += 1
+            wk[w][1] += conv
+        else:
+            wk[w][2] += 1
+            wk[w][3] += conv
+    weeks = sorted(wk)
+    kk = len(weeks)
+    cn1 = cx1 = cn0 = cx0 = 0
+    expect = []
+    for k, w in enumerate(weeks, start=1):
+        n1, x1, n0, x0 = wk[w]
+        cn1 += n1
+        cx1 += x1
+        cn0 += n0
+        cx0 += x0
+        # mirrors _GS_Z operand order exactly
+        pool = (cx1 + cx0) * 1.0 / (cn1 + cn0)
+        z = ((cx1 * 1.0 / cn1) - (cx0 * 1.0 / cn0)) / math.sqrt(
+            pool * (1.0 - pool) * ((1.0 / cn1) + (1.0 / cn0))
+        )
+        z_t = math.floor(abs(z) * 10000 + 0.5)
+        obf_t = math.floor(1.96 * math.sqrt(float(kk) / float(k)) * 10000 + 0.5)
+        peto_t = math.floor((1.96 if k == kk else 3.0) * 10000 + 0.5)
+        expect.append(
+            (
+                w, k, kk, cn1, cx1, cn0, cx0, _round4(z),
+                obf_t / 10000.0, peto_t / 10000.0,
+                "stop" if z_t >= obf_t else "continue",
+                "stop" if z_t >= peto_t else "continue",
+            )
+        )
+    got = [
+        (
+            r.week_idx, r.analysis_k, r.n_analyses, r.cn1, r.cx1, r.cn0, r.cx0,
+            r.z, r.obf_bound, r.peto_bound, r.obf_state, r.peto_state,
+        )
+        for r in registry.QUERIES["ab_group_sequential"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    # A/A arms: neither boundary rule may ever fire — the monitor's null
+    # read, and the OBF shape must be strictly decreasing toward 1.96
+    assert all(t[10] == "continue" and t[11] == "continue" for t in got)
+    bounds = [t[8] for t in got]
+    assert all(a > b for a, b in zip(bounds, bounds[1:]))
+    assert bounds[-1] == 1.96

@@ -77,10 +77,13 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
     # 3 files → 3 micro-batches under maxFilesPerTrigger=1
     new.repartition(3).write.parquet(new_dir)
 
-    collected: list = []
-    streaming_incremental_dedup(spark, new_dir, sh, sig, banded, collected)
+    decisions_dir = str(tmp_path / "decisions")
+    streaming_incremental_dedup(spark, new_dir, sh, sig, banded, decisions_dir)
 
-    got = _got_dict(collected)
+    sunk = spark.read.parquet(decisions_dir).collect()
+    got = _got_dict(sunk)
     want = _want(spark)
-    assert len(collected) == len(want) > 0  # every new doc decided exactly once
+    assert len(sunk) == len(want) > 0  # every new doc decided exactly once
     assert got == want
+    # decisions arrived across >1 micro-batch (the stream really streamed)
+    assert len({r["batch_id"] for r in sunk}) > 1

@@ -1559,6 +1559,283 @@ def q_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Depth-3 decision tree: the level-wise histogram machinery, composed.
+# ---------------------------------------------------------------------------
+def _tree3_oracle() -> str:
+    from .registry_ml import _STUMP_FEATURES, _STUMP_LABEL, _gini_gain
+
+    val_branches = "\n      UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr} AS val, {_STUMP_LABEL} AS pos"
+        f" FROM lineitem"
+        for name, expr in _STUMP_FEATURES
+    )
+    tag1_branches = "\n      UNION ALL ".join(
+        f"SELECT node, '{name}' AS feature, {expr} AS val, pos FROM tag1"
+        for name, expr in _STUMP_FEATURES
+    )
+    tag2_branches = "\n      UNION ALL ".join(
+        f"SELECT node2 AS node, '{name}' AS feature, {expr} AS val, pos FROM tag2"
+        for name, expr in _STUMP_FEATURES
+    )
+    chosen_root = (
+        "CASE r.feature "
+        + " ".join(f"WHEN '{name}' THEN {expr}" for name, expr in _STUMP_FEATURES)
+        + " END"
+    )
+    chosen_child = (
+        "CASE cb.feature "
+        + " ".join(f"WHEN '{name}' THEN {expr}" for name, expr in _STUMP_FEATURES)
+        + " END"
+    )
+    gain = _gini_gain("cum_n", "cum_pos", "n_tot", "pos_tot")
+
+    def best_over(src: str, out: str, keyed: bool) -> str:
+        part = "PARTITION BY node, feature" if keyed else "PARTITION BY feature"
+        npart = "PARTITION BY node" if keyed else ""
+        node_sel = "node, " if keyed else "'root' AS node, "
+        if keyed:
+            return f"""{out} AS MATERIALIZED (
+      SELECT node, feature, val, cum_n, cum_pos, n_tot, pos_tot, gain_nano
+      FROM (
+        SELECT *, floor(({gain})*1000000000 + 0.5)::BIGINT AS gain_nano,
+               row_number() OVER ({npart}
+                                  ORDER BY floor(({gain})*1000000000 + 0.5) DESC,
+                                           feature, val) AS rn
+        FROM (
+          SELECT {node_sel}feature, val,
+                 (sum(cnt) OVER w)::BIGINT AS cum_n,
+                 (sum(pos) OVER w)::BIGINT AS cum_pos,
+                 (sum(cnt) OVER ({part}))::BIGINT AS n_tot,
+                 (sum(pos) OVER ({part}))::BIGINT AS pos_tot
+          FROM {src}
+          WINDOW w AS ({part} ORDER BY val
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) c
+        WHERE cum_n < n_tot) x
+      WHERE rn = 1)"""
+        return f"""{out} AS MATERIALIZED (
+      SELECT feature, val, cum_n, cum_pos, n_tot, pos_tot,
+             floor(({gain})*1000000000 + 0.5)::BIGINT AS gain_nano
+      FROM (
+          SELECT feature, val,
+                 (sum(cnt) OVER w)::BIGINT AS cum_n,
+                 (sum(pos) OVER w)::BIGINT AS cum_pos,
+                 (sum(cnt) OVER ({part}))::BIGINT AS n_tot,
+                 (sum(pos) OVER ({part}))::BIGINT AS pos_tot
+          FROM {src}
+          WINDOW w AS ({part} ORDER BY val
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) c
+      WHERE cum_n < n_tot
+      ORDER BY gain_nano DESC, feature, val LIMIT 1)"""
+
+    return f"""
+    WITH base AS MATERIALIZED ({val_branches}),
+    agg0 AS (
+      SELECT feature, val, count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS pos
+      FROM base GROUP BY 1, 2),
+    {best_over("agg0", "root", False)},
+    tag1 AS MATERIALIZED (
+      SELECT lineitem.*, {_STUMP_LABEL} AS pos,
+             CASE WHEN ({chosen_root}) <= r.val
+                  THEN 'left' ELSE 'right' END AS node
+      FROM lineitem CROSS JOIN root r),
+    t1 AS MATERIALIZED ({tag1_branches}),
+    agg1 AS (
+      SELECT node, feature, val, count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS pos
+      FROM t1 GROUP BY 1, 2, 3),
+    {best_over("agg1", "lvl1", True)},
+    tag2 AS MATERIALIZED (
+      SELECT tag1.*,
+             tag1.node || '.' ||
+             CASE WHEN ({chosen_child}) <= cb.val
+                  THEN 'left' ELSE 'right' END AS node2
+      FROM tag1 JOIN lvl1 cb ON tag1.node = cb.node),
+    t2 AS MATERIALIZED ({tag2_branches}),
+    agg2 AS (
+      SELECT node, feature, val, count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS pos
+      FROM t2 GROUP BY 1, 2, 3),
+    {best_over("agg2", "lvl2", True)},
+    allnodes AS (
+      SELECT 'root' AS node, feature, val, cum_n, cum_pos, n_tot, pos_tot, gain_nano
+      FROM root
+      UNION ALL
+      SELECT node, feature, val, cum_n, cum_pos, n_tot, pos_tot, gain_nano FROM lvl1
+      UNION ALL
+      SELECT node, feature, val, cum_n, cum_pos, n_tot, pos_tot, gain_nano FROM lvl2)
+    SELECT node, feature, val AS threshold,
+           floor((gain_nano / 1000000000.0)*10000 + 0.5)/10000.0 AS gain,
+           n_tot AS n_node, pos_tot AS pos_node,
+           cum_n AS n_left, cum_pos AS pos_left,
+           (n_tot - cum_n)::BIGINT AS n_right,
+           (pos_tot - cum_pos)::BIGINT AS pos_right
+    FROM allnodes ORDER BY node
+    """
+
+
+@register("decision_tree_depth3", oracle=_tree3_oracle())
+def q_decision_tree_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-3 decision tree on the lineitem returns label — the
+    `decision_tree_depth2` level-wise histogram machinery COMPOSED one
+    level deeper, which is the claim that separates "a depth-2 demo"
+    from "trees train at scale": each added level costs exactly one more
+    scan + one more (node, feature, bin) histogram, never a per-node or
+    per-candidate pass.  Emits root + 2 children + up to 4 grandchildren
+    (nodes whose slice cannot split emit no row) with thresholds, gains
+    and branch class counts; on this label-independent synthetic corpus
+    the gains stay near zero at every depth — the honest no-signal read
+    the stump/bagging family already established.
+
+    Determinism: identical to depth-2 — exact integer histograms, the
+    shared nano-quantized Gini text for every argmax, (feature, val)
+    tie-breaks, integer threshold routing; level-2 node names are path
+    strings ('left.right' = root-left then child-right).
+
+    Scale: three scans — ONE PER LEVEL, the histogram-tree invariant.
+    Each level's shuffle carries (node, feature, bin) cells (≤ nodes ×
+    Σ|feature domains| ≈ 4 × 140 at depth 3), each split argmax is a
+    broadcast-joined ≤ 4-row frame, and rows are re-tagged by comparing
+    one integer column against a broadcast threshold — no row ever
+    carries more than its tag.  Depth d ⇒ d scans and ≤ 2^d × cells
+    shuffled; this is exactly why histogram GBDTs train on 100 TB.
+    """
+    from .registry_ml import _STUMP_FEATURES, _STUMP_LABEL, _gini_gain
+
+    li = _t(spark, sf_dir, "lineitem")
+    fv = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(name).alias("feature"), F.expr(expr).alias("val"))
+                for name, expr in _STUMP_FEATURES
+            ]
+        )
+    ).alias("fv")
+    gain = _gini_gain("cum_n", "cum_pos", "n_tot", "pos_tot")
+
+    def _best(df: DataFrame, keyed: bool) -> DataFrame:
+        keys = ["node"] if keyed else []
+        agg = df.groupBy(*keys, "feature", "val").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("pos"),
+        )
+        w = (
+            Window.partitionBy(*keys, "feature")
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wt = Window.partitionBy(*keys, "feature")
+        cum = agg.select(
+            *keys,
+            "feature",
+            "val",
+            F.sum("cnt").over(w).cast("long").alias("cum_n"),
+            F.sum("pos").over(w).cast("long").alias("cum_pos"),
+            F.sum("cnt").over(wt).cast("long").alias("n_tot"),
+            F.sum("pos").over(wt).cast("long").alias("pos_tot"),
+        ).filter(F.col("cum_n") < F.col("n_tot"))
+        scored = cum.withColumn(
+            "gain_nano", F.expr(f"CAST(floor(({gain})*1000000000 + 0.5) AS BIGINT)")
+        )
+        if keyed:
+            wr = Window.partitionBy("node").orderBy(
+                F.desc("gain_nano"), F.asc("feature"), F.asc("val")
+            )
+            return (
+                scored.withColumn("rn", F.row_number().over(wr))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        return scored.orderBy(
+            F.desc("gain_nano"), F.asc("feature"), F.asc("val")
+        ).limit(1)
+
+    base = li.select(fv, F.expr(_STUMP_LABEL).alias("pos")).select(
+        "fv.feature", "fv.val", "pos"
+    )
+    root = _best(base, False).localCheckpoint(eager=True)
+    chosen_root = (
+        "CASE r_feature "
+        + " ".join(f"WHEN '{name}' THEN {expr}" for name, expr in _STUMP_FEATURES)
+        + " END"
+    )
+    tag1 = (
+        li.crossJoin(
+            F.broadcast(
+                root.select(
+                    F.col("feature").alias("r_feature"), F.col("val").alias("r_val")
+                )
+            )
+        )
+        .withColumn(
+            "node",
+            F.when(F.expr(chosen_root) <= F.col("r_val"), F.lit("left")).otherwise(
+                F.lit("right")
+            ),
+        )
+        .drop("r_feature", "r_val")
+    )
+    lvl1 = _best(
+        tag1.select("node", fv, F.expr(_STUMP_LABEL).alias("pos")).select(
+            "node", "fv.feature", "fv.val", "pos"
+        ),
+        True,
+    ).localCheckpoint(eager=True)
+    chosen_child = (
+        "CASE c_feature "
+        + " ".join(f"WHEN '{name}' THEN {expr}" for name, expr in _STUMP_FEATURES)
+        + " END"
+    )
+    tag2 = (
+        tag1.join(
+            F.broadcast(
+                lvl1.select(
+                    "node",
+                    F.col("feature").alias("c_feature"),
+                    F.col("val").alias("c_val"),
+                )
+            ),
+            "node",
+        )
+        .withColumn(
+            "node2",
+            F.concat(
+                F.col("node"),
+                F.lit("."),
+                F.when(F.expr(chosen_child) <= F.col("c_val"), F.lit("left")).otherwise(
+                    F.lit("right")
+                ),
+            ),
+        )
+        .drop("c_feature", "c_val")
+    )
+    lvl2 = _best(
+        tag2.select(
+            F.col("node2").alias("node"), fv, F.expr(_STUMP_LABEL).alias("pos")
+        ).select("node", "fv.feature", "fv.val", "pos"),
+        True,
+    )
+    cols = ["node", "feature", "val", "cum_n", "cum_pos", "n_tot", "pos_tot", "gain_nano"]
+    allnodes = (
+        root.withColumn("node", F.lit("root"))
+        .select(*cols)
+        .unionByName(lvl1.select(*cols))
+        .unionByName(lvl2.select(*cols))
+    )
+    return allnodes.select(
+        "node",
+        "feature",
+        F.col("val").alias("threshold"),
+        F.expr(
+            "CAST(floor((gain_nano / 1000000000.0)*10000 + 0.5)/10000.0 AS DOUBLE)"
+        ).alias("gain"),
+        F.col("n_tot").alias("n_node"),
+        F.col("pos_tot").alias("pos_node"),
+        F.col("cum_n").alias("n_left"),
+        F.col("cum_pos").alias("pos_left"),
+        (F.col("n_tot") - F.col("cum_n")).cast("long").alias("n_right"),
+        (F.col("pos_tot") - F.col("cum_pos")).cast("long").alias("pos_right"),
+    ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
 # Double-sweep diameter lower bound per dup-graph component.
 # ---------------------------------------------------------------------------
 DIAM_ROUNDS = 6
@@ -2857,6 +3134,224 @@ def q_ab_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential A/B monitor: weekly interims, OBF-shaped + Peto bounds.
+# ---------------------------------------------------------------------------
+# Cumulative two-proportion z at interim k, from the exact BIGINT counts —
+# the ab_test_zscore formula with per-week cumulative operands; ONE shared
+# DOUBLE text (operand order fixed) on both engines.
+# Every float literal is CAST(... AS DOUBLE): Spark parses a bare 1.0 as
+# DECIMAL and its decimal-division scale rules diverge from DuckDB's double
+# path in the last ulps — enough to flip a 1e-4 quantization boundary.
+_GS_D1 = "CAST(1.0 AS DOUBLE)"
+_GS_Z = (
+    f"((cx1 * {_GS_D1} / cn1) - (cx0 * {_GS_D1} / cn0)) / "
+    f"sqrt(((cx1 + cx0) * {_GS_D1} / (cn1 + cn0)) "
+    f"* ({_GS_D1} - (cx1 + cx0) * {_GS_D1} / (cn1 + cn0)) "
+    f"* (({_GS_D1} / cn1) + ({_GS_D1} / cn0)))"
+)
+# O'Brien-Fleming-SHAPED boundary calibrated to the final analysis:
+# z_crit(k) = 1.96 * sqrt(K / k).  This is the textbook final-calibrated
+# approximation of the OBF test (constant boundary on the B-value scale);
+# the exact OBF constant for overall alpha = 0.05 differs from 1.96 by a
+# few percent and needs multivariate-normal integration, which neither
+# engine can do exactly — the SHAPE (near-unspendable early, ~nominal at
+# the end) is the industry behavior this monitor demonstrates.
+_GS_OBF = "(CAST(1.96 AS DOUBLE) * sqrt(CAST(kk AS DOUBLE) / CAST(k AS DOUBLE)))"
+# Haybittle-Peto: |z| >= 3 at every interim, 1.96 at the final analysis —
+# exact by construction (its simplicity is the point of the rule).
+_GS_PETO = "(CASE WHEN k = kk THEN CAST(1.96 AS DOUBLE) ELSE CAST(3.0 AS DOUBLE) END)"
+_GS_ZT = f"CAST(floor(abs({_GS_Z}) * 10000 + 0.5) AS BIGINT)"
+
+
+@register(
+    "ab_group_sequential",
+    oracle=f"""
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+             ('0x' || substr(md5('sprt' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    mind AS (SELECT min(day) AS d0 FROM ud),
+    wk AS (
+      SELECT ((day - (SELECT d0 FROM mind)) // 7)::BIGINT AS w, arm,
+             count(*)::BIGINT AS n, sum(conv)::BIGINT AS x
+      FROM ud GROUP BY 1, 2),
+    spine AS (SELECT DISTINCT w FROM wk),
+    wide AS (
+      SELECT s.w,
+             coalesce(t.n, 0)::BIGINT AS n1, coalesce(t.x, 0)::BIGINT AS x1,
+             coalesce(c.n, 0)::BIGINT AS n0, coalesce(c.x, 0)::BIGINT AS x0
+      FROM spine s
+      LEFT JOIN wk t ON t.w = s.w AND t.arm = 1
+      LEFT JOIN wk c ON c.w = s.w AND c.arm = 0),
+    cum AS (
+      SELECT w,
+             row_number() OVER (ORDER BY w) AS k,
+             (sum(n1) OVER o)::BIGINT AS cn1, (sum(x1) OVER o)::BIGINT AS cx1,
+             (sum(n0) OVER o)::BIGINT AS cn0, (sum(x0) OVER o)::BIGINT AS cx0
+      FROM wide
+      WINDOW o AS (ORDER BY w ROWS UNBOUNDED PRECEDING)),
+    kk_t AS (SELECT count(*)::BIGINT AS kk FROM spine),
+    scored AS (
+      SELECT w, k, cn1, cx1, cn0, cx0, kk,
+             CASE WHEN cn1 = 0 OR cn0 = 0 OR (cx1 + cx0) = 0
+                       OR (cx1 + cx0) = (cn1 + cn0) THEN 0
+                  ELSE {_GS_ZT} END AS z_t,
+             CAST(floor(({_GS_OBF}) * 10000 + 0.5) AS BIGINT) AS obf_t,
+             CAST(floor(({_GS_PETO}) * 10000 + 0.5) AS BIGINT) AS peto_t,
+             CASE WHEN cn1 = 0 OR cn0 = 0 OR (cx1 + cx0) = 0
+                       OR (cx1 + cx0) = (cn1 + cn0) THEN 0.0
+                  ELSE floor(({_GS_Z}) * 10000 + 0.5) / 10000.0 END AS z
+      FROM cum CROSS JOIN kk_t)
+    SELECT w AS week_idx, k::BIGINT AS analysis_k, kk AS n_analyses,
+           cn1, cx1, cn0, cx0, z,
+           (obf_t / 10000.0) AS obf_bound,
+           (peto_t / 10000.0) AS peto_bound,
+           CASE WHEN z_t >= obf_t THEN 'stop' ELSE 'continue' END AS obf_state,
+           CASE WHEN z_t >= peto_t THEN 'stop' ELSE 'continue' END AS peto_state
+    FROM scored ORDER BY week_idx
+    """,
+)
+def q_ab_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitor: the fixed-horizon industry companion
+    to `ab_sprt_monitor`, on the SAME md5 'sprt' user-day arms so the two
+    early-stopping disciplines read side by side.  Treatment/control
+    user-days accumulate week by week; at each of the K weekly interim
+    analyses the cumulative two-proportion z is compared against (a) the
+    O'Brien-Fleming-SHAPED boundary 1.96·√(K/k) — nearly unspendable
+    early, ~nominal at the final look — and (b) the Haybittle-Peto rule
+    (3.0 at every interim, 1.96 at the end).  On these A/A arms neither
+    rule stops at any interim: the honest null read, asserted in the
+    rebuild gate.
+
+    Exactness: weekly counts and cumulative operands are exact BIGINTs
+    from one ordered prefix sum over the ≤ ~25-row week aggregate; the z
+    and both boundaries are single shared DOUBLE texts quantized to
+    1e-4 BEFORE the integer stop compare, so the stop/continue states
+    are integer decisions identical across engines; degenerate interims
+    (empty arm, pooled 0% or 100%) emit the 0.0 sentinel exactly as
+    `ab_test_zscore` does.
+
+    Scale: one partial-agg'd groupBy(user, day) collapse (the corpus
+    scan is the whole cost), a (week, arm) re-aggregate of that, and
+    every remaining step — spine, prefix sums, boundaries, states — runs
+    on the constant-size week table with a 1-row K broadcast.  Weekly
+    re-reads after each incremental load re-run one scan, which is what
+    a monitor costs at 100 TB.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ud = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn(
+            "arm",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("sprt"), F.col("user_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2,
+        )
+    )
+    mind = ud.agg(F.min("day").alias("d0"))
+    wk = (
+        ud.crossJoin(F.broadcast(mind))
+        .groupBy(
+            (F.datediff(F.col("day"), F.col("d0")).cast("long") / 7)
+            .cast("long")
+            .alias("w"),
+            "arm",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("conv").cast("long").alias("x"),
+        )
+    )
+    spine = wk.select("w").distinct()
+    t_side = wk.filter(F.col("arm") == 1).select(
+        F.col("w").alias("tw"), F.col("n").alias("tn"), F.col("x").alias("tx")
+    )
+    c_side = wk.filter(F.col("arm") == 0).select(
+        F.col("w").alias("cw"), F.col("n").alias("cn"), F.col("x").alias("cx")
+    )
+    wide = (
+        spine.join(t_side, spine.w == t_side.tw, "left")
+        .join(c_side, spine.w == c_side.cw, "left")
+        .select(
+            "w",
+            F.coalesce("tn", F.lit(0)).cast("long").alias("n1"),
+            F.coalesce("tx", F.lit(0)).cast("long").alias("x1"),
+            F.coalesce("cn", F.lit(0)).cast("long").alias("n0"),
+            F.coalesce("cx", F.lit(0)).cast("long").alias("x0"),
+        )
+    )
+    o = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    cum = wide.select(
+        "w",
+        F.row_number().over(Window.orderBy("w")).cast("long").alias("k"),
+        F.sum("n1").over(o).cast("long").alias("cn1"),
+        F.sum("x1").over(o).cast("long").alias("cx1"),
+        F.sum("n0").over(o).cast("long").alias("cn0"),
+        F.sum("x0").over(o).cast("long").alias("cx0"),
+    )
+    kk_t = spine.agg(F.count(F.lit(1)).cast("long").alias("kk"))
+    degenerate = (
+        (F.col("cn1") == 0)
+        | (F.col("cn0") == 0)
+        | ((F.col("cx1") + F.col("cx0")) == 0)
+        | ((F.col("cx1") + F.col("cx0")) == (F.col("cn1") + F.col("cn0")))
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(kk_t))
+        .withColumn(
+            "z_t",
+            F.when(degenerate, F.lit(0)).otherwise(F.expr(_GS_ZT)).cast("long"),
+        )
+        .withColumn(
+            "obf_t", F.expr(f"CAST(floor(({_GS_OBF}) * 10000 + 0.5) AS BIGINT)")
+        )
+        .withColumn(
+            "peto_t", F.expr(f"CAST(floor(({_GS_PETO}) * 10000 + 0.5) AS BIGINT)")
+        )
+        .withColumn(
+            "z",
+            F.when(degenerate, F.lit(0.0)).otherwise(
+                F.expr(f"floor(({_GS_Z}) * 10000 + 0.5) / 10000.0")
+            ).cast("double"),
+        )
+    )
+    return scored.select(
+        F.col("w").alias("week_idx"),
+        F.col("k").alias("analysis_k"),
+        F.col("kk").alias("n_analyses"),
+        "cn1",
+        "cx1",
+        "cn0",
+        "cx0",
+        "z",
+        (F.col("obf_t") / 10000.0).cast("double").alias("obf_bound"),
+        (F.col("peto_t") / 10000.0).cast("double").alias("peto_bound"),
+        F.when(F.col("z_t") >= F.col("obf_t"), "stop")
+        .otherwise("continue")
+        .alias("obf_state"),
+        F.when(F.col("z_t") >= F.col("peto_t"), "stop")
+        .otherwise("continue")
+        .alias("peto_state"),
+    ).orderBy("week_idx")
 
 
 # ---------------------------------------------------------------------------

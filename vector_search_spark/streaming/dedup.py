@@ -166,14 +166,23 @@ def streaming_incremental_dedup(
     corpus_sh: DataFrame,
     corpus_sig: DataFrame,
     corpus_banded: DataFrame,
-    collected: list,
+    decisions_dir: str,
     max_files_per_trigger: int = 1,
     **kwargs,
 ):
     """Drain a directory of new-doc parquet files as micro-batches
     (availableNow + maxFilesPerTrigger), deciding each batch against the
-    static corpus index via ``batch_decisions`` and appending result rows
-    to ``collected``.  Returns after the stream drains."""
+    static corpus index via ``batch_decisions`` and APPENDING each batch's
+    decision rows (stamped with ``batch_id``) to the ``decisions_dir``
+    parquet sink.  Returns after the stream drains.
+
+    This is the production form: decisions flow executor-side into a sink
+    partition of the decision log — nothing is ever collected to the
+    driver, so a batch of any size costs the driver one job submission.
+    foreachBatch still owns the per-batch multi-join plan (see module
+    docstring); the checkpoint gives exactly-once per batch, and because
+    the sink append happens inside the batch function it replays
+    idempotently with the batch on failure recovery."""
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -183,10 +192,11 @@ def streaming_incremental_dedup(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        rows = batch_decisions(
+        batch_decisions(
             batch_df, corpus_sh, corpus_sig, corpus_banded, **kwargs
-        ).collect()
-        collected.extend(rows)
+        ).withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(decisions_dir)
 
     q = (
         stream.writeStream.foreachBatch(handle)
