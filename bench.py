@@ -67,7 +67,9 @@ def main() -> None:
         _shared_bigram_lm, _shared_bpe, _shared_doc_features, _shared_phrase_index,
     )
     from vector_search_spark.registry_relational import _ps  # noqa: E402
-    from vector_search_spark.registry_round4 import _shared_ivfpq_coarse  # noqa: E402
+    from vector_search_spark.registry_round4 import (  # noqa: E402
+        _shared_ivfpq_coarse, _shared_ivfpq_residual_index,
+    )
     from vector_search_spark.registry_suffix import _shared_suffix  # noqa: E402
 
     t0 = time.perf_counter()
@@ -87,6 +89,7 @@ def main() -> None:
     _shared_bigram_lm(spark, sf_dir)
     _shared_phrase_index(spark, sf_dir)
     _shared_ivfpq_coarse(spark, sf_dir)
+    _shared_ivfpq_residual_index(spark, sf_dir)
     _shared_suffix(spark, sf_dir)
     setup_sec = round(time.perf_counter() - t0, 3)
     print(f"# setup (shingle/signature/IVF index builds): {setup_sec}s", file=sys.stderr)

@@ -145,6 +145,7 @@ QUERIES = [
     # round-5 additions
     "decision_tree_depth3",
     "ab_group_sequential",
+    "ann_ivfpq_residual_topk",
 ]
 
 REGIMES = [

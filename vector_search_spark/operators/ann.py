@@ -843,3 +843,166 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "raw", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with RESIDUAL encoding — the layout FAISS actually ships as
+# "IVFx,PQy": PQ codes quantize (vector − coarse centroid), not the raw
+# vector.  Residuals are centered near 0 with much smaller spread than the
+# vectors themselves, so the same code budget spends its resolution on the
+# within-cell geometry — this is what holds recall at high compression.
+# The decomposition q·v = q·cen(cell) + q·residual makes ADC exact in the
+# reconstruction: approximate score = q·cen + Σ_s LUT[s, code_s] over the
+# RESIDUAL codebook.  Codebook stays a deterministic hash sample (of
+# residual rows, seed 'pqr:'), so the whole composed path keeps a bit-exact
+# DuckDB twin like the non-residual ivfpq_topk above.
+# ---------------------------------------------------------------------------
+def residual_table(
+    emb: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, rvec): per-vector residual vs its coarse centroid.
+    Element-wise double subtraction (each lane one IEEE op — exact and
+    engine-portable); broadcast of the IVFPQ_CELLS centroid rows."""
+    return (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .join(assign, id_col)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col(vec_col),
+                F.col("cenvec"),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("rvec"),
+        )
+    )
+
+
+def residual_codebook(resid: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(code, cvec): the PQ_CODES RESIDUAL rows with smallest
+    (md5('pqr:'||id), id) — seed distinct from both pq_codebook and the
+    coarse sampler, so all three quantizers sample independent rows."""
+    key = F.md5(F.concat(F.lit("pqr:"), F.col(id_col).cast("string")))
+    return (
+        resid.select(F.col(id_col), F.col("rvec"), key.alias("__k"))
+        .orderBy("__k", id_col)
+        .limit(PQ_CODES)
+        .select(
+            (F.row_number().over(Window.orderBy("__k", id_col)) - 1).alias("code"),
+            F.col("rvec").alias("cvec"),
+        )
+    )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = IVFPQ_NPROBE,
+    rescore: int = IVFPQ_RESCORE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual IVF-PQ search: probe the ``nprobe`` nearest coarse cells,
+    ADC-score candidates as q·cen(cell) + Σ_s LUT[s, code_s] over the
+    residual codebook, exact-rescore the top-``rescore``, emit top-k.
+
+    The q·cen base term rides along from the probe step (it is already a
+    per-(query, cell) scalar there), so the residual decomposition costs
+    nothing extra at search time; everything else matches ivfpq_topk's
+    shapes — broadcast LUT/centroids, narrow candidate rows, two
+    WindowGroupLimit tops.  The ordered fold starts FROM the base term
+    (list_prepend(q·cen, ...) in the oracle) so both engines add the
+    subspace terms in the identical order."""
+    qids = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    cc = dot_product(F.col("cenvec"), F.col("cenvec"))
+    qc = dot_product(F.col("qvec"), F.col("cenvec"))
+    wp = Window.partitionBy("qid").orderBy("d", "cell")
+    probe = (
+        qids.crossJoin(F.broadcast(cents))
+        .select(
+            "qid",
+            "cell",
+            (cc - 2.0 * qc).alias("d"),
+            qc.alias("qcen"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cell", "qcen")
+    )
+    cand_ids = assign.join(F.broadcast(probe), "cell").select(id_col, "qid", "qcen")
+
+    lut_long = (
+        qids.crossJoin(F.broadcast(codebook))
+        .select(
+            "qid",
+            "code",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            dot_product(
+                                _sub(F.col("qvec"), s), _sub(F.col("cvec"), s)
+                            ).alias("l"),
+                        )
+                        for s in range(PQ_SUB)
+                    ]
+                )
+            ).alias("sl"),
+        )
+        .select("qid", F.col("sl.s").alias("s"), "code", F.col("sl.l").alias("l"))
+    )
+    codes_long = codes.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.col(f"c{s}").alias("code"))
+                    for s in range(PQ_SUB)
+                ]
+            )
+        ).alias("sc"),
+    ).select(id_col, F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
+    approx = (
+        cand_ids.join(codes_long, id_col)
+        .join(F.broadcast(lut_long), ["qid", "s", "code"])
+        .groupBy(id_col, "qid", "qcen")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("l")))),
+                F.col("qcen"),
+                lambda acc, x: acc + x["l"],
+            ).alias("a")
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("a"), F.asc(id_col))
+    cand = (
+        approx.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= rescore)
+        .select(id_col, "qid")
+    )
+    exact = (
+        cand.join(emb.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(qids), "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col(id_col),
+            dot_product(vec_col, "qvec").alias("raw"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("raw"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "raw", "rank")
+    )

@@ -35,11 +35,18 @@ def events_ts_is_nanos(sf_dir: str) -> bool:
     Spark job — so both the batch and streaming loaders can adapt to either
     fixture generation without a schema-inference pass.
     """
+    import glob
+
     import pyarrow.parquet as pq
 
-    return str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type) == (
-        "timestamp[ns]"
-    )
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        # Spark-written table: probe any one part file's footer (all parts
+        # share the write schema) — e.g. the scaled fixtures under .scale/
+        parts = sorted(glob.glob(f"{path}/*.parquet"))
+        if parts:
+            path = parts[0]
+    return str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
