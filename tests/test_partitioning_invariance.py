@@ -146,6 +146,10 @@ QUERIES = [
     "decision_tree_depth3",
     "ab_group_sequential",
     "ann_ivfpq_residual_topk",
+    "ses_revenue_forecast",
+    "winsorized_mean_value",
+    "ab_cuped_adjustment",
+    "dedup_embedding_srp_wide",
 ]
 
 REGIMES = [

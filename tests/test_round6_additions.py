@@ -1320,3 +1320,125 @@ def test_group_sequential_matches_pure_python_and_never_stops(spark):
     bounds = [t[8] for t in got]
     assert all(a > b for a, b in zip(bounds, bounds[1:]))
     assert bounds[-1] == 1.96
+
+
+def test_ses_matches_dyadic_rebuild_and_recurrence(spark):
+    from vector_search_spark.registry_round6 import SES_MAX_E
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(ts AS DATE) AS day,
+                   sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS cents
+            FROM '{SF_TEST}/events.parquet'
+            WHERE event_type = 'purchase' GROUP BY 1"""
+    ).fetchall()
+    d0 = min(d for d, _ in rows)
+    by_t = {(d - d0).days: int(c) for d, c in rows}
+    tmax = max(by_t)
+    # exact integer rebuild of the truncated dyadic sum
+    s_micro = 0
+    lags = 0
+    for t, cents in by_t.items():
+        e = tmax if t == 0 else tmax - t + 1
+        if e <= SES_MAX_E:
+            s_micro += (cents * 1_000_000) // (2 ** e)
+            lags += 1
+    got = registry.QUERIES["ses_revenue_forecast"](spark, SF_TEST).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_days_span == tmax + 1
+    assert r.lags_used == lags
+    assert r.last_day_revenue == _round4(by_t[tmax] / 100.0)
+    assert r.ses_forecast == _round4((s_micro / 1_000_000.0) / 100.0)
+    # the closed form IS the SES recurrence: run s_t = x_t/2 + s_{t-1}/2
+    # over EVERY day (absent days are zero-revenue observations)
+    s = float(by_t.get(0, 0))
+    for t in range(1, tmax + 1):
+        s = 0.5 * float(by_t.get(t, 0)) + 0.5 * s
+    # floor losses <= 1 micro-cent per kept term; truncation < 2^-40
+    assert abs(s - s_micro / 1_000_000.0) <= 1e-3
+
+
+def test_winsorized_mean_matches_sorted_python(spark):
+    con = duckdb.connect()
+    vals = defaultdict(list)
+    for t, c in con.execute(
+        f"""SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT)
+            FROM '{SF_TEST}/events.parquet'"""
+    ).fetchall():
+        vals[t].append(c)
+    got = {
+        r.event_type: r
+        for r in registry.QUERIES["winsorized_mean_value"](spark, SF_TEST).collect()
+    }
+    assert set(got) == set(vals)
+    for t, cs in vals.items():
+        cs.sort()
+        n = len(cs)
+        k = n // 10
+        lo, hi = cs[k], cs[n - k - 1]
+        clamped = [min(max(c, lo), hi) for c in cs]
+        r = got[t]
+        assert r.n == n and r.n_clamped_each_side == k
+        assert r.lo_clamp == _round4(lo / 100.0)
+        assert r.hi_clamp == _round4(hi / 100.0)
+        assert r.winsorized_mean == _round4((sum(clamped) / n) / 100.0)
+        assert r.raw_mean == _round4((sum(cs) / n) / 100.0)
+        # clamping pulls the mean toward the median on a right-skewed tail
+        assert r.winsorized_mean < r.raw_mean
+
+
+def test_cuped_matches_pure_python(spark):
+    import hashlib
+
+    from vector_search_spark.registry_round6 import CUPED_PRE_DAYS
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                   CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+            FROM '{SF_TEST}/events.parquet'"""
+    ).fetchall()
+    d0 = min(r[1] for r in rows)
+    users = defaultdict(lambda: [0, 0])  # user -> [pre x, post y]
+    for u, d, t, c in rows:
+        if t != "purchase":
+            continue
+        if (d - d0).days < CUPED_PRE_DAYS:
+            users[u][0] += c
+        else:
+            users[u][1] += c
+    # every user appears (HANDOFF: all users purchase); include all seen users
+    all_users = {r[0] for r in rows}
+    for u in all_users:
+        users.setdefault(u, [0, 0])
+    nn = len(users)
+    sx = sum(x for x, _ in users.values())
+    sy = sum(y for _, y in users.values())
+    sxy = sum(x * y for x, y in users.values())
+    sxx = sum(x * x for x, _ in users.values())
+    syy = sum(y * y for _, y in users.values())
+    theta = float(nn * sxy - sx * sy) / float(nn * sxx - sx * sx)
+    rho2 = (float(nn * sxy - sx * sy) * float(nn * sxy - sx * sy)) / (
+        float(nn * sxx - sx * sx) * float(nn * syy - sy * sy)
+    )
+    arm_stats = {0: [0, 0, 0], 1: [0, 0, 0]}  # n, sx, sy
+    for u, (x, y) in users.items():
+        a = int(hashlib.md5(f"cuped{u}".encode()).hexdigest()[:8], 16) % 2
+        arm_stats[a][0] += 1
+        arm_stats[a][1] += x
+        arm_stats[a][2] += y
+    adj = {}
+    raw = {}
+    for a, (an, asx, asy) in arm_stats.items():
+        adj[a] = ((asy / an) - theta * ((asx / an) - (sx / nn))) / 100.0
+        raw[a] = (asy / an) / 100.0
+    r = registry.QUERIES["ab_cuped_adjustment"](spark, SF_TEST).collect()[0]
+    assert r.n_treat == arm_stats[1][0] and r.n_ctl == arm_stats[0][0]
+    assert r.theta == _round4(theta)
+    assert r.rho2 == _round4(rho2)
+    assert r.diff_raw == _round4(raw[1] - raw[0])
+    assert r.diff_cuped == _round4(adj[1] - adj[0])
+    # the corpus has no stable per-user heterogeneity: rho^2 reads ~0,
+    # i.e. CUPED honestly reports it can remove almost no variance here
+    assert 0.0 <= r.rho2 < 0.2

@@ -812,7 +812,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM first_seen GROUP BY 1)
     SELECT m.cohort_week::DATE AS cohort_week, m.week_offset, m.n_active,
            b.cohort_size,
-           floor((m.n_active * 1.0 / b.cohort_size) * 10000 + 0.5) / 10000.0
+           floor((m.n_active * CAST(1.0 AS DOUBLE) / b.cohort_size) * 10000 + 0.5) / 10000.0
              AS retention_frac
     FROM mat m JOIN base b USING (cohort_week)
     ORDER BY cohort_week, week_offset
@@ -1214,10 +1214,10 @@ def q_user_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle evaluate the identical float operand order (a*(b/c) != (a*b)/c
 # in the last ulp — HANDOFF invariant).  All inputs are exact BIGINT counts.
 _Z_EXPR = (
-    "((conv_a * 1.0 / n_a) - (conv_b * 1.0 / n_b)) / "
-    "sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b)) "
-    "* (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b)) "
-    "* ((1.0 / n_a) + (1.0 / n_b)))"
+    "((conv_a * CAST(1.0 AS DOUBLE) / n_a) - (conv_b * CAST(1.0 AS DOUBLE) / n_b)) / "
+    "sqrt(((conv_a + conv_b) * CAST(1.0 AS DOUBLE) / (n_a + n_b)) "
+    "* (1.0 - (conv_a + conv_b) * CAST(1.0 AS DOUBLE) / (n_a + n_b)) "
+    "* ((CAST(1.0 AS DOUBLE) / n_a) + (CAST(1.0 AS DOUBLE) / n_b)))"
 )
 
 
@@ -1416,7 +1416,7 @@ _GINI_EXPR = "(2.0 * s_rc) / (n_keys * 1.0 * total) - (n_keys + 1.0) / n_keys"
             FROM rk)
     SELECT a.n_keys, a.total AS total_events, a.max_cnt,
            r50.cnt AS p50_cnt, r99.cnt AS p99_cnt,
-           floor((a.max_cnt * 1.0 / a.total) * 10000 + 0.5) / 10000.0 AS top1_share,
+           floor((a.max_cnt * CAST(1.0 AS DOUBLE) / a.total) * 10000 + 0.5) / 10000.0 AS top1_share,
            floor(({_GINI_EXPR.replace('s_rc', 'a.s_rc').replace('n_keys', 'a.n_keys').replace('total', 'a.total')})
                  * 10000 + 0.5) / 10000.0 AS gini
     FROM agg a
@@ -1795,9 +1795,9 @@ BACKTEST_DAYS = 14
     SELECT event_type,
            count(*)::BIGINT AS n_days,
            sum(abs(actual - predicted))::BIGINT AS abs_err_sum,
-           floor((sum(abs(actual - predicted)) * 1.0 / count(*)) * 10000 + 0.5)
+           floor((sum(abs(actual - predicted)) * CAST(1.0 AS DOUBLE) / count(*)) * 10000 + 0.5)
              / 10000.0 AS mae,
-           floor((sum(abs(actual - predicted)) * 1.0 / sum(actual)) * 10000 + 0.5)
+           floor((sum(abs(actual - predicted)) * CAST(1.0 AS DOUBLE) / sum(actual)) * 10000 + 0.5)
              / 10000.0 AS wape
     FROM paired GROUP BY event_type ORDER BY event_type
     """,
@@ -1881,9 +1881,9 @@ SYNTH_N = 1000
     synth AS (SELECT bucket, count(*)::BIGINT AS synth_cnt FROM assigned GROUP BY 1)
     SELECT c.bucket, c.cnt AS orig_cnt,
            coalesce(s.synth_cnt, 0)::BIGINT AS synth_cnt,
-           floor((c.cnt * 1.0 / (SELECT n FROM tot)) * 10000 + 0.5) / 10000.0
+           floor((c.cnt * CAST(1.0 AS DOUBLE) / (SELECT n FROM tot)) * 10000 + 0.5) / 10000.0
              AS orig_frac,
-           floor((coalesce(s.synth_cnt, 0) * 1.0 / {SYNTH_N}) * 10000 + 0.5) / 10000.0
+           floor((coalesce(s.synth_cnt, 0) * CAST(1.0 AS DOUBLE) / {SYNTH_N}) * 10000 + 0.5) / 10000.0
              AS synth_frac
     FROM cdf c LEFT JOIN synth s ON c.bucket = s.bucket
     ORDER BY c.bucket

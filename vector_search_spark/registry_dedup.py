@@ -240,12 +240,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
       GROUP BY 1, 2)
     SELECT s.id_1, s.id_2,
-           floor((s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared))*10000 + 0.5)/10000.0 AS jaccard
+           floor((s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared))*10000 + 0.5)/10000.0 AS jaccard
     FROM shared s
     JOIN cand c ON c.id_1 = s.id_1 AND c.id_2 = s.id_2
     JOIN sizes n1 ON s.id_1 = n1.doc_id
     JOIN sizes n2 ON s.id_2 = n2.doc_id
-    WHERE s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.05
+    WHERE s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared) >= 0.05
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,7 +348,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sig s1 ON c.id_1 = s1.doc_id
       JOIN sig s2 ON c.id_2 = s2.doc_id
       WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
-        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8)
+        AND s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared) >= 0.8)
     SELECT doc_id FROM documents
     WHERE doc_id NOT IN (SELECT id_2 FROM verified)
     ORDER BY doc_id
@@ -461,7 +461,7 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sig s1 ON c.id_1 = s1.doc_id
       JOIN sig s2 ON c.id_2 = s2.doc_id
       WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
-        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+        AND s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
     edges AS (SELECT id_1 AS a, id_2 AS b FROM verified
               UNION SELECT id_2, id_1 FROM verified),
     nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
@@ -587,7 +587,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ev WHERE shingle IN (SELECT shingle FROM train_sh) GROUP BY 1)
     SELECT t.doc_id, t.n_shingles,
            coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
-           floor((coalesce(h.n_contaminated, 0) * 1.0 / t.n_shingles)
+           floor((coalesce(h.n_contaminated, 0) * CAST(1.0 AS DOUBLE) / t.n_shingles)
                  * 10000 + 0.5) / 10000.0 AS contamination_frac
     FROM tot t LEFT JOIN hit h USING (doc_id)
     ORDER BY doc_id
@@ -667,7 +667,7 @@ def q_eval_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sig s1 ON c.id_1 = s1.doc_id
       JOIN sig s2 ON c.id_2 = s2.doc_id
       WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
-        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+        AND s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
     edges AS (SELECT id_1 AS a, id_2 AS b FROM verified
               UNION SELECT id_2, id_1 FROM verified),
     nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
@@ -686,8 +686,8 @@ def q_eval_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN csize s ON c.cluster_id = s.cluster_id)
     SELECT cluster_size,
            count(*)::BIGINT AS n_docs,
-           floor((1.0 / cluster_size) * 10000 + 0.5) / 10000.0 AS weight,
-           floor((count(*) * 1.0 / cluster_size) * 10000 + 0.5) / 10000.0
+           floor((CAST(1.0 AS DOUBLE) / cluster_size) * 10000 + 0.5) / 10000.0 AS weight,
+           floor((count(*) * CAST(1.0 AS DOUBLE) / cluster_size) * 10000 + 0.5) / 10000.0
              AS expected_kept
     FROM perdoc
     GROUP BY cluster_size
@@ -767,12 +767,12 @@ def q_dup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2),
     verified AS (
       SELECT c.id_1, c.id_2,
-             s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) AS jac
+             s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared) AS jac
       FROM cross_cut c
       JOIN shared s ON s.id_1 = c.id_1 AND s.id_2 = c.id_2
       JOIN sizes n1 ON c.id_1 = n1.doc_id
       JOIN sizes n2 ON c.id_2 = n2.doc_id
-      WHERE s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+      WHERE s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
     oriented AS (
       SELECT CASE WHEN p1.split = 'eval' THEN v.id_1 ELSE v.id_2 END AS new_id,
              CASE WHEN p1.split = 'eval' THEN v.id_2 ELSE v.id_1 END AS old_id,
@@ -887,7 +887,7 @@ def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sig s1 ON c.id_1 = s1.doc_id
       JOIN sig s2 ON c.id_2 = s2.doc_id
       WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
-        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8)
+        AND s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared) >= 0.8)
     SELECT least(d1.source, d2.source) AS source_a,
            greatest(d1.source, d2.source) AS source_b,
            count(*)::BIGINT AS n_dup_pairs
@@ -954,7 +954,7 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sig s1 ON c.id_1 = s1.doc_id
       JOIN sig s2 ON c.id_2 = s2.doc_id
       WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
-        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+        AND s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
     deg AS (
       SELECT doc_id, count(*)::BIGINT AS degree
       FROM (SELECT id_1 AS doc_id FROM verified
@@ -1020,7 +1020,7 @@ PAGERANK_ITER = 5
       JOIN sig s1 ON c.id_1 = s1.doc_id
       JOIN sig s2 ON c.id_2 = s2.doc_id
       WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
-        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+        AND s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
     edges AS (SELECT id_1 AS a, id_2 AS b FROM verified
               UNION SELECT id_2, id_1 FROM verified),
     deg AS (SELECT a AS doc_id, count(*)::BIGINT AS deg FROM edges GROUP BY a),
@@ -1127,7 +1127,7 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
            coalesce(p.n_novel, 0)::BIGINT AS n_novel,
            CASE WHEN p.doc_id IS NULL THEN -1.0
-                ELSE floor((p.n_novel * 1.0 / p.n_shingles) * 10000 + 0.5) / 10000.0
+                ELSE floor((p.n_novel * CAST(1.0 AS DOUBLE) / p.n_shingles) * 10000 + 0.5) / 10000.0
            END AS novelty
     FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
     ORDER BY d.doc_id
@@ -1200,7 +1200,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sig s1 ON c.id_1 = s1.doc_id
       JOIN sig s2 ON c.id_2 = s2.doc_id
       WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
-        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+        AND s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
     tri AS (
       SELECT x.id_1 AS a, x.id_2 AS b, y.id_2 AS c
       FROM verified x
@@ -1347,7 +1347,7 @@ def _shared_token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM blocks b JOIN freq f ON b.block_hash = f.block_hash
       GROUP BY 1)
     SELECT doc_id, n_blocks, n_dup_blocks,
-           floor((n_dup_blocks * 1.0 / n_blocks) * 10000 + 0.5) / 10000.0
+           floor((n_dup_blocks * CAST(1.0 AS DOUBLE) / n_blocks) * 10000 + 0.5) / 10000.0
              AS dup_frac,
            CASE WHEN n_dup_blocks * 2 >= n_blocks THEN 'drop' ELSE 'keep' END
              AS decision
@@ -1418,7 +1418,7 @@ CONTAINMENT_THRESHOLD = 0.9
     SELECT s.id_1, s.id_2,
            n1.n_sh::BIGINT AS n_sh_1, n2.n_sh::BIGINT AS n_sh_2,
            s.shared::BIGINT AS shared,
-           floor((s.shared * 1.0 / least(n1.n_sh, n2.n_sh)) * 10000 + 0.5)
+           floor((s.shared * CAST(1.0 AS DOUBLE) / least(n1.n_sh, n2.n_sh)) * 10000 + 0.5)
              / 10000.0 AS containment,
            CASE WHEN n1.n_sh < n2.n_sh THEN s.id_1
                 WHEN n2.n_sh < n1.n_sh THEN s.id_2
@@ -1426,7 +1426,7 @@ CONTAINMENT_THRESHOLD = 0.9
     FROM shared s
     JOIN sizes n1 ON s.id_1 = n1.doc_id
     JOIN sizes n2 ON s.id_2 = n2.doc_id
-    WHERE s.shared * 1.0 / least(n1.n_sh, n2.n_sh) >= {CONTAINMENT_THRESHOLD}
+    WHERE s.shared * CAST(1.0 AS DOUBLE) / least(n1.n_sh, n2.n_sh) >= {CONTAINMENT_THRESHOLD}
     ORDER BY s.id_1, s.id_2
     """,
 )
@@ -1519,12 +1519,12 @@ BOTTOMK_DF_CAP = 100
            ni.n_sh::BIGINT AS n_sh_contained,
            no.n_sh::BIGINT AS n_sh_container,
            s.shared::BIGINT AS shared,
-           floor((s.shared * 1.0 / ni.n_sh) * 10000 + 0.5) / 10000.0
+           floor((s.shared * CAST(1.0 AS DOUBLE) / ni.n_sh) * 10000 + 0.5) / 10000.0
              AS containment
     FROM shared s
     JOIN sizes ni ON s.inner_id = ni.doc_id
     JOIN sizes no ON s.outer_id = no.doc_id
-    WHERE s.shared * 1.0 / ni.n_sh >= {CONTAINMENT_THRESHOLD}
+    WHERE s.shared * CAST(1.0 AS DOUBLE) / ni.n_sh >= {CONTAINMENT_THRESHOLD}
     ORDER BY contained_id, container_id
     """,
 )
@@ -1645,10 +1645,10 @@ EDIT_CMP_CHARS = 1000  # compare at most this many leading chars per side
       JOIN t a ON p.id_1 = a.doc_id
       JOIN t b ON p.id_2 = b.doc_id)
     SELECT id_1, id_2, edit_dist,
-           floor((1.0 - edit_dist * 1.0 / max_len) * 10000 + 0.5) / 10000.0
+           floor((1.0 - edit_dist * CAST(1.0 AS DOUBLE) / max_len) * 10000 + 0.5) / 10000.0
              AS edit_sim
     FROM scored
-    WHERE max_len > 0 AND 1.0 - edit_dist * 1.0 / max_len >= {EDIT_SIM_THRESHOLD}
+    WHERE max_len > 0 AND 1.0 - edit_dist * CAST(1.0 AS DOUBLE) / max_len >= {EDIT_SIM_THRESHOLD}
     ORDER BY id_1, id_2
     """,
 )
@@ -1715,7 +1715,7 @@ _SQL_VERIFIED_BLOCK = f"""
       JOIN sig s1 ON c.id_1 = s1.doc_id
       JOIN sig s2 ON c.id_2 = s2.doc_id
       WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
-        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8)
+        AND s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared) >= 0.8)
 """
 
 
@@ -1903,7 +1903,7 @@ def q_subdoc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sig s1 ON c.id_1 = s1.doc_id
       JOIN sig s2 ON c.id_2 = s2.doc_id
       WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
-        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+        AND s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
     edges AS (SELECT id_1 AS a, id_2 AS b FROM verified
               UNION SELECT id_2, id_1 FROM verified),
     nodes AS (SELECT DISTINCT a AS doc_id FROM edges),

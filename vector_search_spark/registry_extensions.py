@@ -352,6 +352,120 @@ _SQL_SRP_PAIR_CAND = " UNION ".join(
     for i in range(_SRP_BANDS)
 )
 
+# Scale-tuned WIDE banding (4 bands × 8 bits, independent 'srpw' planes):
+# the production knob the measured 10× run demonstrates.  With B-bit bands
+# a random pair collides with probability ~bands·2^-B, so bucket pair
+# counts grow ~n²·2^-B — the narrow 4-bit demo banding keeps recall
+# respectable on this isotropic fixture but its candidates grow
+# quadratically (measured 95× at 10×); widening to 8-bit bands divides
+# the random-collision mass by 16 per band, and at real corpus sizes the
+# rule is band bits ≳ log2(n) − log2(candidates budget per row).
+_SRPW_BITS, _SRPW_BANDS = 32, 4
+_SRPW_MASK = (1 << (_SRPW_BITS // _SRPW_BANDS)) - 1
+_PLANES_W = srp_planes(_SRP_DIM, _SRPW_BITS, seed="srpw")
+_SQL_SRPW_SIG = " + ".join(
+    "CASE WHEN list_dot_product(embedding::DOUBLE[], [{vals}]) >= 0 "
+    "THEN {w}::BIGINT ELSE 0 END".format(
+        vals=", ".join(repr(x) for x in plane), w=1 << b
+    )
+    for b, plane in enumerate(_PLANES_W)
+)
+_SQL_SRPW_BANDS = ", ".join(
+    f"(sig >> {i * (_SRPW_BITS // _SRPW_BANDS)}) & {_SRPW_MASK} AS b{i}"
+    for i in range(_SRPW_BANDS)
+)
+_SQL_SRPW_PAIR_CAND = " UNION ".join(
+    f"SELECT a.vec_id AS id_1, b.vec_id AS id_2 FROM bt a "
+    f"JOIN bt b ON a.b{i} = b.b{i} AND a.vec_id < b.vec_id"
+    for i in range(_SRPW_BANDS)
+)
+
+_SRPW_CACHE: dict[str, tuple] = {}
+
+
+def _shared_srpw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hit = _SRPW_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    if hit is not None:
+        try:
+            hit[1].unpersist()
+        except Exception:
+            pass
+    emb = __load(spark, sf_dir, "embeddings")
+    ib = srp_band_table(
+        emb, "vec_id", "embedding", _SRPW_BITS, _SRPW_BANDS,
+        seed="srpw", dim=_SRP_DIM, spread=True,
+    ).persist()
+    ib.count()
+    _SRPW_CACHE[sf_dir] = (spark, ib)
+    return ib
+
+
+@register(
+    "dedup_embedding_srp_wide",
+    oracle=f"""
+    WITH sig AS (SELECT vec_id, ({_SQL_SRPW_SIG}) AS sig FROM embeddings),
+    bt AS (SELECT vec_id, {_SQL_SRPW_BANDS} FROM sig),
+    cand AS ({_SQL_SRPW_PAIR_CAND}),
+    scored AS (
+      SELECT c.id_1, c.id_2,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+      FROM (SELECT DISTINCT id_1, id_2 FROM cand) c
+      JOIN embeddings a ON c.id_1 = a.vec_id
+      JOIN embeddings b ON c.id_2 = b.vec_id)
+    SELECT id_1, id_2, floor(cos*10000 + 0.5)/10000.0 AS cosine
+    FROM scored
+    ORDER BY cos DESC, id_1, id_2
+    LIMIT 50
+    """,
+)
+def q_dedup_embedding_srp_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_embedding_srp` with the banding SCALE-TUNED: 4 bands of
+    8 bits (vs the demo's 4-bit bands), independent 'srpw' hyperplanes.
+    The measured 10× run showed the narrow banding's candidate set — and
+    hence its runtime — growing quadratically on this isotropic corpus
+    (random band collision ~bands·2⁻⁴); widening each band to 8 bits cuts
+    the random-collision mass 16× per band, which is the production rule:
+    band bits scale with log₂(corpus) so candidates stay ~linear.  The
+    tradeoff is honest and visible: real near-duplicates (cosine ≥ 0.9)
+    would still collide with high probability, but this corpus has none —
+    its top pairs sit at cosine ≈ 0.4–0.5, where 8-bit bands rarely fire,
+    so this variant returns fewer/looser pairs than the exact path.  The
+    recall floor that matters — genuinely-near pairs — is structural, not
+    measurable here, and `dedup_embedding_cosine` remains the exactness
+    reference.  Candidates AND ranks verified bit-exactly against DuckDB
+    (md5-derived planes), like every SRP path.
+
+    Scale: identical shapes to the narrow variant (band self-join of the
+    session-shared index, narrow id pairs, rescore joins, top-50
+    TakeOrderedAndProject) — only the collision mass changes.
+    """
+    from .functions.vector import dot_product
+
+    ib = _shared_srpw_index(spark, sf_dir)
+    l = ib.select(F.col("vec_id").alias("id_1"), "band", "val")
+    r = ib.select(F.col("vec_id").alias("id_2"), "band", "val")
+    cand = (
+        l.join(r, ["band", "val"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    emb = __load(spark, sf_dir, "embeddings")
+    e1 = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("v1"))
+    e2 = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("v2"))
+    scored = (
+        cand.join(e1, "id_1")
+        .join(e2, "id_2")
+        .select("id_1", "id_2", dot_product("v1", "v2").alias("cos"))
+    )
+    return (
+        scored.orderBy(F.desc("cos"), "id_1", "id_2")
+        .limit(50)
+        .select("id_1", "id_2", round4("cos").alias("cosine"))
+    )
+
 
 @register(
     "dedup_embedding_srp",

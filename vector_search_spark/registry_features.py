@@ -1582,7 +1582,7 @@ def _cur_oracle() -> str:
       JOIN sig s1 ON c.id_1 = s1.doc_id
       JOIN sig s2 ON c.id_2 = s2.doc_id
       WHERE ({_SQL_AGREE}) / {NUM_HASHES}.0 >= 0.5
-        AND s.shared * 1.0 / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
+        AND s.shared * CAST(1.0 AS DOUBLE) / (n1.n_sh + n2.n_sh - s.shared) >= 0.8),
     agg AS (
       SELECT count(*)::BIGINT AS d0, sum(nt)::BIGINT AS t0,
              sum(q)::BIGINT AS d1, sum(q * nt)::BIGINT AS t1,

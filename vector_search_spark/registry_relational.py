@@ -447,7 +447,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_type)
     SELECT p_type, revenue_cents, n_items,
-           floor((revenue_cents * 1.0 / sum(revenue_cents) OVER ())*10000 + 0.5)/10000.0
+           floor((revenue_cents * CAST(1.0 AS DOUBLE) / sum(revenue_cents) OVER ())*10000 + 0.5)/10000.0
              AS revenue_share
     FROM agg ORDER BY p_type
     """,
@@ -690,7 +690,7 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, count(*)::BIGINT AS n_events,
            sum(k)::BIGINT AS sum_k, max(k)::BIGINT AS max_k,
-           floor((sum(k) * 1.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_k
+           floor((sum(k) * CAST(1.0 AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0 AS avg_k
     FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
     GROUP BY event_type ORDER BY event_type
     """,

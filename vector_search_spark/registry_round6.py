@@ -622,7 +622,7 @@ def _logreg_round_sql(prev: str, cur: str) -> str:
            sum(y)::BIGINT AS n_pos,
            floor((sum(CASE WHEN ({_LR_M} >= 0) = (y = 1) THEN 1 ELSE 0 END) * 1.0
                   / count(*)) * 10000 + 0.5)/10000.0 AS accuracy,
-           floor(((sum({_LR_LL}) * 1.0 / 1000000.0) / count(*)) * 10000 + 0.5)/10000.0
+           floor(((sum({_LR_LL}) * CAST(1.0 AS DOUBLE) / 1000000.0) / count(*)) * 10000 + 0.5)/10000.0
              AS avg_logloss
     FROM base CROSS JOIN w_{LOGREG_ROUNDS} w
     GROUP BY w.w0, w.w1, w.w2
@@ -701,7 +701,7 @@ def q_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" / count(*)) * 10000 + 0.5)/10000.0 AS DOUBLE)"
             ).alias("accuracy"),
             F.expr(
-                f"CAST(floor(((sum({_LR_LL}) * 1.0 / 1000000.0) / count(*)) * 10000 + 0.5)"
+                f"CAST(floor(((sum({_LR_LL}) * CAST(1.0 AS DOUBLE) / 1000000.0) / count(*)) * 10000 + 0.5)"
                 f"/10000.0 AS DOUBLE)"
             ).alias("avg_logloss"),
         )
@@ -3137,6 +3137,262 @@ def q_ab_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact winsorized mean per event type — the trimmed mean's clamping twin.
+# ---------------------------------------------------------------------------
+_WINS_MEAN = (
+    "(CAST(s_kept + k * lo + k * hi AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0"
+)
+
+
+@register(
+    "winsorized_mean_value",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_type, floor(value*100 + 0.5)::BIGINT AS c FROM events),
+    hist AS (
+      SELECT event_type, c, count(*)::BIGINT AS cnt
+      FROM cents GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, c, cnt,
+             (sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+             (sum(cnt) OVER (PARTITION BY event_type))::BIGINT AS n
+      FROM hist),
+    kept AS (
+      SELECT event_type, n, (n // {TRIM_DIV})::BIGINT AS k,
+             greatest(0, least(cum, n - (n // {TRIM_DIV}))
+                         - greatest(cum - cnt + 1, (n // {TRIM_DIV}) + 1) + 1) AS kc,
+             c, cum
+      FROM cum),
+    agg AS (
+      SELECT event_type, n, k,
+             sum(kc::HUGEINT * c) AS s_kept
+      FROM kept GROUP BY 1, 2, 3),
+    bounds AS (
+      SELECT event_type,
+             min(CASE WHEN cum >= k + 1 THEN c END)::BIGINT AS lo,
+             min(CASE WHEN cum >= n - k THEN c END)::BIGINT AS hi
+      FROM kept GROUP BY event_type),
+    raw AS (
+      SELECT event_type, sum(c)::BIGINT AS s_all FROM cents GROUP BY 1)
+    SELECT a.event_type, a.n, a.k AS n_clamped_each_side,
+           floor((CAST(b.lo AS DOUBLE)/100.0)*10000 + 0.5)/10000.0 AS lo_clamp,
+           floor((CAST(b.hi AS DOUBLE)/100.0)*10000 + 0.5)/10000.0 AS hi_clamp,
+           floor(({_WINS_MEAN})*10000 + 0.5)/10000.0 AS winsorized_mean,
+           floor(({_RAW_MEAN})*10000 + 0.5)/10000.0 AS raw_mean
+    FROM agg a
+    JOIN bounds b ON a.event_type = b.event_type
+    JOIN raw r ON a.event_type = r.event_type
+    ORDER BY a.event_type
+    """,
+)
+def q_winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10% two-sided WINSORIZED mean of event value per type — the
+    robust center that CLAMPS the k outermost values to the trim
+    boundaries instead of dropping them (`trimmed_mean_value`'s
+    companion; winsorizing keeps n constant, which is what downstream
+    variance estimates usually want).  Emitted beside the raw mean and
+    both clamp values, so the clamp width itself reads as the tail-mass
+    diagnostic.
+
+    Exactness: the same (type, cents) histogram carries cumulative
+    ranks; the kept interior sum reuses the tie-exact overlap counts;
+    the two clamp bounds are exact order statistics (smallest value
+    whose cumulative count reaches rank k+1 / n−k) read off the SAME
+    cumulative column — no second pass, no per-row ranks; the clamped
+    tails contribute exactly k·lo + k·hi.  All folds integer/HUGEINT.
+
+    Scale: identical to the trimmed mean — the shuffle carries
+    (type, cents-value) cells bounded by the value domain, windows run
+    per type over aggregate cells, and no per-row global sort exists.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c")
+    )
+    hist = cents.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "c",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+        F.sum("cnt").over(wt).cast("long").alias("n"),
+    )
+    kept = cum.select(
+        "event_type",
+        "n",
+        F.expr(f"n DIV {TRIM_DIV}").cast("long").alias("k"),
+        F.expr(
+            f"greatest(0, least(cum, n - (n DIV {TRIM_DIV}))"
+            f" - greatest(cum - cnt + 1, (n DIV {TRIM_DIV}) + 1) + 1)"
+        ).alias("kc"),
+        "c",
+        "cum",
+    )
+    agg = kept.groupBy("event_type", "n", "k").agg(
+        F.sum(F.col("kc").cast("decimal(38,0)") * F.col("c")).alias("s_kept"),
+    )
+    bounds = kept.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= F.col("k") + 1, F.col("c")))
+        .cast("long")
+        .alias("lo"),
+        F.min(F.when(F.col("cum") >= F.col("n") - F.col("k"), F.col("c")))
+        .cast("long")
+        .alias("hi"),
+    )
+    raw = cents.groupBy("event_type").agg(F.sum("c").cast("long").alias("s_all"))
+    return (
+        agg.join(bounds, "event_type")
+        .join(raw, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.col("k").alias("n_clamped_each_side"),
+            F.expr(
+                "CAST(floor((CAST(lo AS DOUBLE)/100.0)*10000 + 0.5)/10000.0"
+                " AS DOUBLE)"
+            ).alias("lo_clamp"),
+            F.expr(
+                "CAST(floor((CAST(hi AS DOUBLE)/100.0)*10000 + 0.5)/10000.0"
+                " AS DOUBLE)"
+            ).alias("hi_clamp"),
+            F.expr(f"CAST(floor(({_WINS_MEAN})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+                "winsorized_mean"
+            ),
+            F.expr(f"CAST(floor(({_RAW_MEAN})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+                "raw_mean"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simple exponential smoothing of daily revenue — closed-form dyadic SES.
+# ---------------------------------------------------------------------------
+SES_MAX_E = 40  # drop terms with weight < 2^-40 (sub-micro of any signal)
+
+
+@register(
+    "ses_revenue_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(floor(value*100 + 0.5)::BIGINT)::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    idx AS (
+      SELECT (day - (SELECT min(day) FROM daily))::BIGINT AS t, cents
+      FROM daily),
+    tm AS (SELECT max(t)::BIGINT AS tmax FROM idx),
+    terms AS (
+      SELECT CASE WHEN t = 0 THEN tm.tmax ELSE tm.tmax - t + 1 END AS e, cents
+      FROM idx CROSS JOIN tm),
+    kept AS (
+      SELECT ((cents::HUGEINT * 1000000)
+              // CAST(power(2.0, e) AS BIGINT))::BIGINT AS term
+      FROM terms WHERE e <= {SES_MAX_E}),
+    s AS (SELECT sum(term)::BIGINT AS s_micro,
+                 count(*)::BIGINT AS lags_used FROM kept),
+    lastd AS (
+      SELECT i.cents AS last_cents FROM idx i CROSS JOIN tm
+      WHERE i.t = tm.tmax)
+    SELECT (tm.tmax + 1)::BIGINT AS n_days_span, s.lags_used,
+           floor((CAST(l.last_cents AS DOUBLE)/100.0)*10000 + 0.5)/10000.0
+             AS last_day_revenue,
+           floor(((CAST(s.s_micro AS DOUBLE)/1000000.0)/100.0)*10000 + 0.5)
+             /10000.0 AS ses_forecast
+    FROM tm CROSS JOIN s CROSS JOIN lastd l
+    """,
+)
+def q_ses_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (α = 1/2) of daily purchase revenue,
+    emitted as the one-step-ahead forecast beside the last observed day —
+    the classic short-memory baseline between `seasonal_naive_backtest`
+    (pure seasonality) and `exp_decay_daily_value` (decayed totals, not a
+    level estimate).  The round-6 attempt at smoothing stalled on the
+    recurrence's 150-round unroll; the fix is algebra, not iteration:
+    s_T = Σ_{{t≥1}} α(1−α)^{{T−t}}·x_t + (1−α)^T·x_0, and with DYADIC
+    α = 1/2 every weight is exactly 2^−e, so one weighted sum over the
+    day aggregate computes the whole recurrence.
+
+    Exactness: each day's term is floor(cents·10⁶ / 2^e) — per-element
+    integer quantization BEFORE the fold, divisor exact via power(2.0,e)
+    (doubles represent 2^e exactly to e=1023, cast to BIGINT exact to
+    e=62); the product is widened to DECIMAL(38,0)/HUGEINT.  Terms with
+    e > {SES_MAX_E} are DEFINED out of the sum (weight < 2^−40 — below a
+    micro-unit of any bounded signal), making the truncated statistic
+    itself deterministic and engine-identical; the pure-Python gate
+    checks both the integer identity and the ≤ 2^−40 distance to the
+    true recurrence fixed point.
+
+    Scale: one partial-agg'd scan to the ≤ |days| day aggregate, a 1-row
+    broadcast of T, a bounded ≤ {SES_MAX_E + 1}-term fold — re-runnable
+    after every daily load for the cost of the scan, at any corpus size.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"), "cents"
+    )
+    tm = idx.agg(F.max("t").cast("long").alias("tmax"))
+    terms = idx.crossJoin(F.broadcast(tm)).select(
+        F.when(F.col("t") == 0, F.col("tmax"))
+        .otherwise(F.col("tmax") - F.col("t") + 1)
+        .alias("e"),
+        "cents",
+        "tmax",
+    )
+    kept = terms.filter(F.col("e") <= SES_MAX_E).select(
+        F.expr(
+            "CAST((CAST(cents AS DECIMAL(38,0)) * 1000000)"
+            " DIV CAST(power(2.0, e) AS BIGINT) AS BIGINT)"
+        ).alias("term")
+    )
+    s = kept.agg(
+        F.sum("term").cast("long").alias("s_micro"),
+        F.count(F.lit(1)).cast("long").alias("lags_used"),
+    )
+    lastd = (
+        idx.crossJoin(F.broadcast(tm))
+        .filter(F.col("t") == F.col("tmax"))
+        .select(F.col("cents").alias("last_cents"))
+    )
+    return (
+        tm.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(lastd))
+        .select(
+            (F.col("tmax") + 1).cast("long").alias("n_days_span"),
+            "lags_used",
+            F.expr(
+                "CAST(floor((CAST(last_cents AS DOUBLE)/100.0)*10000 + 0.5)"
+                "/10000.0 AS DOUBLE)"
+            ).alias("last_day_revenue"),
+            F.expr(
+                "CAST(floor(((CAST(s_micro AS DOUBLE)/1000000.0)/100.0)*10000"
+                " + 0.5)/10000.0 AS DOUBLE)"
+            ).alias("ses_forecast"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Group-sequential A/B monitor: weekly interims, OBF-shaped + Peto bounds.
 # ---------------------------------------------------------------------------
 # Cumulative two-proportion z at interim k, from the exact BIGINT counts —
@@ -3352,6 +3608,202 @@ def q_ab_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("peto_state"),
     ).orderBy("week_idx")
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction on md5 A/A arms (pre-period covariate adjust).
+# ---------------------------------------------------------------------------
+CUPED_PRE_DAYS = 14
+# All operands are exact integer sufficient statistics (cents sums and
+# HUGEINT/DECIMAL(38,0) products); the n-scalings cancel inside the ratios
+# so theta and rho^2 are single shared DOUBLE texts.
+_CUPED_THETA = (
+    "(CAST(nn * sxy - sx * sy AS DOUBLE) / CAST(nn * sxx - sx * sx AS DOUBLE))"
+)
+_CUPED_RHO2 = (
+    "((CAST(nn * sxy - sx * sy AS DOUBLE) * CAST(nn * sxy - sx * sy AS DOUBLE))"
+    " / (CAST(nn * sxx - sx * sx AS DOUBLE) * CAST(nn * syy - sy * sy AS DOUBLE)))"
+)
+_CUPED_ADJ = (
+    "((CAST(a_sy AS DOUBLE) / CAST(a_n AS DOUBLE))"
+    " - ({theta}) * ((CAST(a_sx AS DOUBLE) / CAST(a_n AS DOUBLE))"
+    " - (CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE)))) / 100.0"
+)
+
+
+@register(
+    "ab_cuped_adjustment",
+    oracle=f"""
+    WITH mind AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    ud AS (
+      SELECT user_id,
+             ('0x' || substr(md5('cuped' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             sum(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) < (SELECT d0 FROM mind)
+                           + {CUPED_PRE_DAYS}
+                      THEN floor(value*100 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS x,
+             sum(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) >= (SELECT d0 FROM mind)
+                           + {CUPED_PRE_DAYS}
+                      THEN floor(value*100 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS y
+      FROM events GROUP BY user_id),
+    pool AS (
+      SELECT count(*)::BIGINT AS nn,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x::HUGEINT * y) AS sxy,
+             sum(x::HUGEINT * x) AS sxx,
+             sum(y::HUGEINT * y) AS syy
+      FROM ud),
+    arms AS (
+      SELECT arm, count(*)::BIGINT AS a_n,
+             sum(x)::BIGINT AS a_sx, sum(y)::BIGINT AS a_sy
+      FROM ud GROUP BY arm),
+    adj AS (
+      SELECT a.arm, a.a_n,
+             {_CUPED_ADJ.format(theta=_CUPED_THETA)} AS adj_mean,
+             (CAST(a.a_sy AS DOUBLE) / CAST(a.a_n AS DOUBLE)) / 100.0 AS raw_mean
+      FROM arms a CROSS JOIN pool),
+    wide AS (
+      SELECT max(CASE WHEN arm = 1 THEN adj_mean END)
+               - max(CASE WHEN arm = 0 THEN adj_mean END) AS diff_cuped,
+             max(CASE WHEN arm = 1 THEN raw_mean END)
+               - max(CASE WHEN arm = 0 THEN raw_mean END) AS diff_raw,
+             max(CASE WHEN arm = 1 THEN a_n END)::BIGINT AS n_treat,
+             max(CASE WHEN arm = 0 THEN a_n END)::BIGINT AS n_ctl
+      FROM adj)
+    SELECT w.n_treat, w.n_ctl,
+           floor(({_CUPED_THETA})*10000 + 0.5)/10000.0 AS theta,
+           floor(({_CUPED_RHO2})*10000 + 0.5)/10000.0 AS rho2,
+           floor(w.diff_raw*10000 + 0.5)/10000.0 AS diff_raw,
+           floor(w.diff_cuped*10000 + 0.5)/10000.0 AS diff_cuped
+    FROM wide w CROSS JOIN pool
+    """,
+)
+def q_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data): adjust
+    each arm's post-period revenue mean by θ·(pre-period mean deviation),
+    where θ = cov(pre, post)/var(pre) over all users — the
+    industry-standard variance-reduction step run before every A/B
+    readout, beside `ab_test_zscore` (unadjusted) and `uplift_by_segment`
+    (stratified).  Emits θ, the achieved variance-reduction factor
+    ρ² = corr(pre, post)² (CUPED removes exactly that fraction of metric
+    variance), and the raw vs CUPED-adjusted treatment−control
+    difference on the md5 A/A arms.  On this synthetic corpus per-user
+    revenue has almost no stable heterogeneity, so ρ² reads near 0 and
+    the adjustment moves the (pure-noise) A/A difference without
+    shrinking it — the honest read: CUPED's value is exactly the ρ² it
+    reports, and the gate pins the algebra, not a variance win the
+    corpus cannot produce.
+
+    Exactness: per-user pre/post cents are exact integer sums split at
+    min(day)+{CUPED_PRE_DAYS}; the pooled sufficient statistics (n, Σx,
+    Σy, Σxy, Σx², Σy²) are HUGEINT/DECIMAL(38,0) folds; θ, ρ² and both
+    arm adjustments are shared DOUBLE texts whose n-scalings cancel
+    algebraically, quantized once at emission.
+
+    Scale: one partial-agg'd groupBy(user) collapse (the scan), a 1-row
+    pooled-stats broadcast, a 2-row per-arm aggregate — CUPED at 100 TB
+    is the cost of one scan, which is why every experimentation platform
+    runs it by default.
+    """
+    ev = _t(spark, sf_dir, "events")
+    mind = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    ud = (
+        ev.crossJoin(F.broadcast(mind))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (
+                        F.col("ts").cast("date")
+                        < F.date_add(F.col("d0"), CUPED_PRE_DAYS)
+                    ),
+                    cents,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (
+                        F.col("ts").cast("date")
+                        >= F.date_add(F.col("d0"), CUPED_PRE_DAYS)
+                    ),
+                    cents,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("cuped"), F.col("user_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2,
+        )
+    )
+    pool = ud.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    arms = ud.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("a_n"),
+        F.sum("x").cast("long").alias("a_sx"),
+        F.sum("y").cast("long").alias("a_sy"),
+    )
+    adj = arms.crossJoin(F.broadcast(pool)).select(
+        "arm",
+        "a_n",
+        F.expr(_CUPED_ADJ.format(theta=_CUPED_THETA)).alias("adj_mean"),
+        (
+            (F.col("a_sy").cast("double") / F.col("a_n").cast("double")) / 100.0
+        ).alias("raw_mean"),
+    )
+    wide = adj.agg(
+        (
+            F.max(F.when(F.col("arm") == 1, F.col("adj_mean")))
+            - F.max(F.when(F.col("arm") == 0, F.col("adj_mean")))
+        ).alias("diff_cuped"),
+        (
+            F.max(F.when(F.col("arm") == 1, F.col("raw_mean")))
+            - F.max(F.when(F.col("arm") == 0, F.col("raw_mean")))
+        ).alias("diff_raw"),
+        F.max(F.when(F.col("arm") == 1, F.col("a_n"))).cast("long").alias("n_treat"),
+        F.max(F.when(F.col("arm") == 0, F.col("a_n"))).cast("long").alias("n_ctl"),
+    )
+    return wide.crossJoin(F.broadcast(pool)).select(
+        "n_treat",
+        "n_ctl",
+        F.expr(f"CAST(floor(({_CUPED_THETA})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+            "theta"
+        ),
+        F.expr(f"CAST(floor(({_CUPED_RHO2})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+            "rho2"
+        ),
+        F.expr(
+            "CAST(floor(diff_raw*10000 + 0.5)/10000.0 AS DOUBLE)"
+        ).alias("diff_raw"),
+        F.expr(
+            "CAST(floor(diff_cuped*10000 + 0.5)/10000.0 AS DOUBLE)"
+        ).alias("diff_cuped"),
+    )
 
 
 # ---------------------------------------------------------------------------

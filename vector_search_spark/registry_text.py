@@ -442,7 +442,7 @@ def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, count(*)::BIGINT AS n_docs,
            sum(len(toks))::BIGINT AS total_tokens,
            sum(len(list_distinct(toks)))::BIGINT AS distinct_tokens,
-           floor((sum(len(list_distinct(toks))) * 1.0 / sum(len(toks)))
+           floor((sum(len(list_distinct(toks))) * CAST(1.0 AS DOUBLE) / sum(len(toks)))
                  * 10000 + 0.5) / 10000.0 AS diversity
     FROM t GROUP BY lang ORDER BY lang
     """,
@@ -758,9 +758,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tric GROUP BY doc_id)
     SELECT b.doc_id,
            b.total_c::BIGINT AS n_bigrams,
-           floor((b.top_c * 1.0 / b.total_c) * 10000 + 0.5) / 10000.0
+           floor((b.top_c * CAST(1.0 AS DOUBLE) / b.total_c) * 10000 + 0.5) / 10000.0
              AS top_bigram_frac,
-           floor((t.dup_c * 1.0 / t.total_c) * 10000 + 0.5) / 10000.0
+           floor((t.dup_c * CAST(1.0 AS DOUBLE) / t.total_c) * 10000 + 0.5) / 10000.0
              AS dup_trigram_frac
     FROM biga b JOIN tria t USING (doc_id)
     ORDER BY b.doc_id
@@ -1117,7 +1117,7 @@ def _pair_presence_frequent(
       GROUP BY 1, 2),
     scored AS (
       SELECT co.tok_a, co.tok_b, co.co, da.df AS df_a, db.df AS df_b,
-             floor(((co.co * (SELECT n FROM n)) * 1.0 / (da.df * db.df))
+             floor(((co.co * (SELECT n FROM n)) * CAST(1.0 AS DOUBLE) / (da.df * db.df))
                    * 10000 + 0.5) / 10000.0 AS lift
       FROM co
       JOIN dfq da ON co.tok_a = da.tok
@@ -1203,7 +1203,7 @@ _MIX_WEIGHTS = {"src0": 3, "src1": 2, "src2": 2, "src3": 2, "src4": 1}
     t AS (SELECT min(max_total)::BIGINT AS total FROM j)
     SELECT j.source, j.avail_tokens, j.weight,
            ((j.weight * (SELECT total FROM t)) // 10)::BIGINT AS sampled_tokens,
-           floor(((j.weight * (SELECT total FROM t)) // 10 * 1.0 / j.avail_tokens)
+           floor(((j.weight * (SELECT total FROM t)) // 10 * CAST(1.0 AS DOUBLE) / j.avail_tokens)
                  * 10000 + 0.5) / 10000.0 AS epochs
     FROM j ORDER BY j.source
     """,
@@ -1934,7 +1934,7 @@ def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            sum(n_sym)::BIGINT AS total_symbols,
            sum(n_chars)::BIGINT AS total_chars,
-           floor((sum(n_chars) * 1.0 / sum(n_sym)) * 10000 + 0.5) / 10000.0
+           floor((sum(n_chars) * CAST(1.0 AS DOUBLE) / sum(n_sym)) * 10000 + 0.5) / 10000.0
              AS chars_per_symbol
     FROM per_doc GROUP BY source ORDER BY source
     """,
