@@ -348,15 +348,28 @@ def test_tree_depth3_shuffles_histograms_not_rows(spark):
 
 def test_trimmed_mean_no_global_sort_of_rows(spark):
     """The trimmed mean must rank via the per-type value HISTOGRAM —
-    no per-row global sort/window over the events rows."""
+    no per-row global sort/window over the events rows.  The histogram
+    is eagerly checkpointed (it fans out to the kept sum and the raw
+    mean; one corpus scan), so the visible plan starts from the
+    checkpoint RDD: assert the downstream windows run over those
+    aggregate cells partitioned by type, nothing ever collapses to a
+    single partition, and the corpus is NOT re-scanned post-checkpoint."""
     df = registry.QUERIES["trimmed_mean_value"](spark, SF_TEST)
     plan = _formatted(spark, df)
-    # the aggregate under the first exchange is keyed by (event_type, c)
-    assert "partial_count" in plan or "partial count" in plan.lower()
-    # windows run over the aggregate cells partitioned by type — a
-    # partition-less row_number over raw rows would show a single-
-    # partition Sort with no hashpartitioning parent
     assert "hashpartitioning(event_type" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Scan parquet" not in plan  # everything reads the checkpointed cells
+
+
+def test_winsorized_mean_same_histogram_route(spark):
+    """Winsorized mean shares the trimmed mean's checkpointed-histogram
+    route: windows over (type, value) cells, no single-partition
+    collapse, no post-checkpoint corpus rescan."""
+    df = registry.QUERIES["winsorized_mean_value"](spark, SF_TEST)
+    plan = _formatted(spark, df)
+    assert "hashpartitioning(event_type" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Scan parquet" not in plan
 
 
 def test_kaplan_meier_windows_on_day_aggregate(spark):

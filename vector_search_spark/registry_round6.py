@@ -2034,9 +2034,11 @@ def q_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ev.select(
         "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c")
     )
+    # checkpoint the (type, value) histogram: it fans out to the kept sum
+    # AND the raw mean — one corpus scan, not two
     hist = cents.groupBy("event_type", "c").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    ).localCheckpoint(eager=True)
     w = (
         Window.partitionBy("event_type")
         .orderBy("c")
@@ -2064,7 +2066,11 @@ def q_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kc").cast("long").alias("c_kept"),
         F.sum(F.col("kc").cast("decimal(38,0)") * F.col("c")).alias("s_kept"),
     )
-    raw = cents.groupBy("event_type").agg(F.sum("c").cast("long").alias("s_all"))
+    # raw sum from the SAME histogram cells: sum(c) over rows == sum(cnt*c)
+    # over cells, an exact integer identity
+    raw = hist.groupBy("event_type").agg(
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("c")).alias("s_all")
+    )
     return (
         agg.join(raw, "event_type")
         .select(
@@ -3210,9 +3216,11 @@ def q_winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ev.select(
         "event_type", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c")
     )
+    # checkpoint the (type, value) histogram: it fans out to the interior
+    # sum, the clamp bounds AND the raw mean — one corpus scan, not three
     hist = cents.groupBy("event_type", "c").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    ).localCheckpoint(eager=True)
     w = (
         Window.partitionBy("event_type")
         .orderBy("c")
@@ -3248,7 +3256,11 @@ def q_winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hi"),
     )
-    raw = cents.groupBy("event_type").agg(F.sum("c").cast("long").alias("s_all"))
+    # raw sum from the SAME histogram cells: sum(c) over rows == sum(cnt*c)
+    # over cells, an exact integer identity
+    raw = hist.groupBy("event_type").agg(
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("c")).alias("s_all")
+    )
     return (
         agg.join(bounds, "event_type")
         .join(raw, "event_type")
@@ -3346,6 +3358,10 @@ def q_ses_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
+        # the day aggregate fans out to five consumers (d0, T, terms, last
+        # day); checkpointing the ≤|days|-row collapse keeps the corpus
+        # scan at exactly ONE instead of lineage-replaying it per consumer
+        .localCheckpoint(eager=True)
     )
     d0 = daily.agg(F.min("day").alias("d0"))
     idx = daily.crossJoin(F.broadcast(d0)).select(
@@ -3523,9 +3539,21 @@ def q_ab_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 2,
         )
     )
-    mind = ud.agg(F.min("day").alias("d0"))
+    # collapse once more to (day, arm) cells and checkpoint: the tiny
+    # aggregate fans out to the min-day scalar AND the week rollup, and
+    # without the checkpoint each consumer would lineage-replay the
+    # corpus scan
+    da = (
+        ud.groupBy("day", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dn"),
+            F.sum("conv").cast("long").alias("dx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mind = da.agg(F.min("day").alias("d0"))
     wk = (
-        ud.crossJoin(F.broadcast(mind))
+        da.crossJoin(F.broadcast(mind))
         .groupBy(
             (F.datediff(F.col("day"), F.col("d0")).cast("long") / 7)
             .cast("long")
@@ -3533,8 +3561,8 @@ def q_ab_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             "arm",
         )
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("conv").cast("long").alias("x"),
+            F.sum("dn").cast("long").alias("n"),
+            F.sum("dx").cast("long").alias("x"),
         )
     )
     spine = wk.select("w").distinct()
@@ -3755,19 +3783,26 @@ def q_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 2,
         )
     )
-    pool = ud.agg(
-        F.count(F.lit(1)).cast("long").alias("nn"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
-    )
-    arms = ud.groupBy("arm").agg(
+    # ONE scan: the per-arm aggregate carries the product sums too, and
+    # the pooled sufficient statistics fold from the 2 arm rows (all six
+    # stats are additive) instead of re-scanning the per-user frame
+    arms_full = ud.groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("a_n"),
         F.sum("x").cast("long").alias("a_sx"),
         F.sum("y").cast("long").alias("a_sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("a_sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("a_sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("a_syy"),
+    ).localCheckpoint(eager=True)
+    pool = arms_full.agg(
+        F.sum("a_n").cast("long").alias("nn"),
+        F.sum("a_sx").cast("long").alias("sx"),
+        F.sum("a_sy").cast("long").alias("sy"),
+        F.sum("a_sxy").cast("decimal(38,0)").alias("sxy"),
+        F.sum("a_sxx").cast("decimal(38,0)").alias("sxx"),
+        F.sum("a_syy").cast("decimal(38,0)").alias("syy"),
     )
+    arms = arms_full.select("arm", "a_n", "a_sx", "a_sy")
     adj = arms.crossJoin(F.broadcast(pool)).select(
         "arm",
         "a_n",
