@@ -150,6 +150,7 @@ QUERIES = [
     "winsorized_mean_value",
     "ab_cuped_adjustment",
     "dedup_embedding_srp_wide",
+    "brown_trend_forecast",
 ]
 
 REGIMES = [

@@ -795,6 +795,19 @@ def test_streaming_value_histogram_reproduces_batch_trimmed_mean(spark):
             _round4((float(sum(kept)) / float(len(kept))) / 100.0),
             n,
         )
+    # the SAME drained cells also reproduce the winsorized mean — one
+    # streaming state serves the whole robust-center family
+    gotw = {
+        r.event_type: r.winsorized_mean
+        for r in registry.QUERIES["winsorized_mean_value"](spark, SF_TEST).collect()
+    }
+    for et, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        k = n // 10
+        lo, hi = vals[k], vals[n - k - 1]
+        clamped = [min(max(v, lo), hi) for v in vals]
+        assert gotw[et] == _round4((float(sum(clamped)) / float(n)) / 100.0)
 
 
 def test_markov_expected_steps_matches_python_and_exact_solve(spark):
@@ -1442,3 +1455,44 @@ def test_cuped_matches_pure_python(spark):
     # the corpus has no stable per-user heterogeneity: rho^2 reads ~0,
     # i.e. CUPED honestly reports it can remove almost no variance here
     assert 0.0 <= r.rho2 < 0.2
+
+
+def test_brown_trend_matches_recurrences_and_integer_rebuild(spark):
+    from vector_search_spark.registry_round6 import SES_MAX_E
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(ts AS DATE) AS day,
+                   sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS cents
+            FROM '{SF_TEST}/events.parquet'
+            WHERE event_type = 'purchase' GROUP BY 1"""
+    ).fetchall()
+    d0 = min(d for d, _ in rows)
+    by_t = {(d - d0).days: int(c) for d, c in rows}
+    tmax = max(by_t)
+    # exact integer rebuild of both truncated dyadic sums
+    s1 = s2 = 0
+    for t, cents in by_t.items():
+        e1 = tmax if t == 0 else tmax - t + 1
+        e2 = tmax + 1 if t == 0 else tmax - t + 2
+        m2 = tmax + 2 if t == 0 else tmax - t + 1
+        if e1 <= SES_MAX_E:
+            s1 += (cents * 1_000_000) // (2 ** e1)
+        if e2 <= SES_MAX_E:
+            s2 += (cents * 1_000_000 * m2) // (2 ** e2)
+    r = registry.QUERIES["brown_trend_forecast"](spark, SF_TEST).collect()[0]
+    assert r.n_days_span == tmax + 1
+    assert r.level == _round4(((2 * s1 - s2) / 1_000_000.0) / 100.0)
+    assert r.trend_per_day == _round4(((s1 - s2) / 1_000_000.0) / 100.0)
+    assert r.forecast_next_day == _round4(((3 * s1 - 2 * s2) / 1_000_000.0) / 100.0)
+    # the closed form IS Brown's double recurrence (zero-revenue days are
+    # observations of 0): run both smoothers and compare
+    f1 = float(by_t.get(0, 0))
+    f2 = f1
+    for t in range(1, tmax + 1):
+        f1 = 0.5 * float(by_t.get(t, 0)) + 0.5 * f1
+        f2 = 0.5 * f1 + 0.5 * f2
+    assert abs(f1 - s1 / 1_000_000.0) <= 1e-3
+    assert abs(f2 - s2 / 1_000_000.0) <= 1e-3
+    # Brown identities: forecast = level + trend
+    assert abs((3 * s1 - 2 * s2) - ((2 * s1 - s2) + (s1 - s2))) == 0

@@ -51,6 +51,16 @@ eval/diversification):
   arms' survival curves (hypergeometric O−E terms; null read asserted).
 - ``isotonic_hour_calibration`` — exact PAVA via the minimax formula on
   the hour aggregate (floor-monotone identity proven in the gate).
+- ``decision_tree_depth3``     — the level-wise machinery composed one
+  level deeper (one scan per level, ≤ 4 × cells shuffled).
+- ``ab_group_sequential``      — weekly interims, OBF-shaped 1.96·√(K/k)
+  and Haybittle–Peto boundaries; never fires on the A/A arms (asserted).
+- ``ses_revenue_forecast``     — dyadic α=1/2 exponential smoothing as
+  ONE weighted sum (2^−e weights; ≤2^−40 truncation defined in).
+- ``winsorized_mean_value``    — clamping twin of the trimmed mean on
+  the same checkpointed value histogram (exact order-statistic bounds).
+- ``ab_cuped_adjustment``      — CUPED θ = cov/var from HUGEINT moments,
+  ρ² variance-reduction readout (honest ≈ 0 on this corpus).
 
 House invariants throughout: integer-only iteration state, shared SQL
 expression text for every emitted float, ``round4`` on emitted floats,
@@ -3405,6 +3415,132 @@ def q_ses_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " + 0.5)/10000.0 AS DOUBLE)"
             ).alias("ses_forecast"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown's double exponential smoothing — the SES algebra composed to trend.
+# ---------------------------------------------------------------------------
+@register(
+    "brown_trend_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(floor(value*100 + 0.5)::BIGINT)::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    idx AS (
+      SELECT (day - (SELECT min(day) FROM daily))::BIGINT AS t, cents
+      FROM daily),
+    tm AS (SELECT max(t)::BIGINT AS tmax FROM idx),
+    terms AS (
+      SELECT cents,
+             CASE WHEN t = 0 THEN tm.tmax ELSE tm.tmax - t + 1 END AS e1,
+             CASE WHEN t = 0 THEN tm.tmax + 1 ELSE tm.tmax - t + 2 END AS e2,
+             CASE WHEN t = 0 THEN tm.tmax + 2 ELSE tm.tmax - t + 1 END AS m2
+      FROM idx CROSS JOIN tm),
+    kept AS (
+      SELECT
+        CASE WHEN e1 <= {SES_MAX_E}
+             THEN ((cents::HUGEINT * 1000000)
+                   // CAST(power(2.0, e1) AS BIGINT))::BIGINT
+             ELSE 0 END AS t1,
+        CASE WHEN e2 <= {SES_MAX_E}
+             THEN ((cents::HUGEINT * 1000000 * m2)
+                   // CAST(power(2.0, e2) AS BIGINT))::BIGINT
+             ELSE 0 END AS t2
+      FROM terms),
+    s AS (SELECT sum(t1)::BIGINT AS s1, sum(t2)::BIGINT AS s2 FROM kept)
+    SELECT (tm.tmax + 1)::BIGINT AS n_days_span,
+           floor(((CAST(2*s.s1 - s.s2 AS DOUBLE)/1000000.0)/100.0)*10000 + 0.5)
+             /10000.0 AS level,
+           floor(((CAST(s.s1 - s.s2 AS DOUBLE)/1000000.0)/100.0)*10000 + 0.5)
+             /10000.0 AS trend_per_day,
+           floor(((CAST(3*s.s1 - 2*s.s2 AS DOUBLE)/1000000.0)/100.0)*10000 + 0.5)
+             /10000.0 AS forecast_next_day
+    FROM tm CROSS JOIN s
+    """,
+)
+def q_brown_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing (α = 1/2) of daily revenue —
+    the linear-TREND forecaster `ses_revenue_forecast`'s level-only model
+    can't express, and the composition proof for the dyadic-SES algebra:
+    smoothing the smoothed series stays ONE weighted sum, because the
+    weight of day t in s″_T has the closed form (T−t+1)·2^−(T−t+2)
+    (an INTEGER times a dyadic), with boundary weights 2^−T for s′ and
+    (T+2)·2^−(T+1) for s″ carrying the s₀ = x₀ convention.  Emits
+    Brown's level a = 2s′−s″, per-day trend b = s′−s″ (α/(1−α) = 1 at
+    α = ½) and the one-step forecast a + b = 3s′−2s″.
+
+    Exactness: each term is floor(cents·10⁶·m / 2^e) — the integer
+    multiplier m applied BEFORE the single floor division, the divisor
+    exact via power(2.0, e); both sums are exact BIGINTs and the three
+    emitted statistics are integer combinations of them, floated once at
+    emission.  Terms with e > {SES_MAX_E} are defined out (weight
+    < (T+2)·2^−40 — sub-micro); the Python gate pins the integer
+    identity AND the distance to the true double recurrences.
+
+    Scale: identical to SES — the checkpointed day aggregate, a 1-row T
+    broadcast, a bounded fold.  Rebuilding BOTH smoothers after every
+    daily load costs the same single scan SES costs.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"), "cents"
+    )
+    tm = idx.agg(F.max("t").cast("long").alias("tmax"))
+    terms = idx.crossJoin(F.broadcast(tm)).select(
+        "cents",
+        F.when(F.col("t") == 0, F.col("tmax"))
+        .otherwise(F.col("tmax") - F.col("t") + 1)
+        .alias("e1"),
+        F.when(F.col("t") == 0, F.col("tmax") + 1)
+        .otherwise(F.col("tmax") - F.col("t") + 2)
+        .alias("e2"),
+        F.when(F.col("t") == 0, F.col("tmax") + 2)
+        .otherwise(F.col("tmax") - F.col("t") + 1)
+        .alias("m2"),
+    )
+    kept = terms.select(
+        F.expr(
+            f"CASE WHEN e1 <= {SES_MAX_E} THEN"
+            " CAST((CAST(cents AS DECIMAL(38,0)) * 1000000)"
+            " DIV CAST(power(2.0, e1) AS BIGINT) AS BIGINT) ELSE 0 END"
+        ).alias("t1"),
+        F.expr(
+            f"CASE WHEN e2 <= {SES_MAX_E} THEN"
+            " CAST((CAST(cents AS DECIMAL(38,0)) * 1000000 * m2)"
+            " DIV CAST(power(2.0, e2) AS BIGINT) AS BIGINT) ELSE 0 END"
+        ).alias("t2"),
+    )
+    s = kept.agg(
+        F.sum("t1").cast("long").alias("s1"),
+        F.sum("t2").cast("long").alias("s2"),
+    )
+    return tm.crossJoin(F.broadcast(s)).select(
+        (F.col("tmax") + 1).cast("long").alias("n_days_span"),
+        F.expr(
+            "CAST(floor(((CAST(2*s1 - s2 AS DOUBLE)/1000000.0)/100.0)*10000"
+            " + 0.5)/10000.0 AS DOUBLE)"
+        ).alias("level"),
+        F.expr(
+            "CAST(floor(((CAST(s1 - s2 AS DOUBLE)/1000000.0)/100.0)*10000"
+            " + 0.5)/10000.0 AS DOUBLE)"
+        ).alias("trend_per_day"),
+        F.expr(
+            "CAST(floor(((CAST(3*s1 - 2*s2 AS DOUBLE)/1000000.0)/100.0)*10000"
+            " + 0.5)/10000.0 AS DOUBLE)"
+        ).alias("forecast_next_day"),
     )
 
 
