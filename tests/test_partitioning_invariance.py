@@ -151,6 +151,8 @@ QUERIES = [
     "ab_cuped_adjustment",
     "dedup_embedding_srp_wide",
     "brown_trend_forecast",
+    "mannwhitney_value_test",
+    "ab_welch_ttest",
 ]
 
 REGIMES = [

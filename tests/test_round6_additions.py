@@ -1496,3 +1496,84 @@ def test_brown_trend_matches_recurrences_and_integer_rebuild(spark):
     assert abs(f2 - s2 / 1_000_000.0) <= 1e-3
     # Brown identities: forecast = level + trend
     assert abs((3 * s1 - 2 * s2) - ((2 * s1 - s2) + (s1 - s2))) == 0
+
+
+def test_mannwhitney_matches_pure_python_and_reads_null(spark):
+    import hashlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT)
+            FROM '{SF_TEST}/events.parquet' WHERE event_type = 'purchase'"""
+    ).fetchall()
+    arm1, arm0 = [], []
+    for eid, c in rows:
+        a = int(hashlib.md5(f"mwu{eid}".encode()).hexdigest()[:8], 16) % 2
+        (arm1 if a == 1 else arm0).append(c)
+    n1, n0 = len(arm1), len(arm0)
+    # average ranks over the merged multiset (classic definition)
+    merged = sorted(arm1 + arm0)
+    from collections import Counter
+
+    cnt = Counter(merged)
+    rank2 = {}  # value -> doubled average rank
+    before = 0
+    ties3 = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank2[v] = 2 * before + t + 1
+        ties3 += t * t * t - t
+        before += t
+    w2 = sum(rank2[v] for v in arm1)
+    u2 = w2 - n1 * (n1 + 1)  # doubled U1
+    var = (n1 * n0 / 12.0) * (
+        float(n1 + n0 + 1) - float(ties3) / (float(n1 + n0) * float(n1 + n0 - 1))
+    )
+    z = float(u2 - n1 * n0) / (2.0 * math.sqrt(var))
+    r = registry.QUERIES["mannwhitney_value_test"](spark, SF_TEST).collect()[0]
+    assert (r.n1, r.n0) == (n1, n0)
+    assert r.u1 == _round4(u2 / 2.0)
+    assert r.z == _round4(z)
+    # A/A arms: the rank-sum test must read null
+    assert abs(r.z) < 3.0
+
+
+def test_welch_matches_pure_python_and_reads_null(spark):
+    import hashlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT)
+            FROM '{SF_TEST}/events.parquet' WHERE event_type = 'purchase'"""
+    ).fetchall()
+    g = {0: [0, 0, 0], 1: [0, 0, 0]}  # n, s, ss
+    for eid, c in rows:
+        a = int(hashlib.md5(f"welch{eid}".encode()).hexdigest()[:8], 16) % 2
+        g[a][0] += 1
+        g[a][1] += c
+        g[a][2] += c * c
+    n1, s1, ss1 = g[1]
+    n0, s0, ss0 = g[0]
+    # mirrors the shared texts' operand order exactly
+    v1 = (float(n1) * float(ss1) - float(s1) * float(s1)) / (
+        float(n1) * float(n1 - 1)
+    )
+    v0 = (float(n0) * float(ss0) - float(s0) * float(s0)) / (
+        float(n0) * float(n0 - 1)
+    )
+    se2 = v1 / float(n1) + v0 / float(n0)
+    t = ((float(s1) / float(n1)) - (float(s0) / float(n0))) / math.sqrt(se2)
+    df = (se2 * se2) / (
+        (v1 / float(n1)) * (v1 / float(n1)) / float(n1 - 1)
+        + (v0 / float(n0)) * (v0 / float(n0)) / float(n0 - 1)
+    )
+    r = registry.QUERIES["ab_welch_ttest"](spark, SF_TEST).collect()[0]
+    assert (r.n1, r.n0) == (n1, n0)
+    assert r.mean_diff == _round4(
+        ((float(s1) / float(n1)) - (float(s0) / float(n0))) / 100.0
+    )
+    assert r.t_stat == _round4(t)
+    assert r.welch_df == _round4(df)
+    # A/A arms: null read; Welch df within its theoretical bounds
+    assert abs(r.t_stat) < 3.0
+    assert min(n1, n0) - 1 <= r.welch_df <= n1 + n0 - 2

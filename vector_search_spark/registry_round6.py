@@ -61,6 +61,14 @@ eval/diversification):
   the same checkpointed value histogram (exact order-statistic bounds).
 - ``ab_cuped_adjustment``      — CUPED θ = cov/var from HUGEINT moments,
   ρ² variance-reduction readout (honest ≈ 0 on this corpus).
+- ``brown_trend_forecast``     — Brown's double smoothing as ONE weighted
+  sum (weight of day t in s″ is (T−t+1)·2^−(T−t+2); level/trend/forecast
+  are integer combinations of two exact sums).
+- ``mannwhitney_value_test``   — Wilcoxon rank-sum via exact average
+  ranks off the merged value histogram (doubled ranks stay integers,
+  tie-corrected z; A/A null asserted).
+- ``ab_welch_ttest``           — Welch's unequal-variance t with the
+  Welch–Satterthwaite df, from six exact accumulators in one fold.
 
 House invariants throughout: integer-only iteration state, shared SQL
 expression text for every emitted float, ``round4`` on emitted floats,
@@ -3772,6 +3780,243 @@ def q_ab_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("peto_state"),
     ).orderBy("week_idx")
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U on purchase values (exact histogram ranks, tie-corrected).
+# ---------------------------------------------------------------------------
+# All operands exact integers: 2R(c) = 2·cum_before + t(c) + 1 (doubled
+# average rank kills the half), 2U₁ = Σ t₁(c)·2R(c) − n₁(n₁+1); the
+# tie-corrected normal variance enters once as a shared DOUBLE text.
+_MW_VAR = (
+    "((CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) / 12.0)"
+    " * (CAST(n1 + n0 + 1 AS DOUBLE)"
+    " - CAST(tie3 AS DOUBLE)"
+    " / (CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 - 1 AS DOUBLE))))"
+)
+_MW_Z = (
+    f"(CAST(u2 - n1 * n0 AS DOUBLE) / (2.0 * sqrt({_MW_VAR})))"
+)
+
+
+@register(
+    "mannwhitney_value_test",
+    oracle=f"""
+    WITH pv AS (
+      SELECT floor(value*100 + 0.5)::BIGINT AS c,
+             ('0x' || substr(md5('mwu' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm
+      FROM events WHERE event_type = 'purchase'),
+    hist AS (
+      SELECT c,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS t1,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS t0
+      FROM pv GROUP BY c),
+    cum AS (
+      SELECT c, t1, t0, (t1 + t0) AS t,
+             (sum(t1 + t0) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+               - (t1 + t0))::BIGINT AS cum_before
+      FROM hist),
+    s AS (
+      SELECT sum(t1)::BIGINT AS n1, sum(t0)::BIGINT AS n0,
+             sum(t1::HUGEINT * (2*cum_before + t + 1)) AS w2,
+             sum(t::HUGEINT * t * t - t)::HUGEINT AS tie3
+      FROM cum)
+    SELECT n1, n0,
+           floor((CAST(w2 - n1 * (n1 + 1) AS DOUBLE) / 2.0)*10000 + 0.5)/10000.0
+             AS u1,
+           floor(({_MW_Z.replace("u2", "(w2 - n1 * (n1 + 1))")})*10000 + 0.5)
+             /10000.0 AS z
+    FROM s
+    """,
+)
+def q_mannwhitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) comparing purchase values
+    between two md5 event-level arms — the nonparametric two-sample test
+    that needs only RANKS, which is exactly what the (value, count)
+    histogram carries: the tie-group average rank of value c is
+    cum_before(c) + (t(c)+1)/2, so doubled ranks stay integers, the
+    rank-sum is one HUGEINT fold over histogram cells, and the classic
+    tie-corrected normal approximation enters as a single shared DOUBLE
+    text.  On the A/A split z must read ≈ 0 (gate-pinned); beside
+    `ks_two_sample` (distribution shape) and `ab_test_zscore`
+    (proportions), this completes the standard two-sample toolkit.
+
+    Scale: the shuffle carries (value-cents) histogram cells — bounded
+    by the value domain, not the row count; the rank prefix sum runs
+    over those aggregate cells; no per-row rank ever materializes.  A
+    naive rank() over raw rows would single-task the corpus; this shape
+    cannot.
+    """
+    ev = _t(spark, sf_dir, "events")
+    pv = ev.filter(F.col("event_type") == "purchase").select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mwu"), F.col("event_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    hist = pv.groupBy("c").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("t1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("t0"),
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "c",
+        "t1",
+        "t0",
+        (F.col("t1") + F.col("t0")).alias("t"),
+        (
+            F.sum(F.col("t1") + F.col("t0")).over(w) - (F.col("t1") + F.col("t0"))
+        )
+        .cast("long")
+        .alias("cum_before"),
+    )
+    s = cum.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum("t0").cast("long").alias("n0"),
+        F.sum(
+            F.col("t1").cast("decimal(38,0)")
+            * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).alias("w2"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie3"),
+    )
+    return s.select(
+        "n1",
+        "n0",
+        F.expr(
+            "CAST(floor((CAST(w2 - n1 * (n1 + 1) AS DOUBLE) / 2.0)*10000 + 0.5)"
+            "/10000.0 AS DOUBLE)"
+        ).alias("u1"),
+        F.expr(
+            f"CAST(floor(({_MW_Z.replace('u2', '(w2 - n1 * (n1 + 1))')})*10000"
+            " + 0.5)/10000.0 AS DOUBLE)"
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test on purchase values (unequal variances, exact moments).
+# ---------------------------------------------------------------------------
+_WT_V = "((CAST({n} AS DOUBLE) * CAST({ss} AS DOUBLE) - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE)) / (CAST({n} AS DOUBLE) * CAST({n} - 1 AS DOUBLE)))"
+_WT_V1 = _WT_V.format(n="n1", ss="ss1", s="s1")
+_WT_V0 = _WT_V.format(n="n0", ss="ss0", s="s0")
+_WT_SE2 = f"(({_WT_V1}) / CAST(n1 AS DOUBLE) + ({_WT_V0}) / CAST(n0 AS DOUBLE))"
+_WT_T = (
+    f"(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    f" - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))) / sqrt({_WT_SE2}))"
+)
+_WT_DF = (
+    f"(({_WT_SE2}) * ({_WT_SE2})"
+    f" / ((({_WT_V1}) / CAST(n1 AS DOUBLE)) * (({_WT_V1}) / CAST(n1 AS DOUBLE))"
+    f" / CAST(n1 - 1 AS DOUBLE)"
+    f" + (({_WT_V0}) / CAST(n0 AS DOUBLE)) * (({_WT_V0}) / CAST(n0 AS DOUBLE))"
+    f" / CAST(n0 - 1 AS DOUBLE)))"
+)
+
+
+@register(
+    "ab_welch_ttest",
+    oracle=f"""
+    WITH pv AS (
+      SELECT floor(value*100 + 0.5)::BIGINT AS c,
+             ('0x' || substr(md5('welch' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm
+      FROM events WHERE event_type = 'purchase'),
+    s AS (
+      SELECT sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN arm = 1 THEN c ELSE 0 END)::BIGINT AS s1,
+             sum(CASE WHEN arm = 1 THEN c::HUGEINT * c ELSE 0 END) AS ss1,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+             sum(CASE WHEN arm = 0 THEN c ELSE 0 END)::BIGINT AS s0,
+             sum(CASE WHEN arm = 0 THEN c::HUGEINT * c ELSE 0 END) AS ss0
+      FROM pv)
+    SELECT n1, n0,
+           floor((((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))) / 100.0)
+                 *10000 + 0.5)/10000.0 AS mean_diff,
+           floor(({_WT_T})*10000 + 0.5)/10000.0 AS t_stat,
+           floor(({_WT_DF})*10000 + 0.5)/10000.0 AS welch_df
+    FROM s
+    """,
+)
+def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on purchase values between two md5
+    event-level arms, with the Welch–Satterthwaite effective degrees of
+    freedom — the default two-sample mean test every experimentation
+    platform reports (Student's equal-variance form is a special case;
+    Welch is the safe one).  On the A/A split t must read ≈ 0
+    (gate-pinned) and df lands near n−2, the homoskedastic limit.
+
+    Exactness: ONE global fold of six exact accumulators (n, Σc, Σc² per
+    arm — Σc² in HUGEINT/DECIMAL(38,0)); means, variances, t and df are
+    a single shared DOUBLE text each, quantized once at emission.
+
+    Scale: one partial-agg'd corpus scan to a 1-row frame; nothing else.
+    """
+    ev = _t(spark, sf_dir, "events")
+    pv = ev.filter(F.col("event_type") == "purchase").select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("welch"), F.col("event_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    s = pv.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(
+            F.when(
+                F.col("arm") == 1, F.col("c").cast("decimal(38,0)") * F.col("c")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("ss1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(
+            F.when(
+                F.col("arm") == 0, F.col("c").cast("decimal(38,0)") * F.col("c")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("ss0"),
+    )
+    return s.select(
+        "n1",
+        "n0",
+        F.expr(
+            "CAST(floor((((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+            " - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))) / 100.0)"
+            "*10000 + 0.5)/10000.0 AS DOUBLE)"
+        ).alias("mean_diff"),
+        F.expr(f"CAST(floor(({_WT_T})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+            "t_stat"
+        ),
+        F.expr(f"CAST(floor(({_WT_DF})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+            "welch_df"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
