@@ -153,6 +153,7 @@ QUERIES = [
     "brown_trend_forecast",
     "mannwhitney_value_test",
     "ab_welch_ttest",
+    "ab_power_sample_size",
 ]
 
 REGIMES = [

@@ -1577,3 +1577,114 @@ def test_welch_matches_pure_python_and_reads_null(spark):
     # A/A arms: null read; Welch df within its theoretical bounds
     assert abs(r.t_stat) < 3.0
     assert min(n1, n0) - 1 <= r.welch_df <= n1 + n0 - 2
+
+
+def test_streaming_user_day_cells_reproduce_group_sequential(spark):
+    """Drained streaming (user, day, conv) cells must equal the batch
+    collapse exactly, and the WHOLE group-sequential monitor recomputed
+    from them (md5 arms + weekly cumulative z + OBF/Peto boundaries)
+    must equal the batch query row for row — sequential testing as a
+    continuously-maintainable streaming statistic."""
+    import hashlib
+
+    from vector_search_spark.streaming.events import (
+        stream_events_from_parquet,
+        streaming_user_day_conversion_cells,
+    )
+
+    out = streaming_user_day_conversion_cells(
+        stream_events_from_parquet(spark, SF_TEST)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ud_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = [
+        (r.user_id, r.day, r.conv)
+        for r in spark.sql("SELECT user_id, day, conv FROM ud_cells").collect()
+    ]
+    batch = duckdb.connect().execute(
+        f"""SELECT user_id, CAST(ts AS DATE), 
+                   max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+            FROM '{SF_TEST}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    assert sorted(drained) == sorted((u, d, c) for u, d, c in batch)
+
+    # rebuild the monitor from the drained cells
+    d0 = min(d for _, d, _ in drained)
+    wk = defaultdict(lambda: [0, 0, 0, 0])
+    for u, d, conv in drained:
+        arm = int(hashlib.md5(f"sprt{u}".encode()).hexdigest()[:8], 16) % 2
+        w = (d - d0).days // 7
+        if arm == 1:
+            wk[w][0] += 1
+            wk[w][1] += conv
+        else:
+            wk[w][2] += 1
+            wk[w][3] += conv
+    weeks = sorted(wk)
+    kk = len(weeks)
+    cn1 = cx1 = cn0 = cx0 = 0
+    expect = []
+    for k, w in enumerate(weeks, start=1):
+        n1, x1, n0, x0 = wk[w]
+        cn1 += n1
+        cx1 += x1
+        cn0 += n0
+        cx0 += x0
+        pool = (cx1 + cx0) * 1.0 / (cn1 + cn0)
+        z = ((cx1 * 1.0 / cn1) - (cx0 * 1.0 / cn0)) / math.sqrt(
+            pool * (1.0 - pool) * ((1.0 / cn1) + (1.0 / cn0))
+        )
+        z_t = math.floor(abs(z) * 10000 + 0.5)
+        obf_t = math.floor(1.96 * math.sqrt(float(kk) / float(k)) * 10000 + 0.5)
+        peto_t = math.floor((1.96 if k == kk else 3.0) * 10000 + 0.5)
+        expect.append(
+            (
+                w, k, kk, cn1, cx1, cn0, cx0, _round4(z),
+                obf_t / 10000.0, peto_t / 10000.0,
+                "stop" if z_t >= obf_t else "continue",
+                "stop" if z_t >= peto_t else "continue",
+            )
+        )
+    got = [
+        (
+            r.week_idx, r.analysis_k, r.n_analyses, r.cn1, r.cx1, r.cn0, r.cx0,
+            r.z, r.obf_bound, r.peto_bound, r.obf_state, r.peto_state,
+        )
+        for r in registry.QUERIES["ab_group_sequential"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+
+
+def test_power_sample_size_matches_pure_python(spark):
+    con = duckdb.connect()
+    nn, x, ndays = con.execute(
+        f"""WITH ud AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                     max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS conv
+              FROM '{SF_TEST}/events.parquet' GROUP BY 1, 2)
+            SELECT count(*), sum(conv), (max(day) - min(day) + 1) FROM ud"""
+    ).fetchone()
+    p = float(x) / float(nn)
+    zsum2 = (1.959964 + 0.841621) * (1.959964 + 0.841621)
+    expect = []
+    for d in (1, 2, 5):
+        p2 = p + float(d) / 100.0
+        n = math.ceil(
+            zsum2 * (p * (1.0 - p) + p2 * (1.0 - p2))
+            / ((float(d) / 100.0) * (float(d) / 100.0))
+        )
+        days = math.ceil(float(n) * 2.0 * float(ndays) / float(nn))
+        expect.append((d, _round4(p), n, days))
+    got = [
+        (r.delta_pp, r.p_base, r.n_per_arm, r.est_days)
+        for r in registry.QUERIES["ab_power_sample_size"](spark, SF_TEST).collect()
+    ]
+    assert got == expect
+    # smaller detectable lifts need more samples, strictly
+    assert got[0][2] > got[1][2] > got[2][2]

@@ -69,6 +69,8 @@ eval/diversification):
   tie-corrected z; A/A null asserted).
 - ``ab_welch_ttest``           — Welch's unequal-variance t with the
   Welch–Satterthwaite df, from six exact accumulators in one fold.
+- ``ab_power_sample_size``     — two-proportion power planner (n per arm
+  and duration for 1/2/5 pp lifts at the corpus's own base rate).
 
 House invariants throughout: integer-only iteration state, shared SQL
 expression text for every emitted float, ``round4`` on emitted floats,
@@ -3780,6 +3782,89 @@ def q_ab_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("peto_state"),
     ).orderBy("week_idx")
+
+
+# ---------------------------------------------------------------------------
+# A/B sample-size / duration planner (two-proportion power closed form).
+# ---------------------------------------------------------------------------
+# z_{alpha/2} at 5% two-sided and z_beta at 80% power, pinned to 6 dp —
+# the planner's published constants, not data.
+_PW_ZSUM2 = "((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)) * (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)))"
+_PW_P = "(CAST(x AS DOUBLE) / CAST(nn AS DOUBLE))"
+_PW_P2 = f"({_PW_P} + CAST(d AS DOUBLE) / 100.0)"
+_PW_N = (
+    f"ceil({_PW_ZSUM2} * ({_PW_P} * (CAST(1.0 AS DOUBLE) - {_PW_P})"
+    f" + {_PW_P2} * (CAST(1.0 AS DOUBLE) - {_PW_P2}))"
+    f" / ((CAST(d AS DOUBLE) / 100.0) * (CAST(d AS DOUBLE) / 100.0)))"
+)
+
+
+@register(
+    "ab_power_sample_size",
+    oracle=f"""
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    s AS (
+      SELECT count(*)::BIGINT AS nn, sum(conv)::BIGINT AS x,
+             (max(day) - min(day) + 1)::BIGINT AS n_days
+      FROM ud),
+    d AS (SELECT unnest([1, 2, 5])::BIGINT AS d)
+    SELECT d.d AS delta_pp,
+           floor(({_PW_P})*10000 + 0.5)/10000.0 AS p_base,
+           CAST({_PW_N} AS BIGINT) AS n_per_arm,
+           CAST(ceil(CAST({_PW_N} AS DOUBLE) * 2.0 * CAST(n_days AS DOUBLE)
+                     / CAST(nn AS DOUBLE)) AS BIGINT) AS est_days
+    FROM s CROSS JOIN d
+    ORDER BY delta_pp
+    """,
+)
+def q_ab_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment planner: the two-proportion sample-size closed form
+    n/arm = (z_{{α/2}}+z_β)²·(p(1−p)+p′(1−p′))/δ² at 5% two-sided α and
+    80% power, evaluated at the corpus's own user-day conversion base
+    rate for detectable lifts of 1/2/5 pp — plus the duration estimate
+    (arms fill at half the observed user-day volume per day).  This is
+    the question asked BEFORE `ab_test_zscore`/`ab_sprt_monitor`/
+    `ab_group_sequential` run: how long must the experiment be.
+
+    Exactness: the base rate is an exact integer ratio; z constants are
+    pinned 6-dp literals CAST AS DOUBLE; each δ's n is one shared DOUBLE
+    text ceil'd to an integer — engine-identical by construction.
+
+    Scale: one partial-agg'd groupBy(user, day) collapse to a 1-row
+    stats frame, crossed with a 3-row literal δ table.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        )
+    )
+    s = ud.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("conv").cast("long").alias("x"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).cast("long").alias("n_days"),
+    )
+    d = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(5))).alias("d0")
+    ).select(F.col("d0").cast("long").alias("d"))
+    return (
+        s.crossJoin(F.broadcast(d))
+        .select(
+            F.col("d").alias("delta_pp"),
+            F.expr(
+                f"CAST(floor(({_PW_P})*10000 + 0.5)/10000.0 AS DOUBLE)"
+            ).alias("p_base"),
+            F.expr(f"CAST({_PW_N} AS BIGINT)").alias("n_per_arm"),
+            F.expr(
+                f"CAST(ceil(CAST({_PW_N} AS DOUBLE) * 2.0 * CAST(n_days AS DOUBLE)"
+                " / CAST(nn AS DOUBLE)) AS BIGINT)"
+            ).alias("est_days"),
+        )
+        .orderBy("delta_pp")
+    )
 
 
 # ---------------------------------------------------------------------------

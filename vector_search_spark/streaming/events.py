@@ -326,3 +326,29 @@ def streaming_value_histogram_cells(events: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def streaming_user_day_conversion_cells(events: DataFrame) -> DataFrame:
+    """Streaming twin of the sequential A/B monitors' sufficient
+    statistics (`ab_sprt_monitor`, `ab_group_sequential`): per
+    (user, day) conversion flags maintained as a streaming aggregation.
+    max() over indicators is commutative, so the drained cell table
+    equals the batch groupBy(user, day) EXACTLY under any micro-batch
+    split — and both monitors (daily LLR, weekly interim z vs the
+    OBF-shaped/Peto boundaries) are deterministic functions of these
+    cells plus md5 arms, so sequential testing can run continuously as
+    data arrives without rescanning history.  State is one row per
+    ACTIVE (user, day); production form watermarks ts and expires days
+    past the monitor's horizon (a day stops changing once closed).
+    """
+    return (
+        events.groupBy(
+            "user_id", F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("conv")
+        )
+    )
