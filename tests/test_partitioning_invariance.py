@@ -154,6 +154,7 @@ QUERIES = [
     "mannwhitney_value_test",
     "ab_welch_ttest",
     "ab_power_sample_size",
+    "brown_forsythe_variance_test",
 ]
 
 REGIMES = [

@@ -1688,3 +1688,41 @@ def test_power_sample_size_matches_pure_python(spark):
     assert got == expect
     # smaller detectable lifts need more samples, strictly
     assert got[0][2] > got[1][2] > got[2][2]
+
+
+def test_brown_forsythe_matches_pure_python_and_reads_null(spark):
+    import hashlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT)
+            FROM '{SF_TEST}/events.parquet' WHERE event_type = 'purchase'"""
+    ).fetchall()
+    arms = {0: [], 1: []}
+    for eid, c in rows:
+        arms[int(hashlib.md5(f"bf{eid}".encode()).hexdigest()[:8], 16) % 2].append(c)
+    meds = {}
+    stats = {}
+    for a, vals in arms.items():
+        vals.sort()
+        n = len(vals)
+        med = vals[(n + 1) // 2 - 1]  # lower median, rank ceil(n/2)
+        meds[a] = med
+        z = [abs(v - med) for v in vals]
+        stats[a] = (n, sum(z), sum(d * d for d in z))
+    n1, s1, ss1 = stats[1]
+    n0, s0, ss0 = stats[0]
+    # mirrors the shared float texts exactly
+    m1 = float(s1) / float(n1)
+    m0 = float(s0) / float(n0)
+    m = float(s1 + s0) / float(n1 + n0)
+    ssb = float(n1) * (m1 - m) * (m1 - m) + float(n0) * (m0 - m) * (m0 - m)
+    ssw = (float(ss1) - float(s1) * m1) + (float(ss0) - float(s0) * m0)
+    f = (float(n1 + n0 - 2) * ssb) / ssw
+    r = registry.QUERIES["brown_forsythe_variance_test"](spark, SF_TEST).collect()[0]
+    assert (r.n1, r.n0) == (n1, n0)
+    assert r.median_1 == _round4(meds[1] / 100.0)
+    assert r.median_0 == _round4(meds[0] / 100.0)
+    assert r.f_stat == _round4(f)
+    # A/A arms: no variance difference exists; F(1, ~2000) 1% critical ~ 6.6
+    assert 0.0 <= r.f_stat < 6.6

@@ -71,6 +71,9 @@ eval/diversification):
   Welch–Satterthwaite df, from six exact accumulators in one fold.
 - ``ab_power_sample_size``     — two-proportion power planner (n per arm
   and duration for 1/2/5 pp lifts at the corpus's own base rate).
+- ``brown_forsythe_variance_test`` — median-Levene equality of variances
+  entirely on the value histogram (integer |c−med| deviations; exact
+  order-statistic medians; ANOVA F from six HUGEINT folds).
 
 House invariants throughout: integer-only iteration state, shared SQL
 expression text for every emitted float, ``round4`` on emitted floats,
@@ -4100,6 +4103,175 @@ def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(f"CAST(floor(({_WT_DF})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
             "welch_df"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe (median-Levene) equality-of-variances test, histogram-exact.
+# ---------------------------------------------------------------------------
+_BF_M1 = "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+_BF_M0 = "(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+_BF_M = "(CAST(s1 + s0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))"
+_BF_SSB = (
+    f"(CAST(n1 AS DOUBLE) * ({_BF_M1} - {_BF_M}) * ({_BF_M1} - {_BF_M})"
+    f" + CAST(n0 AS DOUBLE) * ({_BF_M0} - {_BF_M}) * ({_BF_M0} - {_BF_M}))"
+)
+_BF_SSW = (
+    f"((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * {_BF_M1})"
+    f" + (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * {_BF_M0}))"
+)
+_BF_F = f"((CAST(n1 + n0 - 2 AS DOUBLE) * {_BF_SSB}) / {_BF_SSW})"
+
+
+@register(
+    "brown_forsythe_variance_test",
+    oracle=f"""
+    WITH pv AS (
+      SELECT floor(value*100 + 0.5)::BIGINT AS c,
+             ('0x' || substr(md5('bf' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm
+      FROM events WHERE event_type = 'purchase'),
+    hist AS (
+      SELECT arm, c, count(*)::BIGINT AS cnt FROM pv GROUP BY arm, c),
+    cum AS (
+      SELECT arm, c, cnt,
+             (sum(cnt) OVER (PARTITION BY arm ORDER BY c
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+             (sum(cnt) OVER (PARTITION BY arm))::BIGINT AS n
+      FROM hist),
+    med AS (
+      SELECT arm, min(CASE WHEN cum >= (n + 1) // 2 THEN c END)::BIGINT AS med
+      FROM cum GROUP BY arm),
+    dev AS (
+      SELECT h.arm, h.cnt, abs(h.c - m.med)::BIGINT AS z
+      FROM hist h JOIN med m ON h.arm = m.arm),
+    s AS (
+      SELECT sum(CASE WHEN arm = 1 THEN cnt ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN arm = 1 THEN cnt::HUGEINT * z ELSE 0 END) AS s1,
+             sum(CASE WHEN arm = 1 THEN cnt::HUGEINT * z * z ELSE 0 END) AS ss1,
+             sum(CASE WHEN arm = 0 THEN cnt ELSE 0 END)::BIGINT AS n0,
+             sum(CASE WHEN arm = 0 THEN cnt::HUGEINT * z ELSE 0 END) AS s0,
+             sum(CASE WHEN arm = 0 THEN cnt::HUGEINT * z * z ELSE 0 END) AS ss0
+      FROM dev),
+    mw AS (
+      SELECT max(CASE WHEN arm = 1 THEN med END)::BIGINT AS med1,
+             max(CASE WHEN arm = 0 THEN med END)::BIGINT AS med0
+      FROM med)
+    SELECT s.n1, s.n0,
+           floor((CAST(mw.med1 AS DOUBLE)/100.0)*10000 + 0.5)/10000.0 AS median_1,
+           floor((CAST(mw.med0 AS DOUBLE)/100.0)*10000 + 0.5)/10000.0 AS median_0,
+           floor(({_BF_F})*10000 + 0.5)/10000.0 AS f_stat
+    FROM s CROSS JOIN mw
+    """,
+)
+def q_brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene with medians) for equality of purchase
+    -value VARIANCES between two md5 event-level arms — the
+    dispersion-change companion to the mean tests (`ab_welch_ttest`) and
+    shape tests (`ks_two_sample`, `mannwhitney_value_test`): an A/B
+    change can leave the mean alone and widen the spread, and this is
+    the robust standard test for exactly that.  On the A/A split F must
+    read ≈ 0-ish (gate-pinned below the 1% critical region).
+
+    Exactness: everything is histogram arithmetic — per-arm LOWER
+    medians are exact order statistics (rank ⌈n/2⌉) off the cumulative
+    column; the absolute deviations z = |c − med| are INTEGERS weighted
+    by cell counts; the one-way ANOVA F over z folds six exact
+    HUGEINT/DECIMAL(38,0) accumulators and enters float once as a shared
+    text.  No per-row rank, deviation, or sort ever materializes.
+
+    Scale: the shuffle carries (arm, value-cents) cells bounded by the
+    value domain; the median scan and the deviation re-aggregation run
+    over those AGGREGATE cells with a 2-row broadcast of the medians.
+    """
+    ev = _t(spark, sf_dir, "events")
+    pv = ev.filter(F.col("event_type") == "purchase").select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("bf"), F.col("event_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    hist = pv.groupBy("arm", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint(eager=True)
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("arm")
+    cum = hist.select(
+        "arm",
+        "c",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+        F.sum("cnt").over(wt).cast("long").alias("n"),
+    )
+    med = cum.groupBy("arm").agg(
+        F.min(F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("c")))
+        .cast("long")
+        .alias("med")
+    )
+    dev = hist.join(F.broadcast(med), "arm").select(
+        "arm", "cnt", F.abs(F.col("c") - F.col("med")).cast("long").alias("z")
+    )
+    s = dev.agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(
+            F.when(
+                F.col("arm") == 1, F.col("cnt").cast("decimal(38,0)") * F.col("z")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("s1"),
+        F.sum(
+            F.when(
+                F.col("arm") == 1,
+                F.col("cnt").cast("decimal(38,0)") * F.col("z") * F.col("z"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("ss1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(
+            F.when(
+                F.col("arm") == 0, F.col("cnt").cast("decimal(38,0)") * F.col("z")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("s0"),
+        F.sum(
+            F.when(
+                F.col("arm") == 0,
+                F.col("cnt").cast("decimal(38,0)") * F.col("z") * F.col("z"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("ss0"),
+    )
+    mw = med.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("med"))).cast("long").alias("med1"),
+        F.max(F.when(F.col("arm") == 0, F.col("med"))).cast("long").alias("med0"),
+    )
+    return s.crossJoin(F.broadcast(mw)).select(
+        "n1",
+        "n0",
+        F.expr(
+            "CAST(floor((CAST(med1 AS DOUBLE)/100.0)*10000 + 0.5)/10000.0"
+            " AS DOUBLE)"
+        ).alias("median_1"),
+        F.expr(
+            "CAST(floor((CAST(med0 AS DOUBLE)/100.0)*10000 + 0.5)/10000.0"
+            " AS DOUBLE)"
+        ).alias("median_0"),
+        F.expr(f"CAST(floor(({_BF_F})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+            "f_stat"
         ),
     )
 
