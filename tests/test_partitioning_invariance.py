@@ -155,6 +155,7 @@ QUERIES = [
     "ab_welch_ttest",
     "ab_power_sample_size",
     "brown_forsythe_variance_test",
+    "embedding_drift_mmd",
 ]
 
 REGIMES = [

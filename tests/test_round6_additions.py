@@ -1726,3 +1726,67 @@ def test_brown_forsythe_matches_pure_python_and_reads_null(spark):
     assert r.f_stat == _round4(f)
     # A/A arms: no variance difference exists; F(1, ~2000) 1% critical ~ 6.6
     assert 0.0 <= r.f_stat < 6.6
+
+
+def test_embedding_drift_mmd_matches_pure_python_and_reads_null(spark):
+    import hashlib
+
+    from vector_search_spark.registry_extensions import MMD_BUCKETS
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_TEST}/embeddings.parquet'"
+    ).fetchall()
+    import math as _m
+
+    def kern_micro(a, b):
+        aa = 0.0
+        for x, y in zip(a, a):
+            aa += float(x) * float(y)
+        ab = 0.0
+        for x, y in zip(a, b):
+            ab += float(x) * float(y)
+        bb = 0.0
+        for x, y in zip(b, b):
+            bb += float(x) * float(y)
+        return _m.floor(_m.exp(-(aa - 2.0 * ab + bb)) * 1000000.0 + 0.5)
+
+    buckets = defaultdict(lambda: ([], []))  # b -> (xs, ys)
+    for vid, emb in rows:
+        arm = int(hashlib.md5(f"mmdarm{vid}".encode()).hexdigest()[:8], 16) % 2
+        b = int(hashlib.md5(f"mmdblk{vid}".encode()).hexdigest()[:8], 16) % MMD_BUCKETS
+        buckets[b][1 - arm].append([float(v) for v in emb])  # index 0 = arm1
+    sum_micro = 0
+    n_buckets = 0
+    for b, (xs, ys) in sorted(buckets.items()):
+        if len(xs) < 2 or len(ys) < 2:
+            continue
+        sxx = sum(
+            kern_micro(xs[i], xs[j])
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+        )
+        syy = sum(
+            kern_micro(ys[i], ys[j])
+            for i in range(len(ys))
+            for j in range(i + 1, len(ys))
+        )
+        sxy = sum(kern_micro(x, y) for x in xs for y in ys)
+        nxx = len(xs) * (len(xs) - 1) // 2
+        nyy = len(ys) * (len(ys) - 1) // 2
+        nxy = len(xs) * len(ys)
+        m = _m.floor(
+            float(sxx) / float(nxx)
+            + float(syy) / float(nyy)
+            - 2.0 * float(sxy) / float(nxy)
+            + 0.5
+        )
+        sum_micro += m
+        n_buckets += 1
+    r = registry.QUERIES["embedding_drift_mmd"](spark, SF_TEST).collect()[0]
+    assert r.n_buckets == n_buckets
+    assert r.sum_micro == sum_micro
+    assert r.mmd2 == _round4(sum_micro / (n_buckets * 1_000_000.0))
+    # A/A split: no drift exists; MMD^2 must sit in the null band (the
+    # B-test null scale is ~1/sqrt(per-bucket pairs); 0.01 is ~10 sigma)
+    assert abs(r.mmd2) < 0.01

@@ -878,3 +878,185 @@ def q_ann_srp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-distribution drift: block (B-test) MMD with an RBF kernel.
+# ---------------------------------------------------------------------------
+MMD_BUCKETS = 32
+# Per-pair RBF kernel on squared L2 distance, gamma = 1 (unit-ish vectors,
+# d^2 in [0, ~4]); ONE shared DOUBLE text, micro-quantized PER PAIR before
+# any sum so the fold is an exact integer in both engines.
+_MMD_K_MICRO = (
+    "CAST(floor(exp(-({aa} - 2.0 * ({ab}) + {bb})) * 1000000.0 + 0.5) AS BIGINT)"
+)
+# Per-bucket MMD^2 in micro units from the three integer kernel sums; the
+# bucket value is floor-quantized BEFORE the cross-bucket average.
+_MMD_B_MICRO = (
+    "CAST(floor("
+    "CAST(sxx AS DOUBLE) / CAST(nxx AS DOUBLE)"
+    " + CAST(syy AS DOUBLE) / CAST(nyy AS DOUBLE)"
+    " - 2.0 * CAST(sxy AS DOUBLE) / CAST(nxy AS DOUBLE)"
+    " + 0.5) AS BIGINT)"
+)
+
+
+def _mmd_oracle() -> str:
+    k_xx = _MMD_K_MICRO.format(
+        aa="list_dot_product(a.v, a.v)", ab="list_dot_product(a.v, b.v)",
+        bb="list_dot_product(b.v, b.v)",
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             ('0x' || substr(md5('mmdarm' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             ('0x' || substr(md5('mmdblk' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % {MMD_BUCKETS} AS b
+      FROM embeddings),
+    xx AS (
+      SELECT a.b, count(*)::BIGINT AS nxx, sum({k_xx})::BIGINT AS sxx
+      FROM e a JOIN e b ON a.b = b.b AND a.arm = 1 AND b.arm = 1
+                       AND a.vec_id < b.vec_id
+      GROUP BY a.b),
+    yy AS (
+      SELECT a.b, count(*)::BIGINT AS nyy, sum({k_xx})::BIGINT AS syy
+      FROM e a JOIN e b ON a.b = b.b AND a.arm = 0 AND b.arm = 0
+                       AND a.vec_id < b.vec_id
+      GROUP BY a.b),
+    xy AS (
+      SELECT a.b, count(*)::BIGINT AS nxy, sum({k_xx})::BIGINT AS sxy
+      FROM e a JOIN e b ON a.b = b.b AND a.arm = 1 AND b.arm = 0
+      GROUP BY a.b),
+    per_bucket AS (
+      SELECT xx.b, {_MMD_B_MICRO} AS m_micro
+      FROM xx JOIN yy ON xx.b = yy.b JOIN xy ON xx.b = xy.b),
+    s AS (
+      SELECT count(*)::BIGINT AS n_buckets, sum(m_micro)::BIGINT AS sum_micro
+      FROM per_bucket),
+    counts AS (
+      SELECT sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_x,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_y
+      FROM e)
+    SELECT c.n_x, c.n_y, s.n_buckets, s.sum_micro,
+           floor((CAST(s.sum_micro AS DOUBLE)
+                  / (CAST(s.n_buckets AS DOUBLE) * 1000000.0))*10000 + 0.5)
+             /10000.0 AS mmd2
+    FROM s CROSS JOIN counts c
+    """
+
+
+@register("embedding_drift_mmd", oracle=_mmd_oracle())
+def q_embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: block (B-test) MMD² with an
+    RBF kernel between two md5 halves of the corpus — the multivariate
+    two-sample test the value-based toolkit (KS / Mann–Whitney / Welch /
+    Brown–Forsythe) cannot express, and the standard check that a new
+    crawl/encoder batch landed in the SAME embedding distribution as the
+    corpus it joins.  The estimator averages FULL quadratic MMD² over
+    md5-assigned buckets, so total pair work is n²/B instead of n² — the
+    B-test tradeoff (bucket count scales with corpus in production,
+    like the LSH band bits; {MMD_BUCKETS} pinned here).  On the A/A md5
+    split MMD² must read ≈ 0 (gate-pinned vs the 4/√(bucket-pairs)
+    null band).
+
+    Exactness: every pairwise kernel value exp(−‖a−b‖²) is quantized to
+    micro units PER PAIR (one shared DOUBLE text built from three
+    in-codegen dot products), the three per-bucket sums are exact
+    BIGINTs, each bucket's MMD² is floor-quantized before the
+    cross-bucket fold, and the emitted statistic carries its exact
+    integer twin (sum_micro) beside the rounded float.
+
+    Scale: pairs exist ONLY within an md5 bucket (the block-sharding
+    pattern `dedup_embedding_cosine` uses) — never a corpus cross join;
+    per-bucket pair counts are (n/B)², bounded by choosing B ∝ n; the
+    shuffle carries (bucket, id, vec) rows once and narrow integer sums
+    back.
+    """
+    emb = __load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("mmdarm"), F.col("vec_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("mmdblk"), F.col("vec_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % MMD_BUCKETS
+        ).alias("b"),
+    )
+    from .functions.vector import dot_product
+
+    def pairs(arm_a: int, arm_b: int, strict: bool):
+        a = e.filter(F.col("arm") == arm_a).select(
+            F.col("b"), F.col("vec_id").alias("ida"), F.col("v").alias("va")
+        )
+        bb = e.filter(F.col("arm") == arm_b).select(
+            F.col("b"), F.col("vec_id").alias("idb"), F.col("v").alias("vb")
+        )
+        j = a.join(bb, "b")
+        if strict:
+            j = j.filter(F.col("ida") < F.col("idb"))
+        k = _MMD_K_MICRO.format(aa="__aa", ab="__ab", bb="__bb")
+        return (
+            j.withColumn("__aa", dot_product("va", "va"))
+            .withColumn("__ab", dot_product("va", "vb"))
+            .withColumn("__bb", dot_product("vb", "vb"))
+            .groupBy("b")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.expr(k)).cast("long").alias("s"),
+            )
+        )
+    xx = pairs(1, 1, True).select(
+        "b", F.col("n").alias("nxx"), F.col("s").alias("sxx")
+    )
+    yy = pairs(0, 0, True).select(
+        "b", F.col("n").alias("nyy"), F.col("s").alias("syy")
+    )
+    xy = pairs(1, 0, False).select(
+        "b", F.col("n").alias("nxy"), F.col("s").alias("sxy")
+    )
+    per_bucket = (
+        xx.join(yy, "b").join(xy, "b").select(F.expr(_MMD_B_MICRO).alias("m_micro"))
+    )
+    s = per_bucket.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("m_micro").cast("long").alias("sum_micro"),
+    )
+    counts = e.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_x"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_y"),
+    )
+    return s.crossJoin(F.broadcast(counts)).select(
+        "n_x",
+        "n_y",
+        "n_buckets",
+        "sum_micro",
+        F.expr(
+            "CAST(floor((CAST(sum_micro AS DOUBLE)"
+            " / (CAST(n_buckets AS DOUBLE) * 1000000.0))*10000 + 0.5)"
+            "/10000.0 AS DOUBLE)"
+        ).alias("mmd2"),
+    )
