@@ -156,6 +156,7 @@ QUERIES = [
     "ab_power_sample_size",
     "brown_forsythe_variance_test",
     "embedding_drift_mmd",
+    "cramer_von_mises_test",
 ]
 
 REGIMES = [

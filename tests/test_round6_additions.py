@@ -1790,3 +1790,43 @@ def test_embedding_drift_mmd_matches_pure_python_and_reads_null(spark):
     # A/A split: no drift exists; MMD^2 must sit in the null band (the
     # B-test null scale is ~1/sqrt(per-bucket pairs); 0.01 is ~10 sigma)
     assert abs(r.mmd2) < 0.01
+
+
+def test_cramer_von_mises_matches_pure_python_and_reads_null(spark):
+    import hashlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT event_id, CAST(floor(value*100 + 0.5) AS BIGINT)
+            FROM '{SF_TEST}/events.parquet' WHERE event_type = 'purchase'"""
+    ).fetchall()
+    from collections import Counter
+
+    h1, h0 = Counter(), Counter()
+    for eid, c in rows:
+        a = int(hashlib.md5(f"cvm{eid}".encode()).hexdigest()[:8], 16) % 2
+        (h1 if a == 1 else h0)[c] += 1
+    n1, n0 = sum(h1.values()), sum(h0.values())
+    cum1 = cum0 = 0
+    sum_micro = 0
+    for c in sorted(set(h1) | set(h0)):
+        t1, t0 = h1.get(c, 0), h0.get(c, 0)
+        cum1 += t1
+        cum0 += t0
+        d = n0 * cum1 - n1 * cum0
+        # mirrors _CVM_CELL operand order exactly
+        sum_micro += math.floor(
+            float(t1 + t0)
+            * (float(d) / (float(n1) * float(n0)))
+            * (float(d) / (float(n1) * float(n0)))
+            * 1000000.0
+            + 0.5
+        )
+    t_stat = (float(n1) * float(n0) / (float(n1 + n0) * float(n1 + n0))) * (
+        float(sum_micro) / 1000000.0
+    )
+    r = registry.QUERIES["cramer_von_mises_test"](spark, SF_TEST).collect()[0]
+    assert (r.n1, r.n0) == (n1, n0)
+    assert r.t_stat == _round4(t_stat)
+    # A/A split: far inside the null (two-sample CvM 1% critical ~ 0.743)
+    assert 0.0 <= r.t_stat < 0.743

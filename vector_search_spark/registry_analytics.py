@@ -1447,9 +1447,12 @@ def q_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    # the ranked key table fans out to the stats fold and both percentile
+    # probes — checkpoint it so the corpus scan and the ranking pass run
+    # ONCE (plan_audit measured 20 lineage replays before)
     rk = global_order_stats(kc, ["cnt", "user_id"]).select(
         "user_id", "cnt", F.col("__rank").alias("r")
-    )
+    ).localCheckpoint(eager=True)
     agg = rk.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum("cnt").cast("long").alias("total"),
@@ -2267,6 +2270,10 @@ def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c_cur"),
         )
     )
+    # the 20-cell bucket table fans out to totals, per-bucket terms and the
+    # TOTAL row union — checkpoint it so the corpus scan happens once, not
+    # once per consumer (plan_audit measured 20 scans before)
+    cnt = cnt.localCheckpoint(eager=True)
     tot = cnt.agg(
         F.sum("c_ref").cast("long").alias("n_ref"),
         F.sum("c_cur").cast("long").alias("n_cur"),

@@ -1006,6 +1006,10 @@ def q_embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
             % MMD_BUCKETS
         ).alias("b"),
     )
+    # the prepared (id, vec, arm, bucket) table feeds six pair branches and
+    # the count fold — checkpoint it so the corpus is scanned ONCE (at
+    # production scale this is the written staging table the joins read)
+    e = e.localCheckpoint(eager=True)
     from .functions.vector import dot_product
 
     def pairs(arm_a: int, arm_b: int, strict: bool):

@@ -749,52 +749,74 @@ def q_robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares the exact integers ``10000·|x−med| > 44478·MAD`` (3·1.4826 =
     4.4478 scaled to 10⁴ — no float ever enters the decision).
 
-    Scale: two rank passes over (type, value) — on the Spark side both
-    run through `global_order_stats` keyed (type, value) so no per-group
-    one-task sort exists; per-group positions come from subtracting the
-    group's global-rank offset (a 5-row broadcast).  The oracle uses
-    plain partitioned windows — the fixture-scale equivalent.
+    Scale: BOTH rank statistics run on the checkpointed (type, value)
+    HISTOGRAM — cells bounded by the value domain, not the row count —
+    with cumulative-count rank selection exactly like the trimmed/
+    winsorized means.  No per-row rank, no second corpus pass: the
+    earlier global_order_stats route lineage-replayed the events scan
+    dozens of times (plan_audit measured 50); the histogram route scans
+    once, and the deviation median is a re-aggregation of the SAME
+    cells (|c − med| merges value cells, counts add — exact).
     """
-    from .partitioning import global_order_stats
-
     ev = _t(spark, sf_dir, "events")
-    base = ev.select(
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    hist = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
 
-    def group_median(df, order_col, tiebreak):
-        ranked = global_order_stats(df, ["event_type", order_col, tiebreak])
-        offs = ranked.groupBy("event_type").agg(
-            F.min("__rank").alias("__off"), F.count(F.lit(1)).alias("__n")
+    def hist_median(df, val_col):
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        return (
-            ranked.join(F.broadcast(offs), "event_type")
-            .filter(
-                F.col("__rank") - F.col("__off") + 1
-                == F.expr("(__n + 1) DIV 2")
+        wt = Window.partitionBy("event_type")
+        cum = df.select(
+            "event_type",
+            F.col(val_col),
+            F.sum("cnt").over(w).cast("long").alias("__cum"),
+            F.sum("cnt").over(wt).cast("long").alias("__n"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.expr("(__n + 1) DIV 2"), F.col(val_col)
+                )
             )
-            .select("event_type", F.col(order_col).alias("med"))
+            .cast("long")
+            .alias("med")
         )
 
-    med = group_median(
-        base.withColumn("tb", F.col("cents")), "cents", "tb"
-    ).withColumnRenamed("med", "med_cents")
-    dev = base.join(F.broadcast(med), "event_type").withColumn(
-        "d", F.abs(F.col("cents") - F.col("med_cents")).cast("long")
+    med = hist_median(hist, "cents").withColumnRenamed("med", "med_cents")
+    devh = (
+        hist.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("med_cents")).cast("long").alias("d"),
+            "cnt",
+            "med_cents",
+        )
+        .groupBy("event_type", "d", "med_cents")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
-    mad = group_median(dev.select("event_type", "d", "cents"), "d", "cents")
-    mad = mad.withColumnRenamed("med", "mad_cents")
+    mad = hist_median(devh.select("event_type", "d", "cnt"), "d").withColumnRenamed(
+        "med", "mad_cents"
+    )
     out = (
-        dev.join(F.broadcast(mad), "event_type")
+        devh.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cnt").cast("long").alias("n_events"),
             F.first("med_cents").alias("_med"),
             F.first("mad_cents").alias("_mad"),
             F.sum(
                 F.when(
-                    F.col("d") * 10000 > 44478 * F.col("mad_cents"), 1
+                    F.col("d") * 10000 > 44478 * F.col("mad_cents"), F.col("cnt")
                 ).otherwise(0)
             )
             .cast("long")

@@ -1460,10 +1460,16 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    # the day aggregate and its ranked form fan out to the pair join, the
+    # pair count, and the OLS moments — eager checkpoints keep the corpus
+    # scan at ONE instead of lineage-replaying it per consumer (plan_audit
+    # measured 28 scans before; checkpoints are value-neutral)
+    daily = daily.localCheckpoint(eager=True)
     idx = (
         global_order_stats(daily, ["day"])
         .withColumn("i", F.col("__rank").cast("long"))
         .drop("__rank")
+        .localCheckpoint(eager=True)
     )
     a = idx.select(F.col("i").alias("ia"), F.col("cents").alias("ca"))
     b = idx.select(F.col("i").alias("ib"), F.col("cents").alias("cb"))
@@ -1482,6 +1488,7 @@ def q_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("slope_u"),
         )
     )
+    pairs = pairs.localCheckpoint(eager=True)  # days^2/2 rows, still tiny
     m = pairs.agg(F.count(F.lit(1)).cast("long").alias("np"))
     ranked = global_order_stats(pairs, ["slope_u", "ia", "ib"]).withColumnRenamed(
         "__rank", "rk"

@@ -74,6 +74,8 @@ eval/diversification):
 - ``brown_forsythe_variance_test`` — median-Levene equality of variances
   entirely on the value histogram (integer |c−med| deviations; exact
   order-statistic medians; ANOVA F from six HUGEINT folds).
+- ``cramer_von_mises_test``    — the integrating ECDF-gap test beside
+  KS (exact integer gaps per cell, micro-quantized contributions).
 
 House invariants throughout: integer-only iteration state, shared SQL
 expression text for every emitted float, ``round4`` on emitted floats,
@@ -421,6 +423,10 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    # the day aggregate fans out to min-day, totals, the deviation table,
+    # the denominator and 7 lag joins — checkpoint the tiny frames so the
+    # corpus scan runs ONCE (plan_audit measured 24 lineage replays)
+    daily = daily.localCheckpoint(eager=True)
     mind = daily.agg(F.min("day").alias("min_day"))
     idx = daily.crossJoin(F.broadcast(mind)).select(
         F.datediff(F.col("day"), F.col("min_day")).cast("long").alias("i"),
@@ -432,7 +438,7 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = idx.crossJoin(F.broadcast(nst)).select(
         "i", (F.col("n") * F.col("cents") - F.col("s")).cast("long").alias("d")
-    )
+    ).localCheckpoint(eager=True)
     den = dev.agg(
         F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
         .cast("decimal(38,0)")
@@ -1333,15 +1339,19 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 5
         ).alias("bucket"),
     )
+    # checkpoint the tiny per-group model and the calibration residuals:
+    # both fan out to multiple consumers and would lineage-replay the
+    # lineitem scan per use (plan_audit measured 18 scans before)
     model = (
         li.filter(F.col("bucket") <= 2)
         .groupBy("rf", "ls")
         .agg(F.expr(_fdiv("sum(y)", "count(*)")).alias("mu"))
+        .localCheckpoint(eager=True)
     )
     joined = li.join(F.broadcast(model), ["rf", "ls"])
     cal = joined.filter(F.col("bucket") == 3).select(
         F.abs(F.col("y") - F.col("mu")).cast("long").alias("r")
-    )
+    ).localCheckpoint(eager=True)
     ncal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
     w = Window.orderBy("r")
     qhat = (
@@ -3990,6 +4000,129 @@ def q_mannwhitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(floor(({_MW_Z.replace('u2', '(w2 - n1 * (n1 + 1))')})*10000"
             " + 0.5)/10000.0 AS DOUBLE)"
         ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér–von Mises two-sample test (ECDF-gap integral off the histogram).
+# ---------------------------------------------------------------------------
+# Per-cell contribution t·(d/(n1·n0))² micro-quantized BEFORE the fold;
+# d = n0·cum1 − n1·cum0 is an exact integer per cell (the scaled ECDF gap).
+_CVM_CELL = (
+    "CAST(floor(CAST(t AS DOUBLE)"
+    " * (CAST(d AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))"
+    " * (CAST(d AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+_CVM_T = (
+    "((CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)"
+    " / (CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 AS DOUBLE)))"
+    " * (CAST(sum_micro AS DOUBLE) / 1000000.0))"
+)
+
+
+@register(
+    "cramer_von_mises_test",
+    oracle=f"""
+    WITH pv AS (
+      SELECT floor(value*100 + 0.5)::BIGINT AS c,
+             ('0x' || substr(md5('cvm' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm
+      FROM events WHERE event_type = 'purchase'),
+    hist AS (
+      SELECT c,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS t1,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS t0
+      FROM pv GROUP BY c),
+    cum AS (
+      SELECT c, (t1 + t0)::BIGINT AS t,
+             (sum(t1) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING))::BIGINT AS cum1,
+             (sum(t0) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING))::BIGINT AS cum0
+      FROM hist),
+    tot AS (
+      SELECT sum(t1)::BIGINT AS n1, sum(t0)::BIGINT AS n0 FROM hist),
+    cells AS (
+      SELECT t, (n0::HUGEINT * cum1 - n1::HUGEINT * cum0)::BIGINT AS d, n1, n0
+      FROM cum CROSS JOIN tot),
+    s AS (
+      SELECT any_value(n1)::BIGINT AS n1, any_value(n0)::BIGINT AS n0,
+             sum({_CVM_CELL})::BIGINT AS sum_micro
+      FROM cells)
+    SELECT n1, n0,
+           floor(({_CVM_T})*10000 + 0.5)/10000.0 AS t_stat
+    FROM s
+    """,
+)
+def q_cramer_von_mises_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises test on purchase values between two
+    md5 event-level arms — the INTEGRATING complement to `ks_two_sample`
+    (KS reads the maximum ECDF gap, CvM the squared gap summed over every
+    observation, so it sees broad small departures KS misses).  Like the
+    whole two-sample family here it runs entirely on the (value-cents)
+    histogram: the scaled ECDF gap at each cell is the exact integer
+    d = n0·cum1 − n1·cum0 (a HUGEINT product at 100 TB counts), each
+    cell's t·(d/(n1·n0))² enters micro-quantized BEFORE the fold, and
+    T = n1·n0/N² · Σ.  On the A/A split T must sit far below the 1%
+    critical value 0.743 (gate-pinned).
+
+    Scale: one partial-agg'd scan to value-domain-bounded cells; ordered
+    prefix sums over the aggregate; a 1-row totals broadcast.  No
+    per-row rank or sort — the same reason the trimmed mean and the
+    Mann–Whitney ranks scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    pv = ev.filter(F.col("event_type") == "purchase").select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cvm"), F.col("event_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    hist = pv.groupBy("c").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("t1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("t0"),
+    ).localCheckpoint(eager=True)
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "c",
+        (F.col("t1") + F.col("t0")).cast("long").alias("t"),
+        F.sum("t1").over(w).cast("long").alias("cum1"),
+        F.sum("t0").over(w).cast("long").alias("cum0"),
+    )
+    tot = hist.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum("t0").cast("long").alias("n0"),
+    )
+    cells = cum.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (
+            F.col("n0").cast("decimal(38,0)") * F.col("cum1")
+            - F.col("n1").cast("decimal(38,0)") * F.col("cum0")
+        )
+        .cast("long")
+        .alias("d"),
+        "n1",
+        "n0",
+    )
+    s = cells.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n0").cast("long").alias("n0"),
+        F.sum(F.expr(_CVM_CELL)).cast("long").alias("sum_micro"),
+    )
+    return s.select(
+        "n1",
+        "n0",
+        F.expr(f"CAST(floor(({_CVM_T})*10000 + 0.5)/10000.0 AS DOUBLE)").alias(
+            "t_stat"
+        ),
     )
 
 
