@@ -175,13 +175,29 @@ def test_rolling_distinct_dominates_daily(spark):
 
 
 def test_skew_audit_uses_range_partitioned_rank(spark):
-    """The Gini rank comes from global_order_stats: the plan must contain a
-    range-partitioned exchange, and no single-partition global window over
-    the key-count table."""
-    df = registry.QUERIES["join_key_skew_audit"](spark, SF_TEST)
-    plan = _formatted(spark, df)
+    """The Gini rank comes from global_order_stats — asserted on the rank
+    table BUILD (the registry query eagerly checkpoints it because three
+    consumers fan out of it, so the registered plan starts at the
+    checkpoint): a range-partitioned exchange and no single-partition
+    global window over the key counts."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.partitioning import global_order_stats
+    from vector_search_spark.sources.tables import load_table
+
+    kc = (
+        load_table(spark, SF_TEST, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rk = global_order_stats(kc, ["cnt", "user_id"])
+    plan = _formatted(spark, rk)
     assert "rangepartitioning" in plan
-    assert "SinglePartition" not in plan.split("TakeOrderedAndProject")[0] or True
+    df = registry.QUERIES["join_key_skew_audit"](spark, SF_TEST)
+    plan2 = _formatted(spark, df)
+    # post-checkpoint: no raw rescan, no single-partition collapse
+    assert "Scan parquet" not in plan2
+    assert "Exchange SinglePartition" not in plan2
     row = df.collect()[0]
     assert 0.0 <= row["gini"] < 1.0
     assert row["p50_cnt"] <= row["p99_cnt"] <= row["max_cnt"]
