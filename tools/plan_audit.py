@@ -55,12 +55,23 @@ def main() -> None:
         inmem = p.count("InMemoryTableScan") + p.count("InMemoryRelation")
         cart = p.count("CartesianProduct")
         single = p.count("Exchange SinglePartition")
+        # per-TABLE scan multiplicity: a 7-table join legitimately reads 7
+        # different tables once each; the replay smell is the SAME table
+        # scanned repeatedly
+        import re as _re
+
+        tables = _re.findall(r"Location:.*?/(\w+)\.parquet", p)
+        per_table = {}
+        for t in tables:
+            per_table[t] = per_table.get(t, 0) + 1
+        worst = max(per_table.values(), default=0)
+        worst_t = max(per_table, key=per_table.get) if per_table else ""
         flags = []
         # persisted session-shared indexes print their full lineage under
         # InMemoryRelation but serve from cache at runtime — only flag
         # scan multiplicity when no cache is involved
-        if scans > 3 and inmem == 0:
-            flags.append(f"scans={scans}")
+        if worst > 3 and inmem == 0:
+            flags.append(f"scans={scans} worst={worst_t}x{worst}")
         if cart:
             flags.append(f"cartesian={cart}")
         if single:

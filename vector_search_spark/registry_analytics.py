@@ -1921,7 +1921,11 @@ def q_synthetic_value_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bucket")
     )
-    hist = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # the bucket histogram fans out to the CDF, totals and the fidelity
+    # join — checkpoint the tiny cells so the corpus is scanned once
+    hist = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint(eager=True)
     wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cdf = hist.select(
         "bucket",

@@ -1764,9 +1764,11 @@ def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
+    # the ranked customer table fans out to three folds — checkpoint so
+    # the orders scan and ranking pass run once (plan_audit: 16 replays)
     rk = global_order_stats(pc, ["cents", "o_custkey"]).withColumnRenamed(
         "__rank", "r"
-    )
+    ).localCheckpoint(eager=True)
     tot = rk.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("t"),

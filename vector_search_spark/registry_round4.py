@@ -558,16 +558,19 @@ def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (anti-)join on the bounded member set.
     """
     ev = _t(spark, sf_dir, "events")
+    # the member and probe id sets fan out to position generation and the
+    # downstream audit folds — checkpoint the tiny distinct sets so the
+    # events scan runs twice (members + probes), not 6x
     members = (
         ev.filter(F.col("event_type") == "purchase").select(
             F.col("user_id").alias("uid")
-        ).distinct()
+        ).distinct().localCheckpoint(eager=True)
     )
     clicks = ev.filter(F.col("event_type") == "click")
     probes = (
         clicks.select(F.col("user_id").alias("uid"))
         .union(clicks.select((F.col("user_id") + 5000000).alias("uid")))
-        .distinct()
+        .distinct().localCheckpoint(eager=True)
     )
 
     def positions(df: DataFrame) -> DataFrame:

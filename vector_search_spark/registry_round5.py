@@ -516,9 +516,13 @@ def q_gbdt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("sy"),
     )
     f0 = m0.selectExpr("n", f"{_fdiv('sy', 'n')} AS f0")
+    # per-round residual frame, checkpointed like the graph rounds: each
+    # boosting round's cells AND the next round's update consume it, and
+    # without the checkpoint every round replays the whole upstream
+    # lineage (plan_audit measured 7 lineitem scans for 2 rounds)
     cur = base.crossJoin(F.broadcast(f0)).selectExpr(
         *fnames, "CAST(y - f0 AS BIGINT) AS r"
-    )
+    ).localCheckpoint(eager=True)
     out = f0.selectExpr(
         "CAST(0 AS BIGINT) AS round",
         "'__mean__' AS feature",
@@ -600,7 +604,7 @@ def q_gbdt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = cur.crossJoin(F.broadcast(best)).selectExpr(
             *fnames, f"CAST(r - ({assign}) AS BIGINT) AS r"
-        )
+        ).localCheckpoint(eager=True)
     return out.orderBy("round")
 
 

@@ -554,6 +554,9 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= TEXTRANK_MIN_DF)
         .select("tok")
+        # tiny vocab set, consumed by BOTH endpoint prefilters — checkpoint
+        # so its doc-scan lineage isn't replayed per join
+        .localCheckpoint(eager=True)
     )
     adj = (
         toks.filter(F.size("t") >= 2)
@@ -570,7 +573,9 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = adj.unionAll(adj.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = sym.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("w"))
-    strength = edges.groupBy("u").agg(F.sum("w").cast("long").alias("wu"))
+    strength = edges.groupBy("u").agg(
+        F.sum("w").cast("long").alias("wu")
+    ).localCheckpoint(eager=True)  # feeds wedges, the rank init AND the output join
     wedges = edges.join(strength, "u").localCheckpoint(eager=True)
     ranks = strength.select(F.col("u").alias("tok")).withColumn(
         "r", F.lit(1000000).cast("long")
@@ -588,7 +593,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return (
-        ranks.join(strength, ranks.tok == strength.u)
+        ranks.join(F.broadcast(strength), ranks.tok == strength.u)
         .select("tok", F.col("r").alias("rank_micro"), F.col("wu").alias("strength"))
         .orderBy(F.desc("rank_micro"), F.asc("tok"))
         .limit(TEXTRANK_TOPK)

@@ -1409,15 +1409,23 @@ def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ids = toks.select("doc_id").distinct()
     n_ids = ids.agg(F.count(F.lit(1)).alias("__n"))
+    # the decile map, per-doc counts and first-occurrence table all fan
+    # out — checkpoint the small aggregates so the corpus tokenization
+    # runs twice (counts + firsts), not 8x (plan_audit measured)
     deciles = (
         global_order_stats(ids, ["doc_id"])
         .crossJoin(F.broadcast(n_ids))
         .select(
             "doc_id", ntile_from_rank(F.col("__rank"), F.col("__n"), 10).alias("decile")
         )
+        .localCheckpoint(eager=True)
     )
-    doc_tokens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok")
+    ).localCheckpoint(eager=True)
+    firsts = toks.groupBy("tok").agg(
+        F.min("doc_id").alias("first_doc")
+    ).localCheckpoint(eager=True)
 
     tokens_per_decile = (
         deciles.join(doc_tokens, "doc_id")
