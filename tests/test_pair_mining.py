@@ -7,6 +7,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from conftest import SF_TEST
+from vector_search_spark import registry as _registry  # noqa: F401  (break the
+# circular import when this file is collected standalone: registry_text's
+# module graph assumes the package registry is initialized first)
 from vector_search_spark.registry_text import (
     PAIR_MIN_SUPPORT,
     _pair_presence_frequent,

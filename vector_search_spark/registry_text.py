@@ -1147,9 +1147,14 @@ def q_token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is TakeOrderedAndProject.
     """
     docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    pres = _pair_presence_raw(docs)
+    # presence and df tables fan out to the self-join's two sides, the
+    # doc count, the prefilter and the two lift joins — checkpoint them so
+    # the tokenization scan runs once (plan_audit measured 7 replays)
+    pres = _pair_presence_raw(docs).localCheckpoint(eager=True)
     n = pres.agg(F.countDistinct("doc_id").cast("long").alias("n"))
-    dfq = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dfq = pres.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    ).localCheckpoint(eager=True)
     pres_f = _pair_presence_frequent(pres, dfq, min_support=PAIR_MIN_SUPPORT)
     a = pres_f.alias("a")
     b = pres_f.alias("b")
