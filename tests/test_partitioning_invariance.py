@@ -149,7 +149,7 @@ QUERIES = [
     "ses_revenue_forecast",
     "winsorized_mean_value",
     "ab_cuped_adjustment",
-    "dedup_embedding_srp_wide",
+    "dedup_embedding_srp",  # the wide-band config (now the primary name)
     "brown_trend_forecast",
     "mannwhitney_value_test",
     "ab_welch_ttest",
@@ -157,6 +157,8 @@ QUERIES = [
     "brown_forsythe_variance_test",
     "embedding_drift_mmd",
     "cramer_von_mises_test",
+    # round-6 additions
+    "holt_winters_dow_forecast",
 ]
 
 REGIMES = [

@@ -75,11 +75,21 @@ def bm25_scored(
     # Filter postings to query terms BEFORE any aggregation: the shuffle
     # carries only matching postings, not the whole inverted index.
     qtoks = toks.filter(F.col("tok").isin(terms))
-    tf = qtoks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # `tf` feeds both the df aggregate and the scoring join; `dl` feeds
+    # both the corpus stats and the scoring join.  Without lineage cuts
+    # each consumer replays the full documents scan (plan audit showed
+    # x4).  tf is the query-term posting set (tiny); dl is the narrow
+    # (id, dl) table — the materialized length stat a production BM25
+    # index persists anyway.
+    tf = (
+        qtoks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     # df derives from tf (one row per (doc, term)) — avoids a second
     # tokenize scan; count of tf rows per term ≡ countDistinct(doc).
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    dl = doc_lengths(docs, id_col, text_col)
+    dl = doc_lengths(docs, id_col, text_col).localCheckpoint(eager=True)
     # Corpus stats: exact integer sums, ONE double division each — the
     # same IEEE op in both engines yields the same double.
     stats = dl.agg(

@@ -241,6 +241,7 @@ from . import (  # noqa: E402, F401
     registry_dedup,
     registry_extensions,
     registry_features,
+    registry_forecast,
     registry_ml,
     registry_relational,
     registry_round4,

@@ -1058,11 +1058,20 @@ def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative error < 2^-4), so sketch AND estimate are bit-identical
     across engines and partitionings.
     """
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.floor(F.col("value").cast("double") * 100.0 + F.lit(0.5))
-        .cast("long")
-        .alias("c"),
+    # the narrow (type, cents) projection feeds the sketch build, the
+    # exact-rank window and the group counts — checkpoint it once or each
+    # consumer replays the events scan (plan audit showed x4).  The
+    # materialization is quality-report-only cost: the 100 TB deployment
+    # ships just the sketch path, which is a single scan by itself.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("value").cast("double") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .localCheckpoint(eager=True)
     )
     est = hdr_quantile_sketch(ev, "event_type", "c", ps=[50, 95, 99])
     w = Window.partitionBy("event_type").orderBy("c")
@@ -1751,16 +1760,27 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production pipeline does anyway before scoring.
     per = per.crossJoin(F.broadcast(total)).localCheckpoint(eager=True)
 
-    def quintile(df, metric: str, out: str):
-        ranked = global_order_stats(df, [metric, "custkey"])
-        return ranked.withColumn(
-            out, ntile_from_rank("__rank", F.col("__n_total"), 5)
-        ).drop("__rank", "__pid")
+    # The three quintile passes run INDEPENDENTLY off the checkpointed
+    # feature table, each as a narrow (custkey, metric, total) range
+    # exchange, and join back on custkey.  (The previous chained design
+    # needed an eager checkpoint between passes — each range-repartition
+    # samples its input, re-executing the prior pass's exchange — which
+    # tripled the materialization cost and doubled warm time at fixture
+    # scale.)
+    def quintile(metric: str, out: str):
+        ranked = global_order_stats(
+            per.select("custkey", metric, "__n_total"), [metric, "custkey"]
+        )
+        return ranked.select(
+            "custkey", ntile_from_rank("__rank", F.col("__n_total"), 5).alias(out)
+        )
 
-    scored = quintile(per, "days_since", "__r_tile").localCheckpoint(eager=True)
-    scored = quintile(scored, "n_orders", "f_score").localCheckpoint(eager=True)
-    scored = quintile(scored, "cents", "m_score")
-    scored = scored.withColumn("r_score", (F.lit(6) - F.col("__r_tile")).cast("int"))
+    scored = (
+        per.join(quintile("days_since", "__r_tile"), "custkey")
+        .join(quintile("n_orders", "f_score"), "custkey")
+        .join(quintile("cents", "m_score"), "custkey")
+        .withColumn("r_score", (F.lit(6) - F.col("__r_tile")).cast("int"))
+    )
     return scored.select(
         "custkey",
         "days_since",
@@ -2024,7 +2044,14 @@ def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the target rank."""
     from .partitioning import global_order_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    # the within-source ranks, the global-rank pass (which consumes its
+    # input twice) and the count each replay the documents scan (plan
+    # audit showed x4) — materialize the narrow 3-column base once
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .localCheckpoint(eager=True)
+    )
     wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     per = docs.select(
         "doc_id",

@@ -403,7 +403,7 @@ def _shared_srpw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_embedding_srp_wide",
+    "dedup_embedding_srp",
     oracle=f"""
     WITH sig AS (SELECT vec_id, ({_SQL_SRPW_SIG}) AS sig FROM embeddings),
     bt AS (SELECT vec_id, {_SQL_SRPW_BANDS} FROM sig),
@@ -420,13 +420,18 @@ def _shared_srpw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 50
     """,
 )
-def q_dedup_embedding_srp_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`dedup_embedding_srp` with the banding SCALE-TUNED: 4 bands of
-    8 bits (vs the demo's 4-bit bands), independent 'srpw' hyperplanes.
+def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding) near-dup candidates via SRP-LSH buckets +
+    exact cosine rescore — the PRIMARY scale path for semantic dedup,
+    registered with the SCALE-TUNED banding: 4 bands of 8 bits,
+    independent 'srpw' hyperplanes.  (The 4-bit-band configuration this
+    replaced lives on as `dedup_embedding_srp_narrow_demo`.)
     The measured 10× run showed the narrow banding's candidate set — and
     hence its runtime — growing quadratically on this isotropic corpus
-    (random band collision ~bands·2⁻⁴); widening each band to 8 bits cuts
-    the random-collision mass 16× per band, which is the production rule:
+    (random band collision ~bands·2⁻⁴, measured 95× at the decade);
+    widening each band to 8 bits cuts
+    the random-collision mass 16× per band (measured 13.5×), which is the
+    production rule:
     band bits scale with log₂(corpus) so candidates stay ~linear.  The
     tradeoff is honest and visible: real near-duplicates (cosine ≥ 0.9)
     would still collide with high probability, but this corpus has none —
@@ -468,7 +473,7 @@ def q_dedup_embedding_srp_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_embedding_srp",
+    "dedup_embedding_srp_narrow_demo",
     oracle=f"""
     WITH sig AS (SELECT vec_id, ({_SQL_SRP_SIG}) AS sig FROM embeddings),
     bt AS (SELECT vec_id, {_SQL_SRP_BANDS} FROM sig),
@@ -485,13 +490,18 @@ def q_dedup_embedding_srp_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 50
     """,
 )
-def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic (embedding) near-dup candidates via SRP-LSH buckets + exact
-    cosine rescore — the SCALE path for semantic dedup.
+def q_dedup_embedding_srp_narrow_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL-DEMONSTRATOR variant of `dedup_embedding_srp` with narrow
+    4-bit bands — deliberately NOT the production default: the measured
+    10× decade showed its random-collision candidate mass (~bands·2⁻⁴
+    per pair) growing quadratically (95× runtime at 10× data,
+    SCALING_MEASURED.md §1).  It stays registered because narrow bands
+    maximize recall at fixture scale, making it the clearest
+    side-by-side against `dedup_embedding_cosine`'s exact answer.
     `dedup_embedding_cosine` proves the exact answer with block-pair
     sharding (O(n²/B) work); this pairs only vectors that agree on ≥1 of
-    the {_SRP_BANDS} signature bands, the SemDeDup-style prune that makes
-    semantic dedup linear-ish at 100 TB, with recall governed by the
+    the {_SRP_BANDS} signature bands, the SemDeDup-style prune, with
+    recall governed by the
     banding.  Same emission contract as the exact variant (top-50 pairs by
     cosine, id-tie-broken) so the two paths are directly comparable, and —
     because the SRP hyperplanes are md5-derived constants — the WHOLE

@@ -250,8 +250,13 @@ def q_feature_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fv"),
         F.col("l_returnflag").alias("label"),
     ).select("fv.feature", "fv.val", "label")
-    cells = base.groupBy("feature", "val", "label").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # the ≤500-row cell table fans out to three marginals + the MI fold —
+    # checkpoint it or each consumer replays the exploded lineitem scan
+    # (plan audit showed x5)
+    cells = (
+        base.groupBy("feature", "val", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     vm = cells.groupBy("feature", "val").agg(F.sum("c").cast("long").alias("cv"))
     lm = cells.groupBy("feature", "label").agg(F.sum("c").cast("long").alias("cl"))
@@ -907,8 +912,13 @@ def q_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts_ns DIV 1000").alias("ts_us"),
         "event_type",
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts_us"
+    # `p` feeds both as-of legs plus the final join and `c` feeds both
+    # legs — without lineage cuts the events scan replays x5 (plan
+    # audit).  Materialize each narrow slice once.
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts_us")
+        .localCheckpoint(eager=True)
     )
     w_dedup = Window.partitionBy("user_id", "ts_us").orderBy(F.desc("event_id"))
     c = (
@@ -916,6 +926,7 @@ def q_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_dedup))
         .filter(F.col("rn") == 1)
         .select("user_id", "ts_us", F.col("ts_us").alias("c_ts"))
+        .localCheckpoint(eager=True)
     )
     back = asof_join_backward(
         p, c.select("user_id", "ts_us", "c_ts"), "user_id", "ts_us", ["c_ts"]
@@ -1341,10 +1352,16 @@ def q_attribution_models_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "sess")
         .distinct()
     )
+    # `touches` fans out to five consumers (per_sess/firsts/lasts/linear/
+    # channels); without a lineage cut each one replays the full events
+    # scan + sessionization (plan audit showed events x10).  Materialize
+    # it once — it is the converting-session touch subset, far smaller
+    # than the corpus.
     touches = (
         kept.join(conv, ["user_id", "sess"])
         .filter(F.col("event_type") != "purchase")
         .select("user_id", "sess", "event_type", "rn")
+        .localCheckpoint(eager=True)
     )
     per_sess = touches.groupBy("user_id", "sess").agg(
         F.count(F.lit(1)).cast("long").alias("n_touch")
@@ -1438,7 +1455,14 @@ def q_dow_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.select(
         ((F.dayofweek(F.col("ts").cast("date")).cast("long") - 1) % 7).alias("dow")
     )
-    o = d.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    # the 7-row count table fans out to the total, the chi-square fold and
+    # the final select — checkpoint it or each consumer replays the
+    # events scan (plan audit showed x4)
+    o = (
+        d.groupBy("dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+        .localCheckpoint(eager=True)
+    )
     n = o.agg(F.sum("obs").cast("long").alias("n"))
     t = (
         o.crossJoin(F.broadcast(n))
@@ -1877,6 +1901,11 @@ def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
+        # the day table fans out to the rank pass (which consumes its
+        # input twice), the count, the median probe and the labeling —
+        # checkpoint it or each consumer replays the events scan (plan
+        # audit showed x5)
+        .localCheckpoint(eager=True)
     )
     ranked = global_order_stats(daily, ["cents", "day"])
     nn = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -1114,9 +1114,16 @@ def q_pr_best_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("pos"),
     )
-    grp = base.groupBy("cents").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"),
-        F.sum("pos").cast("long").alias("pos"),
+    # the score-collapsed table fans out to the positives total and both
+    # global_order_stats passes — checkpoint it or each consumer replays
+    # the events scan (plan audit showed x5)
+    grp = (
+        base.groupBy("cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("pos"),
+        )
+        .localCheckpoint(eager=True)
     )
     tot = grp.agg(F.sum("pos").cast("long").alias("p"))
     # descending sweep: order by negated score, inclusive prefix = prior + own
@@ -1349,6 +1356,10 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c1").cast("long").alias("c1"),
             F.sum("c2").cast("long").alias("c2"),
         )
+        # distinct-value cell table fans out to the totals and both
+        # global_order_stats passes — checkpoint it or each consumer
+        # replays the events scan (plan audit showed x5)
+        .localCheckpoint(eager=True)
     )
     tot = cells.agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")

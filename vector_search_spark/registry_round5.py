@@ -308,6 +308,10 @@ def q_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents")
         )
+        # the day table fans out to the sign-join's two sides, the tie
+        # fold and the day count — checkpoint it or each consumer
+        # replays the events scan (plan audit showed x4)
+        .localCheckpoint(eager=True)
     )
     a = daily.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
     b = daily.select(F.col("day").alias("db"), F.col("cents").alias("cb"))
@@ -1216,10 +1220,19 @@ def q_basket_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, floor-quantized to 4 dp.
     """
     li = _t(spark, sf_dir, "lineitem")
+    # The distinct basket table fans out to the pair self-join's two
+    # sides, the basket-count scalar and the support table; `isupp` feeds
+    # the Apriori prefilter plus both confidence joins.  Checkpoint both
+    # (same discipline as token_pair_lift) or the lineitem scan replays
+    # 7x — one scan each is the 100 TB shape.
     b = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    isupp = b.groupBy("part").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    ).distinct().localCheckpoint(eager=True)
+    isupp = (
+        b.groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+        .localCheckpoint(eager=True)
+    )
     bf = (
         b.join(isupp.filter(F.col("s") >= _BASKET_MIN_SUPPORT).select("part"), "part")
         .select("okey", "part")

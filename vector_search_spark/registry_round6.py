@@ -1067,7 +1067,14 @@ def q_rocchio_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     docs = emb.filter(F.col("vec_id") != 0)
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    # the 1-row query vector feeds both the feedback scan and the q0
+    # explode — checkpoint it so only the two genuine PRF corpus passes
+    # remain (plan audit showed embeddings x4)
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("q_emb"))
+        .localCheckpoint(eager=True)
+    )
     fb = (
         docs.crossJoin(F.broadcast(q))
         .withColumn("s", dot_product("embedding", "q_emb"))
@@ -2307,10 +2314,14 @@ def q_seasonal_decomposition_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    # the day table fans out to the seasonal means, the residual join and
+    # (via resid) the two variance folds — checkpoint it or each consumer
+    # replays the events scan (plan audit showed x5); downstream frames
+    # recompute from this ~10^4-row aggregate, never the corpus
     keyed = daily.select(
         "cents",
         ((F.dayofweek(F.col("day")).cast("long") - 1) % 7).alias("dow"),
-    )
+    ).localCheckpoint(eager=True)
     seas = keyed.groupBy("dow").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.expr(_fdiv("sum(cents)", "count(*)")).alias("seas"),
@@ -4849,11 +4860,18 @@ def q_isotonic_hour_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds all run on that constant-size aggregate.
     """
     ev = _t(spark, sf_dir, "events")
-    cells = ev.groupBy(F.hour("ts").cast("long").alias("h")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("x"),
+    # the 24-row hour table fans out to the prefix sums (both self-join
+    # sides), the minimax grid and the final join — checkpoint it or each
+    # consumer replays the events scan (plan audit showed x4)
+    cells = (
+        ev.groupBy(F.hour("ts").cast("long").alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+        .localCheckpoint(eager=True)
     )
     wp = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
     pre = cells.select(

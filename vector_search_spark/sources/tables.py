@@ -42,10 +42,17 @@ def events_ts_is_nanos(sf_dir: str) -> bool:
     path = f"{sf_dir}/events.parquet"
     if os.path.isdir(path):
         # Spark-written table: probe any one part file's footer (all parts
-        # share the write schema) — e.g. the scaled fixtures under .scale/
-        parts = sorted(glob.glob(f"{path}/*.parquet"))
-        if parts:
-            path = parts[0]
+        # share the write schema) — e.g. the scaled fixtures under .scale/.
+        # Recursive so hive-partitioned layouts (part files under key=value
+        # subdirectories) probe correctly instead of handing the directory
+        # itself to pq.read_schema, whose error names no table.
+        parts = sorted(glob.glob(f"{path}/**/*.parquet", recursive=True))
+        if not parts:
+            raise FileNotFoundError(
+                f"events table at {path} is a directory with no *.parquet "
+                "part files (found only markers like _SUCCESS?)"
+            )
+        path = parts[0]
     return str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
 
 

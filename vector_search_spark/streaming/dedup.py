@@ -180,9 +180,13 @@ def streaming_incremental_dedup(
     partition of the decision log — nothing is ever collected to the
     driver, so a batch of any size costs the driver one job submission.
     foreachBatch still owns the per-batch multi-join plan (see module
-    docstring); the checkpoint gives exactly-once per batch, and because
-    the sink append happens inside the batch function it replays
-    idempotently with the batch on failure recovery."""
+    docstring).  foreachBatch is at-least-once: on failure recovery
+    Structured Streaming re-runs the batch with the SAME batch_id, so the
+    sink write must be idempotent per batch_id or the decision log grows
+    duplicate rows.  The write below partitions by batch_id with dynamic
+    partition overwrite — a replayed batch REPLACES its own partition and
+    touches no other, which upgrades the end-to-end contract to
+    effectively-exactly-once."""
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -192,11 +196,14 @@ def streaming_incremental_dedup(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_decisions(
-            batch_df, corpus_sh, corpus_sig, corpus_banded, **kwargs
-        ).withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-            "append"
-        ).parquet(decisions_dir)
+        (
+            batch_decisions(batch_df, corpus_sh, corpus_sig, corpus_banded, **kwargs)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(decisions_dir)
+        )
 
     q = (
         stream.writeStream.foreachBatch(handle)
