@@ -17,11 +17,15 @@ import pytest
 from conftest import SF_TEST
 from vector_search_spark import registry
 
-# Queries chosen for maximal reduction-order exposure: integer-scaled float
-# folds (LM scores, entropy), sketch register sums (HLL/CMS), window frames
-# over floats (anomalies), min/max-derived bucketing (histogram), and the
-# LSH cascade (hash-partitioned multi-join).
-QUERIES = [
+# Round 6: the suite now covers EVERY registry query (VERDICT r5 #7) —
+# derived from the registry so new queries are covered by construction.
+# The curated list below is kept as documentation of which queries were
+# chosen first and why (maximal reduction-order exposure: integer-scaled
+# float folds, sketch register sums, window frames over floats,
+# min/max-derived bucketing, the LSH cascade, distributed global ranks).
+QUERIES = sorted(registry.QUERIES)
+
+_ORIGINAL_CURATED = [
     "unigram_logprob",
     "corpus_entropy",
     "hll_distinct_users",
@@ -169,7 +173,13 @@ REGIMES = [
 
 def _rows(spark, name):
     df = registry.QUERIES[name](spark, SF_TEST)
-    return [tuple(r) for r in df.collect()]
+    # Compare as a sorted multiset: row ORDER is not part of the contract
+    # for un-ordered queries (the driver comparator also sorts before
+    # hashing) — found when the round-6 full-registry sweep flagged
+    # dedup_exact/dedup_ngram_jaccard, whose VALUES are invariant but
+    # whose row order follows the shuffle layout.  Cell values must still
+    # be bit-identical.
+    return sorted((tuple(r) for r in df.collect()), key=repr)
 
 
 @pytest.mark.parametrize("name", QUERIES)

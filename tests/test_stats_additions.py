@@ -1,0 +1,106 @@
+"""Gates for the round-6 additions beyond Holt–Winters: HLL register-merge
+rollup, leave-one-day-out jackknife SE, and empirical-Bayes rate
+shrinkage — each with a pure-Python exact rebuild beside the DuckDB
+oracle the registry suite already enforces."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from conftest import SF_TEST, compare_with_oracle
+
+from vector_search_spark import registry
+
+
+def _4dp(v: float) -> float:
+    return math.floor(v * 10000 + 0.5) / 10000.0
+
+
+@pytest.mark.parametrize(
+    "name", ["hll_rollup_users", "jackknife_aov_se", "eb_shrunk_hour_rates"]
+)
+def test_new_queries_match_oracle(spark, name):
+    compare_with_oracle(
+        registry.QUERIES[name](spark, SF_TEST), registry.ORACLES[name], SF_TEST
+    )
+
+
+def test_hll_rollup_merge_is_union(spark):
+    """The merged 'ALL' registers must equal the registers of the union
+    stream — i.e. the ALL estimate must EXACTLY equal what
+    hll_distinct would report on the ungrouped corpus."""
+    from pyspark.sql import functions as F
+
+    from vector_search_spark.operators.sketches import hll_distinct
+    from vector_search_spark.sources.tables import load_table
+
+    rows = {
+        r["event_type"]: r
+        for r in registry.QUERIES["hll_rollup_users"](spark, SF_TEST).collect()
+    }
+    ev = (
+        load_table(spark, SF_TEST, "events")
+        .select(F.lit("ALL").alias("g"), "user_id")
+    )
+    direct = hll_distinct(ev, "g", "user_id").collect()[0]["hll_raw"]
+    assert rows["ALL"]["hll_est"] == _4dp(direct)
+    # sketch quality: within 5% of exact on every row (p=9 -> ~4.6% rse)
+    for r in rows.values():
+        assert abs(r["hll_est"] - r["exact_distinct"]) <= 0.05 * r["exact_distinct"]
+
+
+def test_jackknife_python_rebuild(spark):
+    days = duckdb.sql(
+        f"""
+        SELECT CAST(ts AS DATE) AS d,
+               sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS x,
+               count(*) AS n
+        FROM '{SF_TEST}/events.parquet'
+        WHERE event_type = 'purchase' GROUP BY 1
+        """
+    ).fetchall()
+    xs = [int(r[1]) for r in days]
+    ns = [int(r[2]) for r in days]
+    X, N, D = sum(xs), sum(ns), len(xs)
+    th = [
+        ((X - x) * 1_000_000_000) // (N - n) if (N - n) else 0
+        for x, n in zip(xs, ns)
+    ]
+    S = sum(th)
+    var_scaled = sum((D * t - S) ** 2 for t in th)
+    se = math.sqrt((D - 1) / D * (var_scaled / (D**3 * 1e18))) / 100.0
+    row = registry.QUERIES["jackknife_aov_se"](spark, SF_TEST).collect()[0]
+    assert row["n_days"] == D and row["n_orders"] == N
+    assert row["aov"] == _4dp((X / N) / 100.0)
+    assert row["jackknife_se"] == _4dp(se)
+    # sanity: the day-clustered SE of a stable AOV is small but non-zero
+    assert 0 < row["jackknife_se"] < row["aov"]
+
+
+def test_eb_shrinkage_python_rebuild(spark):
+    cells = duckdb.sql(
+        f"""
+        SELECT hour(ts) AS h, count(*) AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+        FROM '{SF_TEST}/events.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    pn = [(int(h), int(n), int(x), (int(x) * 1_000_000_000) // int(n)) for h, n, x in cells]
+    G = len(pn)
+    S = sum(p for _, _, _, p in pn)
+    var_scaled = sum((G * p - S) ** 2 for _, _, _, p in pn)
+    pbar = S / (G * 1e9)
+    varp = var_scaled / (G**3 * 1e18)
+    ab = pbar * (1 - pbar) / varp - 1.0 if varp > 0 and 0 < pbar < 1 else 0.0
+    ab = max(ab, 0.0)
+    rows = {r["hour"]: r for r in registry.QUERIES["eb_shrunk_hour_rates"](spark, SF_TEST).collect()}
+    assert set(rows) == {h for h, _, _, _ in pn}
+    for h, n, x, _ in pn:
+        r = rows[h]
+        assert r["shrunk_rate"] == _4dp((x + pbar * ab) / (n + ab))
+        assert r["shrink_weight"] == _4dp(ab / (n + ab))
+        # shrinkage moves every raw rate TOWARD the pooled mean
+        raw, shrunk = x / n, (x + pbar * ab) / (n + ab)
+        assert abs(shrunk - pbar) <= abs(raw - pbar) + 1e-12

@@ -64,10 +64,17 @@ DIMS = ["region", "nation"]
 
 
 def _caesar_cols(r: int):
+    """Per-replica AFFINE cipher x -> a*x + b (mod 26), a coprime to 26:
+    312 distinct bijections, so no two replicas share the cipher up to 312
+    copies.  (A plain Caesar shift has period 26 — at copies > 26 replica
+    pairs 26 apart would carry IDENTICAL text, planting the cross-replica
+    duplicates this fixture exists to avoid.)  r = 0 is the identity."""
     lo = string.ascii_lowercase
     up = string.ascii_uppercase
-    k = r % 26
-    return lo + up, lo[k:] + lo[:k] + up[k:] + up[:k]
+    coprime = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+    a, b = coprime[(r // 26) % 12], r % 26
+    perm = [(a * i + b) % 26 for i in range(26)]
+    return lo + up, "".join(lo[p] for p in perm) + "".join(up[p] for p in perm)
 
 
 def replicate(df, table: str, r: int):
@@ -78,11 +85,22 @@ def replicate(df, table: str, r: int):
         src, dst = _caesar_cols(r)
         out = out.withColumn("text", F.translate(F.col("text"), src, dst))
     if table == "embeddings" and r > 0:
+        # rotation by r mod dim, composed with a global sign flip every
+        # full rotation cycle: rotation alone has period dim (64), so at
+        # copies > 64 replica pairs 64 apart would carry IDENTICAL vectors;
+        # negation is orthogonal (within-replica angles exact) and makes
+        # the colliding pairs anti-podal (cosine -1) instead of twins.
+        # slice() with r >= dim errors outright (negative length).
+        k = f"pmod({r}, size(embedding))"
+        rot = (
+            f"concat(slice(embedding, {k} + 1, size(embedding) - {k}),"
+            f" slice(embedding, 1, {k}))"
+        )
+        sign = -1.0 if (r // 64) % 2 else 1.0
         out = out.withColumn(
             "embedding",
             F.expr(
-                f"concat(slice(embedding, {r + 1}, size(embedding) - {r}),"
-                f" slice(embedding, 1, {r}))"
+                rot if sign > 0 else f"transform({rot}, x -> -x)"
             ),
         )
     return out

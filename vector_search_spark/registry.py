@@ -242,12 +242,14 @@ from . import (  # noqa: E402, F401
     registry_extensions,
     registry_features,
     registry_forecast,
+    registry_graph,
     registry_ml,
+    registry_mlfit,
     registry_relational,
     registry_round4,
     registry_round5,
-    registry_round6,
     registry_search,
+    registry_stats,
     registry_suffix,
     registry_text,
 )

@@ -21,7 +21,18 @@ from pyspark.sql import functions as F
 from .functions.scalar import round4
 from .functions.vector import dot_product
 from .operators import relational as R
-from .operators.sketches import hll_distinct, hll_oracle_sql
+from .operators.sketches import (
+    _ALPHA_EXPR as _HLL_ALPHA,
+    _REST_BITS as _HLL_REST,
+    HLL_M as _HLL_M,
+    hll_distinct,
+    hll_estimate,
+    hll_oracle_sql,
+    hll_registers,
+)
+
+_HLL_MASK = (1 << _HLL_REST) - 1
+_HLL_EMPTY = 1 << (_HLL_REST + 1)
 from .registry import register
 from .sources.tables import load_table as _t
 
@@ -57,6 +68,102 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_distinct(ev, "event_type", "user_id")
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "exact_distinct", round4("hll_raw").alias("hll_est"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL register-merge rollup: the mergeability proof behind every sketch
+# claim here — the 'ALL' row is estimated from the per-type registers
+# MERGED (max per bucket), never from a recount of the raw rows.
+# ---------------------------------------------------------------------------
+@register(
+    "hll_rollup_users",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5('hll:' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM events),
+    regs AS (
+      SELECT event_type, h >> {_HLL_REST} AS bucket,
+             max(CASE WHEN (h & {_HLL_MASK}) = 0 THEN {_HLL_REST + 1}
+                      ELSE {_HLL_REST + 1} - length(bin(h & {_HLL_MASK})) END)
+               AS m_reg
+      FROM hashed GROUP BY event_type, bucket),
+    all_regs AS (
+      SELECT 'ALL' AS event_type, bucket, max(m_reg) AS m_reg
+      FROM regs GROUP BY bucket),
+    u AS (SELECT * FROM regs UNION ALL SELECT * FROM all_regs),
+    folded AS (
+      SELECT event_type, count(*) AS n_seen,
+             sum((2.0 ** ({_HLL_REST + 1} - m_reg))::BIGINT)::BIGINT AS harm_scaled
+      FROM u GROUP BY event_type),
+    est AS (
+      SELECT event_type,
+             CASE WHEN ({_HLL_ALPHA} * {_HLL_EMPTY}.0
+                        / (harm_scaled
+                           + ({_HLL_M} - n_seen) * {_HLL_EMPTY})::DOUBLE)
+                       <= {2.5 * _HLL_M}
+                   AND ({_HLL_M} - n_seen) > 0
+                  THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - n_seen)::DOUBLE)
+                  ELSE {_HLL_ALPHA} * {_HLL_EMPTY}.0
+                       / (harm_scaled
+                          + ({_HLL_M} - n_seen) * {_HLL_EMPTY})::DOUBLE
+             END AS hll_raw
+      FROM folded),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'ALL', count(DISTINCT user_id)::BIGINT FROM events)
+    SELECT ex.event_type, ex.exact_distinct,
+           floor(est.hll_raw*10000 + 0.5)/10000.0 AS hll_est
+    FROM ex JOIN est ON ex.event_type = est.event_type
+    ORDER BY ex.event_type
+    """,
+)
+def q_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup of the HLL user sketch: per-type distinct-user
+    estimates PLUS an 'ALL' row whose estimate comes from MERGING the
+    per-type register tables (max per bucket) — never re-scanning rows.
+    Register max-merge is exactly set union for HLL, which is what makes
+    the sketch a rollup/streaming state: a day×type register table can be
+    folded upward along any hierarchy (type → ALL here) for the cost of a
+    {_HLL_M}-row-per-group aggregate.  The exact distinct count rides
+    alongside as the quality readout (same per-type registers as
+    `hll_distinct_users`; the merged estimate inherits the same error
+    bound because merged registers ≡ the registers of the union stream).
+
+    Exactness: registers are md5 + integer bit math; the merge is an
+    integer max; the fold is the scaled-integer harmonic sum — the whole
+    pipeline (including the 'ALL' row) hash-matches DuckDB bit for bit.
+
+    Scale: one corpus scan to (type, bucket) registers ({_HLL_M} per
+    group), a {_HLL_M}-row merge, constant-size folds.  The exact
+    column is the demo-only cost (countDistinct shuffles user ids); the
+    100 TB deployment ships registers alone.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = hll_registers(ev, "event_type", "user_id").localCheckpoint(eager=True)
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+        .select(F.lit("ALL").alias("event_type"), "bucket", "m_reg")
+    )
+    est = hll_estimate(regs.unionByName(merged), "event_type")
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(
+                F.lit("ALL").alias("event_type"),
+                F.countDistinct("user_id").alias("exact_distinct"),
+            ).select("event_type", "exact_distinct")
+        )
     )
     return (
         exact.join(est, "event_type")
