@@ -116,3 +116,71 @@ def test_holt_winters_runs_at_smoke_sf(spark):
     rows = registry.QUERIES[NAME](spark, "/root/testdata/sf0.001").collect()
     # every emitted row carries the same shared forecast columns
     assert len({(r["next_day_dow"], r["next_day_forecast"]) for r in rows}) <= 1
+
+
+def test_streaming_day_cells_reproduce_hw_and_jackknife(spark):
+    """The drained streaming day cells (cents + order counts) must
+    reproduce BOTH the Holt–Winters seasonal states and the jackknife
+    AOV standard error bit-for-bit — the whole daily forecasting /
+    uncertainty family runs continuously off one streaming state."""
+    import datetime
+    import math
+
+    from vector_search_spark.streaming.events import (
+        stream_events_from_parquet,
+        streaming_daily_revenue_cells,
+    )
+
+    out = streaming_daily_revenue_cells(stream_events_from_parquet(spark, SF_TEST))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hw_day_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = sorted(
+        (r.day, int(r.cents), int(r.n_orders))
+        for r in spark.sql("SELECT day, cents, n_orders FROM hw_day_cells").collect()
+    )
+
+    # --- Holt–Winters seasonal states from the drained series ---
+    d0 = drained[0][0]
+    series = [((d - d0).days, c, (d.weekday() + 1) % 7) for d, c, _ in drained]
+    n = len(series)
+    st = sum(t for t, _, _ in series)
+    sy = sum(y for _, y, _ in series)
+    stt = sum(t * t for t, _, _ in series)
+    sty = sum(t * y for t, y, _ in series)
+    den = n * stt - st * st or 1
+    num_b = n * sty - st * sy
+    num_a = sy * stt - st * sty
+    by_dow: dict[int, list[int]] = {}
+    for t, y, dow in series:
+        r = y * 1_000_000 - ((num_a + num_b * t) * 1_000_000) // den
+        by_dow.setdefault(dow, []).append(r)
+    rows = {r["dow"]: r for r in registry.QUERIES[NAME](spark, SF_TEST).collect()}
+    for dow, rs in by_dow.items():
+        n_d = len(rs)
+        s = 0
+        for j, r in enumerate(rs):
+            e = n_d - 1 if j == 0 else n_d - j
+            if e <= HW_MAX_E:
+                s += r // (1 << e)
+        assert rows[dow]["seasonal_state"] == _4dp(s)
+
+    # --- jackknife AOV SE from the same drained cells ---
+    xs = [c for _, c, _ in drained]
+    ns = [o for _, _, o in drained]
+    X, N, D = sum(xs), sum(ns), len(xs)
+    th = [
+        ((X - x) * 1_000_000_000) // (N - o) if (N - o) else 0
+        for x, o in zip(xs, ns)
+    ]
+    S = sum(th)
+    var_scaled = sum((D * t - S) ** 2 for t in th)
+    se = math.sqrt((D - 1) / D * (var_scaled / (D**3 * 1e18))) / 100.0
+    jk = registry.QUERIES["jackknife_aov_se"](spark, SF_TEST).collect()[0]
+    assert jk["jackknife_se"] == math.floor(se * 10000 + 0.5) / 10000.0
+    assert jk["aov"] == math.floor(((X / N) / 100.0) * 10000 + 0.5) / 10000.0

@@ -104,3 +104,67 @@ def test_eb_shrinkage_python_rebuild(spark):
         # shrinkage moves every raw rate TOWARD the pooled mean
         raw, shrunk = x / n, (x + pbar * ab) / (n + ab)
         assert abs(shrunk - pbar) <= abs(raw - pbar) + 1e-12
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["negative_sampling_table", "jl_projection_distortion", "wilson_lcb_hour_ranking"],
+)
+def test_round6b_queries_match_oracle(spark, name):
+    compare_with_oracle(
+        registry.QUERIES[name](spark, SF_TEST), registry.ORACLES[name], SF_TEST
+    )
+
+
+def test_negative_sampling_python_rebuild(spark):
+    """Weights must equal floor(1e6·sqrt(sqrt(c³))) of the exact token
+    counts; CDF ranges must tile [0, Σw) without gaps in (count DESC,
+    token) order; probabilities must sum to ~1."""
+    counts = dict(
+        duckdb.sql(
+            f"""
+            SELECT tok, count(*) FROM (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+              FROM '{SF_TEST}/documents.parquet' WHERE trim(text) != '') GROUP BY 1
+            """
+        ).fetchall()
+    )
+    rows = registry.QUERIES["negative_sampling_table"](spark, SF_TEST).collect()
+    assert rows, "empty sampling table"
+    cursor = 0
+    for r in rows:  # already ordered by (cnt DESC, tok)
+        c = counts[r["tok"]]
+        assert r["cnt"] == c
+        w = math.floor(math.sqrt(math.sqrt(float(c) * float(c) * float(c))) * 1e6 + 0.5)
+        assert r["w_micro"] == w
+        assert r["cum_lo"] == cursor and r["cum_hi"] == cursor + w
+        cursor += w
+    assert abs(sum(r["prob"] for r in rows) - 1.0) < 1e-2
+    # the 3/4 power damps the head: max weight share < max count share
+    tot_c, tot_w = sum(r["cnt"] for r in rows), sum(r["w_micro"] for r in rows)
+    assert rows[0]["w_micro"] / tot_w < rows[0]["cnt"] / tot_c
+
+
+def test_jl_distortion_concentrates(spark):
+    row = registry.QUERIES["jl_projection_distortion"](spark, SF_TEST).collect()[0]
+    assert row["n_pairs"] == 1225
+    # JL mean ratio is an unbiased estimator of 1
+    assert 0.9 <= row["mean_ratio"] <= 1.1
+    assert row["min_ratio"] <= row["mean_ratio"] <= row["max_ratio"]
+    assert row["min_ratio"] > 0.0
+
+
+def test_wilson_lcb_properties(spark):
+    rows = registry.QUERIES["wilson_lcb_hour_ranking"](spark, SF_TEST).collect()
+    assert len(rows) == 24
+    assert [r["rank"] for r in rows] == list(range(1, 25))
+    lcbs = [r["wilson_lcb"] for r in rows]
+    assert lcbs == sorted(lcbs, reverse=True)
+    for r in rows:
+        # the lower bound is strictly below the raw rate for 0 < x < n
+        if 0 < r["x"] < r["n"]:
+            assert r["wilson_lcb"] < r["raw_rate"]
+        # python rebuild of the shared-text bound
+        p, n, z = r["x"] / r["n"], r["n"], 1.96
+        lcb = (p + z*z/(2*n) - z*math.sqrt((p*(1-p) + z*z/(4*n))/n)) / (1 + z*z/n)
+        assert r["wilson_lcb"] == math.floor(math.floor(lcb*1e9 + 0.5)/1e9*10000 + 0.5)/10000.0

@@ -1074,3 +1074,146 @@ def q_embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "/10000.0 AS DOUBLE)"
         ).alias("mmd2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random-projection distortion audit: project the
+# 64-d embeddings to 16-d with md5-derived ±1 signs and measure how well
+# pairwise squared distances survive — the go/no-go check before shipping
+# a cheaper projected index.
+# ---------------------------------------------------------------------------
+JL_OUT_DIM = 16
+JL_PAIR_IDS = 50  # all C(50,2) = 1225 pairs among vec_id < 50
+
+# ±1 sign matrix from md5 — deterministic constants, like srp_planes but
+# Rademacher (the Achlioptas 2003 database-friendly JL construction).
+import hashlib as _hashlib  # noqa: E402
+
+_JL_SIGNS = [
+    [
+        1.0 if int(_hashlib.md5(f"jl|{r}|{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1.0
+        for j in range(_SRP_DIM)
+    ]
+    for r in range(JL_OUT_DIM)
+]
+
+_SQL_JL_PROJ = ", ".join(
+    "list_dot_product(embedding::DOUBLE[], [{vals}]) AS p{r}".format(
+        vals=", ".join(repr(x) for x in row), r=r
+    )
+    for r, row in enumerate(_JL_SIGNS)
+)
+# squared distances, fixed per-dimension fold order (shared text shape on
+# both sides; each term is one subtraction + one multiply on doubles)
+_SQL_JL_D2_PROJ = " + ".join(
+    f"(a.p{r} - b.p{r}) * (a.p{r} - b.p{r})" for r in range(JL_OUT_DIM)
+)
+
+
+@register(
+    "jl_projection_distortion",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id, embedding, {_SQL_JL_PROJ}
+      FROM embeddings WHERE vec_id < {JL_PAIR_IDS}),
+    pairs AS (
+      SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+             list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+             - 2.0 * list_dot_product(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[])
+             + list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               AS d2_orig,
+             (({_SQL_JL_D2_PROJ}) / {JL_OUT_DIM}.0) AS d2_proj
+      FROM proj a JOIN proj b ON a.vec_id < b.vec_id),
+    ratios AS (
+      SELECT CASE WHEN d2_orig <= 0.0 THEN 1000000::BIGINT
+                  ELSE floor((d2_proj / d2_orig) * 1000000 + 0.5)::BIGINT
+             END AS r_micro
+      FROM pairs)
+    SELECT count(*)::BIGINT AS n_pairs,
+           floor((CAST(sum(r_micro) AS DOUBLE) / count(*) / 1000000.0)
+                 * 10000 + 0.5)/10000.0 AS mean_ratio,
+           floor((CAST(min(r_micro) AS DOUBLE) / 1000000.0)*10000 + 0.5)/10000.0
+             AS min_ratio,
+           floor((CAST(max(r_micro) AS DOUBLE) / 1000000.0)*10000 + 0.5)/10000.0
+             AS max_ratio
+    FROM ratios
+    """,
+)
+def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit of a 64-d → 16-d Rademacher
+    (±1/√k) random projection: for every pair among the first 50 vectors
+    (C(50,2) = 1225 pairs), the ratio of projected to original squared
+    distance, summarized as mean/min/max.  JL guarantees the ratios
+    concentrate around 1 with spread ~√(ln n / k) — the measured answer to
+    "can the ANN candidate stage run on 16-d vectors instead of 64-d",
+    which cuts index bytes and candidate-scan cost 4×.  Signs are
+    md5-derived constants (the index definition), like every LSH/SRP
+    artifact here (dims/sample size: JL_OUT_DIM / JL_PAIR_IDS).
+
+    Exactness: projections and squared distances are fixed-order IEEE
+    folds (the same list_dot_product ≡ zip_with/aggregate identity every
+    KNN oracle proves bit-exact); each pair's ratio is micro-quantized
+    BEFORE the min/max/mean folds, so the output is partitioning-invariant
+    and hash-matches DuckDB.
+
+    Scale: the audit is O(pairs) on a bounded sample (deterministic id
+    prefix); the projection itself is a per-row map — at 100 TB you'd
+    project the full corpus in the same scan that builds the index and
+    audit distortion on this bounded pair sample.
+    """
+    from .functions.vector import dot_product
+
+    emb = __load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < JL_PAIR_IDS)
+    proj_cols = [
+        dot_product("embedding", F.array(*[F.lit(x) for x in row])).alias(f"p{r}")
+        for r, row in enumerate(_JL_SIGNS)
+    ]
+    proj = emb.select("vec_id", "embedding", *proj_cols).localCheckpoint(eager=True)
+    a = proj.select(
+        F.col("vec_id").alias("id_1"),
+        F.col("embedding").alias("e1"),
+        *[F.col(f"p{r}").alias(f"a{r}") for r in range(JL_OUT_DIM)],
+    )
+    b = proj.select(
+        F.col("vec_id").alias("id_2"),
+        F.col("embedding").alias("e2"),
+        *[F.col(f"p{r}").alias(f"b{r}") for r in range(JL_OUT_DIM)],
+    )
+    d2_proj = " + ".join(
+        f"(a{r} - b{r}) * (a{r} - b{r})" for r in range(JL_OUT_DIM)
+    )
+    pairs = (
+        a.join(b, F.col("id_1") < F.col("id_2"))
+        .select(
+            (
+                dot_product("e1", "e1")
+                - 2.0 * dot_product("e1", "e2")
+                + dot_product("e2", "e2")
+            ).alias("d2_orig"),
+            F.expr(f"({d2_proj}) / {JL_OUT_DIM}.0").alias("d2_proj"),
+        )
+        .select(
+            F.expr(
+                "CASE WHEN d2_orig <= 0.0 THEN CAST(1000000 AS BIGINT)"
+                " ELSE CAST(floor((d2_proj / d2_orig) * 1000000 + 0.5) AS BIGINT)"
+                " END"
+            ).alias("r_micro")
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(floor((CAST(sum(r_micro) AS DOUBLE) / count(*) / 1000000.0)"
+            " * 10000 + 0.5)/10000.0 AS DOUBLE)"
+        ).alias("mean_ratio"),
+        F.expr(
+            "CAST(floor((CAST(min(r_micro) AS DOUBLE) / 1000000.0)*10000 + 0.5)"
+            "/10000.0 AS DOUBLE)"
+        ).alias("min_ratio"),
+        F.expr(
+            "CAST(floor((CAST(max(r_micro) AS DOUBLE) / 1000000.0)*10000 + 0.5)"
+            "/10000.0 AS DOUBLE)"
+        ).alias("max_ratio"),
+    )

@@ -2382,3 +2382,87 @@ def q_eb_shrunk_hour_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower-confidence-bound ranking of per-hour purchase rates — the
+# frequentist twin of the EB shrinkage above (rank by what the cell has
+# PROVEN, not by its noisy point estimate).
+# ---------------------------------------------------------------------------
+# Wilson score interval lower bound at z = 1.96; ONE shared double text
+# over the exact integer (x, n) counts (operand order fixed).
+_WILSON_P = "(CAST(x AS DOUBLE) / CAST(n AS DOUBLE))"
+_WILSON_Z2 = "(CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))"
+_WILSON_LCB = (
+    f"(({_WILSON_P} + {_WILSON_Z2} / (2.0 * CAST(n AS DOUBLE))"
+    f" - CAST(1.96 AS DOUBLE) * sqrt(({_WILSON_P} * (1.0 - {_WILSON_P})"
+    f" + {_WILSON_Z2} / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))"
+    f" / (1.0 + {_WILSON_Z2} / CAST(n AS DOUBLE)))"
+)
+_WILSON_NANO = f"CAST(floor({_WILSON_LCB} * 1000000000 + 0.5) AS BIGINT)"
+
+
+@register(
+    "wilson_lcb_hour_ranking",
+    oracle=f"""
+    WITH cells AS (
+      SELECT hour(ts)::BIGINT AS h, count(*)::BIGINT AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x
+      FROM events GROUP BY 1),
+    scored AS (
+      SELECT h, n, x, {_WILSON_NANO} AS lcb_nano FROM cells)
+    SELECT h AS hour, n, x,
+           floor((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))*10000 + 0.5)/10000.0
+             AS raw_rate,
+           floor((CAST(lcb_nano AS DOUBLE) / 1000000000.0)*10000 + 0.5)/10000.0
+             AS wilson_lcb,
+           (row_number() OVER (ORDER BY lcb_nano DESC, h))::INTEGER AS rank
+    FROM scored ORDER BY rank
+    """,
+)
+def q_wilson_lcb_hour_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour purchase rates ranked by the Wilson score interval's LOWER
+    bound (z = 1.96) instead of the raw rate — the standard fix for
+    "the best segment is a tiny noisy cell" in any leaderboard/bandit
+    warm-start (the how-not-to-sort-by-average-rating construction).
+    Beside `eb_shrunk_hour_rates` (Bayesian partial pooling), this is the
+    frequentist cousin: both damp small-n cells, and on this uniform
+    corpus both collapse the ranking toward ties broken by volume — the
+    honest read.
+
+    Exactness: counts are exact integers; the Wilson bound is ONE shared
+    double text over (x, n), nano-quantized BEFORE the rank, so no float
+    ever decides an ordering (ties break on the hour key).
+
+    Scale: a 24-cell aggregate off one partial-agg'd scan; the rank
+    window runs on 24 rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(F.hour("ts").cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    scored = cells.select(
+        "h", "n", "x", F.expr(_WILSON_NANO).alias("lcb_nano")
+    )
+    w = Window.orderBy(F.desc("lcb_nano"), F.asc("h"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            F.col("h").alias("hour"),
+            "n",
+            "x",
+            F.expr(
+                "CAST(floor((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))*10000 + 0.5)"
+                "/10000.0 AS DOUBLE)"
+            ).alias("raw_rate"),
+            F.expr(
+                "CAST(floor((CAST(lcb_nano AS DOUBLE) / 1000000000.0)*10000 + 0.5)"
+                "/10000.0 AS DOUBLE)"
+            ).alias("wilson_lcb"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -2167,3 +2167,104 @@ def _shared_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri.count()
     _PHRASE_IDX_CACHE[sf_dir] = (spark, tri)
     return tri
+
+
+# ---------------------------------------------------------------------------
+# word2vec-style negative-sampling table (unigram^0.75) with inverse-CDF
+# ranges — the sampling artifact contrastive text training consumes.
+# ---------------------------------------------------------------------------
+NEG_VOCAB = 200
+
+# c^(3/4) without pow(): two IEEE square roots of the exactly-converted
+# double cube.  sqrt is CORRECTLY ROUNDED by IEEE-754 (unlike pow/exp/ln
+# composition, which libm implementations round differently), so the whole
+# weight expression is bit-identical across engines from the integer count
+# alone.  The cube is computed in DOUBLE (counts are exact doubles below
+# 2^53; the product rounds identically in both engines).
+_NEG_W = (
+    "CAST(floor(sqrt(sqrt(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)"
+    " * CAST(cnt AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "negative_sampling_table",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE trim(text) != ''),
+    vocab AS (SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+    top AS (
+      SELECT tok, cnt, {_NEG_W} AS w_micro
+      FROM vocab ORDER BY cnt DESC, tok LIMIT {NEG_VOCAB}),
+    cum AS (
+      SELECT tok, cnt, w_micro,
+             (sum(w_micro) OVER (ORDER BY cnt DESC, tok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - w_micro)::BIGINT AS cum_lo,
+             (sum(w_micro) OVER (ORDER BY cnt DESC, tok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS cum_hi,
+             sum(w_micro) OVER ()::BIGINT AS w_total
+      FROM top)
+    SELECT tok, cnt, w_micro, cum_lo, cum_hi,
+           floor((CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE))
+                 * 10000 + 0.5)/10000.0 AS prob
+    FROM cum ORDER BY cnt DESC, tok
+    """,
+)
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec negative-sampling distribution over the top-{NEG_VOCAB}
+    vocabulary: P(w) ∝ count(w)^0.75 (Mikolov et al. 2013 — the exponent
+    that damps head tokens so negatives aren't all stopwords), emitted as
+    integer weights plus [cum_lo, cum_hi) inverse-CDF ranges — the table a
+    contrastive trainer joins an md5 draw in [0, Σw) against to sample
+    negatives with zero driver involvement.
+
+    Exactness: weights are floor(10⁶·sqrt(sqrt(c³))) — IEEE sqrt is
+    correctly rounded in BOTH engines (pow/exp·ln are not, which is why
+    the ¾ power is computed as two square roots); the CDF is an exact
+    BIGINT prefix over the fixed (count DESC, token) order.
+
+    Scale: one token-count aggregate (partial-agg'd, Zipf-small), a
+    bounded top-{NEG_VOCAB} TakeOrderedAndProject, and a window over
+    {NEG_VOCAB} rows — constant-size state over any corpus.  Sampling
+    itself is a range join of draws against this broadcastable table.
+    """
+    from pyspark.sql import Window
+
+    docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    top = (
+        vocab.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(NEG_VOCAB)
+        .select("tok", "cnt", F.expr(_NEG_W).alias("w_micro"))
+    )
+    # bounded window: NEG_VOCAB rows post-limit (the sanctioned case)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.orderBy(F.desc("cnt"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = top.select(
+        "tok",
+        "cnt",
+        "w_micro",
+        (F.sum("w_micro").over(w) - F.col("w_micro")).cast("long").alias("cum_lo"),
+        F.sum("w_micro").over(w).cast("long").alias("cum_hi"),
+        F.sum("w_micro").over(wt).cast("long").alias("w_total"),
+    )
+    return cum.select(
+        "tok",
+        "cnt",
+        "w_micro",
+        "cum_lo",
+        "cum_hi",
+        round4(F.col("w_micro").cast("double") / F.col("w_total").cast("double")).alias(
+            "prob"
+        ),
+    ).orderBy(F.desc("cnt"), F.asc("tok"))

@@ -287,15 +287,17 @@ def streaming_spend_cells(events: DataFrame) -> DataFrame:
 
 
 def streaming_daily_revenue_cells(events: DataFrame) -> DataFrame:
-    """Streaming twin of `acf_daily_revenue`'s sufficient statistics: the
-    per-day purchase cents sums maintained as a plain streaming
-    aggregation.  Cents are commutative integer sums, so the drained
-    stream's final day table equals the batch daily series EXACTLY under
-    any micro-batch split — and the ACF at every lag is a deterministic
-    function of that table (n-scaled integer deviations, exact folds),
-    so the autocorrelation monitor can run continuously without ever
-    rescanning history.  State is one row per day (decades ≈ 10⁴ rows),
-    the series itself, not the events.
+    """Streaming twin of the day-table sufficient statistics behind the
+    whole daily time-series family: per-day purchase cents sums AND order
+    counts maintained as one plain streaming aggregation.  Both are
+    commutative integer sums, so the drained stream's final day table
+    equals the batch daily series EXACTLY under any micro-batch split —
+    and `acf_daily_revenue`, the SES/Brown/Holt–Winters smoothers, the
+    runs/Mann–Kendall/Theil–Sen trend monitors and `jackknife_aov_se`
+    are all deterministic functions of that table (integer folds), so the
+    ENTIRE monitor family can run continuously without ever rescanning
+    history.  State is one row per day (decades ≈ 10⁴ rows), the series
+    itself, not the events.
     """
     return (
         events.filter(F.col("event_type") == "purchase")
@@ -303,7 +305,8 @@ def streaming_daily_revenue_cells(events: DataFrame) -> DataFrame:
         .agg(
             F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
             .cast("long")
-            .alias("cents")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
     )
 
