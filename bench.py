@@ -106,14 +106,23 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
-        df = fn(spark, sf_dir)
-        samples = []
-        for i in range(reps):
-            t0 = time.perf_counter()
-            rows = df.collect()
-            samples.append(time.perf_counter() - t0)
+        # A query that breaks at an exploratory scale (the round-6 100x run
+        # died on the FIRST query's overflow and lost the whole record) is
+        # itself a finding — record it and keep benchmarking the rest.
+        try:
+            df = fn(spark, sf_dir)
+            samples = []
+            for i in range(reps):
+                t0 = time.perf_counter()
+                rows = df.collect()
+                samples.append(time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = str(e).split("\n")[0][:300]
+            print(f"# {name}: ERROR {errors[name][:160]}", file=sys.stderr)
+            continue
         cold[name] = round(samples[0], 3)
         samples.sort()
         mid = len(samples) // 2
@@ -137,6 +146,8 @@ def main() -> None:
         "cold_queries": cold,
         "sf": sf,
     }
+    if errors:
+        record["errors"] = errors
     line = json.dumps(record)
     # The driver's log capture keeps only the last ~2 KB of stdout and the
     # full 150+-query line exceeds that (BENCH_r02/r03 recorded parsed:null);

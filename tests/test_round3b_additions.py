@@ -391,8 +391,21 @@ def test_phash_banding_is_pigeonhole_complete(spark):
     out = registry.QUERIES["media_phash_neardup"](spark, SF_TEST)
     got = {(r["id_1"], r["id_2"]) for r in out.collect()}
     assert got == brute
-    # the planted exact dups must appear (hamming 0 pairs exist)
-    assert any(ph[a] == ph[b] for a, b in got)
+    # Byte-identical payloads MUST surface as a hamming-0 pair.  sf0.01
+    # has no byte-identical texts (the 16-bit era's hamming-0 pairs were
+    # random hash collisions, gone at 32 bits), so plant one explicitly
+    # and push it through the same decode seam.
+    dup = spark.createDataFrame(
+        [(900001, "planted duplicate payload"), (900002, "planted duplicate payload"),
+         (900003, "a different text entirely")],
+        "doc_id long, text string",
+    )
+    dph = {
+        r["doc_id"]: r["phash"]
+        for r in decode_image_phash(attach_binary_payload(dup)).collect()
+    }
+    assert dph[900001] == dph[900002]
+    assert dph[900001] != dph[900003]
 
 
 def test_phash_exact_dups_hash_identically(spark):

@@ -33,6 +33,10 @@ except ImportError:
     HAVE_PIL = False
 
 FEATURE_DIM = 16
+# pHash feature width (bytes == emitted bits).  Wider than FEATURE_DIM on
+# purpose — see decode_image_phash: band collision mass at scale is the
+# constraint, not feature richness.
+PHASH_FEATURE_BYTES = 32
 
 _FEATURES_SCHEMA = (
     "doc_id long, mime string, n_bytes int, width int, height int, "
@@ -165,12 +169,17 @@ def decode_image_phash(
     payload_col: str = "payload",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Perceptual-hash leg of the decode seam: emit a 16-bit pHash per
-    payload from the decoded feature bytes — bit i set iff 16·b_i > Σb
+    """Perceptual-hash leg of the decode seam: emit a 32-bit pHash per
+    payload from the decoded feature bytes — bit i set iff 32·b_i > Σb
     (sign-vs-mean, the classic pHash reduction, stated in pure INTEGER
-    arithmetic so the DuckDB twin is bit-exact).
+    arithmetic so the DuckDB twin is bit-exact).  32 bits (two md5
+    digests as the stub's 32 feature bytes) since round 6: the r5 scaled
+    run measured the original 16-bit/2×8-band config's random collision
+    mass growing quadratically (24.7× at 10× data — the SRP lesson on the
+    pHash family); 16-bit bands cut it 2^8× while pigeonhole completeness
+    for hamming ≤ 1 is unchanged (2 bands > 1 differing bit).
 
-    STUB decode like `decode_image_features` (md5 digest stands in for
+    STUB decode like `decode_image_features` (md5 digests stand in for
     DCT coefficients of real pixels); the hash->band->hamming pipeline
     downstream is the real production shape.  Runs in the same Arrow-
     batched ``mapInPandas`` seam; payloads never shuffle."""
@@ -179,10 +188,18 @@ def decode_image_phash(
         for pdf in batches:
             phashes = []
             for p in pdf[payload_col]:
-                d = hashlib.md5(bytes(p)).digest()[:FEATURE_DIM]
+                raw = bytes(p)
+                d = (
+                    hashlib.md5(raw).digest()
+                    + hashlib.md5(b"ph2|" + raw).digest()
+                )[:PHASH_FEATURE_BYTES]
                 tot = sum(d)
                 phashes.append(
-                    sum((1 << i) for i, b in enumerate(d) if 16 * b > tot)
+                    sum(
+                        (1 << i)
+                        for i, b in enumerate(d)
+                        if PHASH_FEATURE_BYTES * b > tot
+                    )
                 )
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].to_numpy(), "phash": phashes},

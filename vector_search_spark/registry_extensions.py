@@ -738,21 +738,36 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Media perceptual-hash near-dup: the multimodal arm of the dedup family.
 # ---------------------------------------------------------------------------
-PHASH_BITS = 16
-PHASH_BANDS = 2  # 8-bit bands: pigeonhole-complete for hamming <= 1
+# 32-bit hash, 2 × 16-bit bands since round 6 (was 16-bit / 2 × 8): the
+# r5 scaled run measured the 8-bit bands' RANDOM collision mass growing
+# quadratically (24.7× runtime at 10× data) — the same LSH-width lesson as
+# dedup_embedding_srp, applied to the pHash family.  16-bit bands cut the
+# random mass 2^8× per band; pigeonhole completeness for hamming ≤ 1 is
+# unchanged (2 bands > 1 differing bit).
+PHASH_BITS = 32
+PHASH_BANDS = 2
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+PHASH_BAND_MASK = (1 << PHASH_BAND_BITS) - 1
 PHASH_MAX_HAMMING = 1
 
-_SQL_PHASH_BYTES = ", ".join(
-    f"('0x' || substr(md5(text), {2 * i + 1}, 2))::BIGINT AS b{i}"
-    for i in range(PHASH_BITS)
-)
+
+def _phash_byte_sql(i: int) -> str:
+    # byte i of the 32-byte stub feature vector: md5(text) ++ md5('ph2|'||text)
+    if i < 16:
+        return f"('0x' || substr(md5(text), {2 * i + 1}, 2))::BIGINT"
+    return f"('0x' || substr(md5('ph2|' || text), {2 * (i - 16) + 1}, 2))::BIGINT"
+
+
+_SQL_PHASH_BYTES = ", ".join(f"{_phash_byte_sql(i)} AS b{i}" for i in range(PHASH_BITS))
 _SQL_PHASH_TOT = " + ".join(f"b{i}" for i in range(PHASH_BITS))
 _SQL_PHASH_VAL = " + ".join(
-    f"(CASE WHEN 16 * b{i} > tot THEN {1 << i} ELSE 0 END)" for i in range(PHASH_BITS)
+    f"(CASE WHEN {PHASH_BITS} * b{i} > tot THEN {1 << i} ELSE 0 END)"
+    for i in range(PHASH_BITS)
 )
 _SQL_PHASH_CAND = " UNION ".join(
     f"SELECT x.doc_id AS id_1, y.doc_id AS id_2 FROM ph x "
-    f"JOIN ph y ON ((x.phash >> {8 * k}) & 255) = ((y.phash >> {8 * k}) & 255) "
+    f"JOIN ph y ON ((x.phash >> {PHASH_BAND_BITS * k}) & {PHASH_BAND_MASK})"
+    f" = ((y.phash >> {PHASH_BAND_BITS * k}) & {PHASH_BAND_MASK}) "
     f"AND x.doc_id < y.doc_id"
     for k in range(PHASH_BANDS)
 )
@@ -777,11 +792,14 @@ _SQL_PHASH_CAND = " UNION ".join(
 )
 def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate detection for media payloads — the
-    multimodal twin of SimHash dedup: Arrow-batched decode emits a 16-bit
+    multimodal twin of SimHash dedup: Arrow-batched decode emits a 32-bit
     pHash (sign-vs-mean over decoded feature bytes, integer-exact), hashes
-    are banded into two 8-bit segments (pigeonhole: hamming <= 1 ⟹ some
+    are banded into two 16-bit segments (pigeonhole: hamming <= 1 ⟹ some
     band equal), candidates equal on >= 1 band are verified with an exact
-    XOR popcount.  With the honest stub decoder only byte-identical
+    XOR popcount.  Band width is the measured scale knob: the r5 decade
+    run showed 8-bit bands' random collision mass quadratic (24.7× at
+    10×); 16-bit bands cut it 2^8× at identical hamming-1 completeness.
+    With the honest stub decoder only byte-identical
     payloads hash close (hamming 0); with a real DCT the same pipeline
     finds re-encoded/resized images — ONLY the UDF body changes.
 
@@ -795,7 +813,9 @@ def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = decode_image_phash(attach_binary_payload(docs)).persist()
     cands = None
     for k in range(PHASH_BANDS):
-        band = (F.shiftright(F.col("phash"), 8 * k) % 256).alias("band")
+        band = (
+            F.shiftright(F.col("phash"), PHASH_BAND_BITS * k) % (PHASH_BAND_MASK + 1)
+        ).alias("band")
         x = ph.select(F.col("doc_id").alias("id_1"), F.col("phash").alias("ph_1"), band)
         y = ph.select(F.col("doc_id").alias("id_2"), F.col("phash").alias("ph_2"), band)
         c = x.join(y, "band").filter(F.col("id_1") < F.col("id_2")).drop("band")

@@ -1636,6 +1636,11 @@ CUPED_PRE_DAYS = 14
 # All operands are exact integer sufficient statistics (cents sums and
 # HUGEINT/DECIMAL(38,0) products); the n-scalings cancel inside the ratios
 # so theta and rho^2 are single shared DOUBLE texts.
+# nn/sx/sy arrive WIDE (HUGEINT / DECIMAL(38,0)) from the pool aggregate:
+# the sx*sy and sx*sx cross-products overflow BIGINT once corpus revenue
+# passes ~3e9 total cents — found LIVE by the round-6 100x bench run
+# (ab_cuped_adjustment was the first query and died on ARITHMETIC_OVERFLOW);
+# with wide inputs the shared text below computes exactly in both engines.
 _CUPED_THETA = (
     "(CAST(nn * sxy - sx * sy AS DOUBLE) / CAST(nn * sxx - sx * sx AS DOUBLE))"
 )
@@ -1668,8 +1673,8 @@ _CUPED_ADJ = (
                       THEN floor(value*100 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS y
       FROM events GROUP BY user_id),
     pool AS (
-      SELECT count(*)::BIGINT AS nn,
-             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      SELECT count(*)::HUGEINT AS nn,
+             sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
              sum(x::HUGEINT * y) AS sxy,
              sum(x::HUGEINT * x) AS sxx,
              sum(y::HUGEINT * y) AS syy
@@ -1786,9 +1791,9 @@ def q_ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("a_syy"),
     ).localCheckpoint(eager=True)
     pool = arms_full.agg(
-        F.sum("a_n").cast("long").alias("nn"),
-        F.sum("a_sx").cast("long").alias("sx"),
-        F.sum("a_sy").cast("long").alias("sy"),
+        F.sum("a_n").cast("decimal(38,0)").alias("nn"),
+        F.sum("a_sx").cast("decimal(38,0)").alias("sx"),
+        F.sum("a_sy").cast("decimal(38,0)").alias("sy"),
         F.sum("a_sxy").cast("decimal(38,0)").alias("sxy"),
         F.sum("a_sxx").cast("decimal(38,0)").alias("sxx"),
         F.sum("a_syy").cast("decimal(38,0)").alias("syy"),
