@@ -104,10 +104,20 @@ def main() -> None:
     # (and summed as cold_total_sec) so nothing is hidden — a production
     # pipeline compiles once and runs the plan many times.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Exploratory-scale runs can exclude the documented quadratic-by-design
+    # demo/baseline queries (e.g. the exact O(n²) dedup_embedding_cosine and
+    # the narrow-band SRP demo at 100×, where they are hours of compute and
+    # an OOM by design, not a regression).  Never set for driver runs.
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
+    }
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
+        if name in skip:
+            print(f"# {name}: SKIPPED (SPARK_GRAFT_BENCH_SKIP)", file=sys.stderr)
+            continue
         fn = registry.QUERIES[name]
         # A query that breaks at an exploratory scale (the round-6 100x run
         # died on the FIRST query's overflow and lost the whole record) is

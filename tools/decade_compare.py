@@ -1,0 +1,68 @@
+"""Compare two bench records one decade apart and classify per-query growth.
+
+Usage:
+    python tools/decade_compare.py <lower_record.json> <upper_record.json>
+
+Same classification thresholds as tools/scaling_report.py (r ≤ 3 sublinear,
+3–13 linear for a 10× decade, >13 superlinear, <0.25 s at the upper scale =
+overhead-bound), but takes ANY two records (e.g. the r5 10× record vs the
+r6 100× record) and tolerates query-set drift between rounds — queries
+present in only one record are listed, not compared.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    raise SystemExit(f"no JSON record in {path}")
+
+
+def main() -> None:
+    lo, hi = load(sys.argv[1]), load(sys.argv[2])
+    lq, hq = lo["queries"], hi["queries"]
+    both = sorted(set(lq) & set(hq))
+    only_lo = sorted(set(lq) - set(hq))
+    only_hi = sorted(set(hq) - set(lq))
+    classes: dict[str, list] = {
+        "overhead_bound": [], "sublinear": [], "linear": [], "superlinear": []
+    }
+    for n in both:
+        t_lo, t_hi = lq[n], hq[n]
+        if t_hi < 0.25:
+            classes["overhead_bound"].append(n)
+            continue
+        r = t_hi / max(t_lo, 1e-9)
+        if r <= 3:
+            classes["sublinear"].append((n, t_lo, t_hi, round(r, 1)))
+        elif r <= 13:
+            classes["linear"].append((n, t_lo, t_hi, round(r, 1)))
+        else:
+            classes["superlinear"].append((n, t_lo, t_hi, round(r, 1)))
+    print(f"lower: {sys.argv[1]} sf={lo.get('sf')} n={len(lq)} "
+          f"warm={lo.get('value')} setup={lo.get('setup_sec')} "
+          f"cold={lo.get('cold_total_sec')}")
+    print(f"upper: {sys.argv[2]} sf={hi.get('sf')} n={len(hq)} "
+          f"warm={hi.get('value')} setup={hi.get('setup_sec')} "
+          f"cold={hi.get('cold_total_sec')}")
+    print(f"compared={len(both)} only_lower={len(only_lo)} only_upper={len(only_hi)}")
+    for k in ("overhead_bound", "sublinear", "linear", "superlinear"):
+        print(f"\n{k}: {len(classes[k])}")
+        if k != "overhead_bound":
+            for row in sorted(classes[k], key=lambda t: -t[3]):
+                print("  %-40s %8.3f -> %8.3f  (%sx)" % row)
+    if hi.get("errors"):
+        print("\nupper-record errors:")
+        for n, e in hi["errors"].items():
+            print(f"  {n}: {e[:120]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -422,7 +422,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     top_m: int = 50,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Top-m most-similar vector pairs by dot product (unit vectors ⇒ cosine).
 
@@ -450,6 +450,19 @@ def embedding_neardup_pairs(
 
     from ..functions.vector import dot_product
 
+    if n_buckets is None:
+        # Adaptive blocking (the "scale n_buckets ∝ corpus size" rule above,
+        # now enforced instead of advised): target ≤ ~2,000 vectors per
+        # bucket so a block's BLAS product tops out near (2·2,000)² doubles
+        # ≈ 128 MB per task.  The round-6 100× run OOM-killed a 96 GB JVM
+        # here with the old FIXED 8 buckets (two 25k-vector buckets → a
+        # 20 GB score matrix per task).  Bucket count does not affect the
+        # RESULT — the (min,max)-block pigeonhole covers every pair for any
+        # n_buckets — only the per-task working set (invariance-suite
+        # covered).  One count() job prices the corpus; it runs once at
+        # build time, like an index-build statistic.
+        n = emb.count()
+        n_buckets = min(256, max(8, -(-n // 2000)))
     bucket = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("long") % n_buckets
