@@ -168,3 +168,18 @@ def test_wilson_lcb_properties(spark):
         p, n, z = r["x"] / r["n"], r["n"], 1.96
         lcb = (p + z*z/(2*n) - z*math.sqrt((p*(1-p) + z*z/(4*n))/n)) / (1 + z*z/n)
         assert r["wilson_lcb"] == math.floor(math.floor(lcb*1e9 + 0.5)/1e9*10000 + 0.5)/10000.0
+
+
+def test_negative_sampling_draws_gates(spark):
+    compare_with_oracle(
+        registry.QUERIES["negative_sampling_draws"](spark, SF_TEST),
+        registry.ORACLES["negative_sampling_draws"],
+        SF_TEST,
+    )
+    rows = registry.QUERIES["negative_sampling_draws"](spark, SF_TEST).collect()
+    # the CDF tiles [0, total): every draw lands exactly once
+    assert sum(r["n_drawn"] for r in rows) == 10_000
+    # draw counts concentrate: every token within 6 sigma of expectation
+    for r in rows:
+        sd = math.sqrt(max(r["expected_n"], 1.0))
+        assert abs(r["n_drawn"] - r["expected_n"]) <= 6 * sd, tuple(r)

@@ -258,7 +258,17 @@ def q_knn_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             % LOO_MOD
         )
         == 0
-    ).orderBy("vec_id").limit(LOO_CAP).localCheckpoint(eager=True)
+    )
+    # the cap (TakeOrderedAndProject) collapses to ONE partition — fan the
+    # slice back out before materializing or the whole LOO scoring pass
+    # runs as a single task (measured 0.04 s → 2.0 s at sf0.1 when the cap
+    # first landed without this)
+    samp = (
+        samp.orderBy("vec_id")
+        .limit(LOO_CAP)
+        .repartition("vec_id")
+        .localCheckpoint(eager=True)
+    )
     q = samp.select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("true_label"),

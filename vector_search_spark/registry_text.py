@@ -2268,3 +2268,127 @@ def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
     ).orderBy(F.desc("cnt"), F.asc("tok"))
+
+
+# ---------------------------------------------------------------------------
+# Draws against the negative-sampling CDF — the consuming side of the
+# table above, as a broadcast RANGE join (how a trainer actually samples).
+# ---------------------------------------------------------------------------
+NEG_DRAWS = 10_000
+
+
+@register(
+    "negative_sampling_draws",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE trim(text) != ''),
+    vocab AS (SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+    top AS (
+      SELECT tok, cnt, {_NEG_W} AS w_micro
+      FROM vocab ORDER BY cnt DESC, tok LIMIT {NEG_VOCAB}),
+    cum AS (
+      SELECT tok, w_micro,
+             (sum(w_micro) OVER (ORDER BY cnt DESC, tok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - w_micro)::BIGINT AS cum_lo,
+             (sum(w_micro) OVER (ORDER BY cnt DESC, tok
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS cum_hi,
+             sum(w_micro) OVER ()::BIGINT AS w_total
+      FROM top),
+    draws AS (
+      SELECT ('0x' || substr(md5('negdraw|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+               % (SELECT any_value(w_total) FROM cum) AS u
+      FROM generate_series(0, {NEG_DRAWS - 1}) AS t(i)),
+    hit AS (
+      SELECT c.tok, c.w_micro, c.w_total, count(*)::BIGINT AS n_drawn
+      FROM draws d JOIN cum c ON d.u >= c.cum_lo AND d.u < c.cum_hi
+      GROUP BY 1, 2, 3)
+    SELECT tok, n_drawn,
+           floor((CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE)
+                  * {NEG_DRAWS}) * 10000 + 0.5)/10000.0 AS expected_n
+    FROM hit
+    ORDER BY n_drawn DESC, tok
+    """,
+)
+def q_negative_sampling_draws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{NEG_DRAWS} deterministic md5 draws against the negative-sampling
+    CDF, resolved with a broadcast RANGE join (cum_lo ≤ u < cum_hi) — the
+    consuming side of `negative_sampling_table`, demonstrating that
+    sampling negatives is a pure join against the broadcast artifact
+    (no RNG state, no driver loop): every executor resolves its own
+    draws, and reruns are bit-reproducible.  Emits per-token draw counts
+    beside the expected counts — the sampling-quality readout (counts
+    concentrate within multinomial noise of expectation).
+
+    Determinism: draws are md5('negdraw|i') mod Σw — integer ops,
+    identical in both engines (modulo bias < 2^-30 of the 60-bit hash
+    space, a property of the DEFINED statistic, not a flaw); the range
+    join is against exact BIGINT CDF ranges.
+
+    Scale: the draw table generates from a sequence (no input scan);
+    the CDF is a bounded broadcast; the join is O(draws · log vocab) in
+    any engine that range-partitions — at 100 TB you'd generate draws
+    per-partition alongside the training rows they serve.
+    """
+    from pyspark.sql import Window
+
+    docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    top = (
+        vocab.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(NEG_VOCAB)
+        .select("tok", "cnt", F.expr(_NEG_W).alias("w_micro"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.orderBy(F.desc("cnt"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = top.select(
+        "tok",
+        "w_micro",
+        (F.sum("w_micro").over(w) - F.col("w_micro")).cast("long").alias("cum_lo"),
+        F.sum("w_micro").over(w).cast("long").alias("cum_hi"),
+        F.sum("w_micro").over(wt).cast("long").alias("w_total"),
+    ).localCheckpoint(eager=True)  # bounded CDF artifact; draws + emit reuse it
+    wtot = cum.agg(F.first("w_total").alias("w_total"))
+    draws = (
+        spark.range(0, NEG_DRAWS)
+        .crossJoin(F.broadcast(wtot))
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("negdraw|"), F.col("id").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("w_total")
+            ).alias("u")
+        )
+    )
+    hit = (
+        draws.join(
+            F.broadcast(cum),
+            (F.col("u") >= F.col("cum_lo")) & (F.col("u") < F.col("cum_hi")),
+        )
+        .groupBy("tok", "w_micro", "w_total")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_drawn"))
+    )
+    return hit.select(
+        "tok",
+        "n_drawn",
+        F.expr(
+            f"CAST(floor((CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE)"
+            f" * {NEG_DRAWS}) * 10000 + 0.5)/10000.0 AS DOUBLE)"
+        ).alias("expected_n"),
+    ).orderBy(F.desc("n_drawn"), F.asc("tok"))
