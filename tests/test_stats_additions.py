@@ -183,3 +183,29 @@ def test_negative_sampling_draws_gates(spark):
     for r in rows:
         sd = math.sqrt(max(r["expected_n"], 1.0))
         assert abs(r["n_drawn"] - r["expected_n"]) <= 6 * sd, tuple(r)
+
+
+@pytest.mark.parametrize("name", ["lsh_blocking_quality", "mutual_knn_pairs"])
+def test_dedup_eval_queries_match_oracle(spark, name):
+    compare_with_oracle(
+        registry.QUERIES[name](spark, SF_TEST), registry.ORACLES[name], SF_TEST
+    )
+
+
+def test_lsh_blocking_quality_properties(spark):
+    r = registry.QUERIES["lsh_blocking_quality"](spark, SF_TEST).collect()[0]
+    assert r["n_all_pairs"] == r["n_docs"] * (r["n_docs"] - 1) // 2
+    assert 0 <= r["n_caught"] <= min(r["n_true"], r["n_candidates"])
+    assert 0.0 <= r["pair_completeness"] <= 1.0
+    # blocking must actually block: >99% of the pair square pruned
+    assert r["reduction_ratio"] > 0.99
+    # the fixture's exact-dup pairs are jaccard-1: the bands MUST catch them
+    assert r["pair_completeness"] == 1.0
+
+
+def test_mutual_knn_is_symmetric_subset(spark):
+    rows = registry.QUERIES["mutual_knn_pairs"](spark, SF_TEST).collect()
+    assert rows, "mutual pairs exist on the fixture"
+    for r in rows:
+        assert r["id_1"] < r["id_2"]
+        assert 1 <= r["rank_12"] <= 5 and 1 <= r["rank_21"] <= 5

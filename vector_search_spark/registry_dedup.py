@@ -2005,3 +2005,158 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH blocking-quality audit: pair completeness + reduction ratio of the
+# MinHash banding against exact all-pairs ground truth on a bounded sample.
+# ---------------------------------------------------------------------------
+BLOCKEVAL_MOD = 5
+BLOCKEVAL_CAP = 400
+BLOCKEVAL_J2 = "3 * shared >= n1 + n2"  # jaccard >= 1/2, exact integers:
+# shared/(n1+n2-shared) >= 1/2  <=>  3*shared >= n1+n2 — no float threshold
+
+
+@register(
+    "lsh_blocking_quality",
+    oracle=f"""
+    WITH samp AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      WHERE ('0x' || substr(md5('blockeval' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % {BLOCKEVAL_MOD} = 0
+      ORDER BY doc_id LIMIT {BLOCKEVAL_CAP}),
+    {_SQL_SHINGLES.replace("FROM documents", "FROM samp")},
+    {_SQL_SIG},
+    banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
+    cand AS (SELECT DISTINCT id_1, id_2 FROM ({_SQL_CAND})),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+    shared AS (
+      SELECT x.doc_id AS id_1, y.doc_id AS id_2, count(*)::BIGINT AS shared
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT s.id_1, s.id_2
+      FROM shared s
+      JOIN sizes a ON s.id_1 = a.doc_id
+      JOIN sizes b ON s.id_2 = b.doc_id
+      WHERE 3 * s.shared >= a.n_sh + b.n_sh),
+    nd AS (SELECT count(*)::BIGINT AS n_docs FROM samp),
+    agg AS (
+      SELECT (SELECT n_docs FROM nd) AS n_docs,
+             ((SELECT n_docs FROM nd) * ((SELECT n_docs FROM nd) - 1) / 2)::BIGINT
+               AS n_all_pairs,
+             (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+             (SELECT count(*) FROM truth)::BIGINT AS n_true,
+             (SELECT count(*) FROM truth t JOIN cand c
+               ON t.id_1 = c.id_1 AND t.id_2 = c.id_2)::BIGINT AS n_caught)
+    SELECT n_docs, n_all_pairs, n_candidates, n_true, n_caught,
+           CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE)
+                ELSE floor((CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE))
+                           *10000 + 0.5)/10000.0 END AS pair_completeness,
+           floor((1.0 - CAST(n_candidates AS DOUBLE)
+                      / CAST(n_all_pairs AS DOUBLE))*10000 + 0.5)/10000.0
+             AS reduction_ratio
+    FROM agg
+    """,
+)
+def q_lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit of the MinHash-LSH candidate generator —
+    the two numbers every entity-resolution / dedup blocking scheme is
+    judged by (Christen 2012): PAIR COMPLETENESS (recall: what fraction
+    of truly-similar pairs the bands catch) and REDUCTION RATIO (what
+    fraction of the all-pairs square the bands prune away).  Ground
+    truth is the EXACT all-pairs shingle Jaccard ≥ 1/2 — computable only
+    on a bounded sample, which is exactly how production audits run it
+    (the md5 slice capped at the lowest-{BLOCKEVAL_CAP} doc_ids; the
+    knn_loo_eval sampling discipline).  A full-corpus version of the
+    truth side would be O(n²) — the audit exists precisely because the
+    production path never computes it.
+
+    Exactness: the truth threshold is the INTEGER identity 3·shared ≥
+    n1+n2 (jaccard ≥ 1/2 without a float); candidates are the same
+    md5-banded keys the production cascade uses; both ratios are single
+    shared double texts floor-quantized at emission.
+
+    Scale: everything is sample-bounded except the artifact being
+    audited (band keys), which is linear by construction.
+    """
+    from .operators.dedup import minhash_band_table, minhash_signatures, shingle_table
+
+    docs = __load(spark, sf_dir, "documents")
+    samp = (
+        docs.filter(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("blockeval"), F.col("doc_id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % BLOCKEVAL_MOD
+            )
+            == 0
+        )
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(BLOCKEVAL_CAP)
+        .repartition("doc_id")  # fan the capped sample back out (LOO lesson)
+        .localCheckpoint(eager=True)
+    )
+    sh = shingle_table(samp, "doc_id", "text", SHINGLE_N).localCheckpoint(eager=True)
+    sig = minhash_signatures(samp, shingled=sh, num_hashes=NUM_HASHES)
+    banded = minhash_band_table(sig, num_hashes=NUM_HASHES, bands=BANDS)
+    x = banded.select(F.col("doc_id").alias("id_1"), "band", "key")
+    y = banded.select(F.col("doc_id").alias("id_2"), "band", "key")
+    cand = (
+        x.join(y, ["band", "key"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    shared = (
+        sh.select(F.col("doc_id").alias("id_1"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("id_2"), "shingle"), "shingle")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    truth = (
+        shared.join(sizes.select(F.col("doc_id").alias("id_1"), F.col("n_sh").alias("n1")), "id_1")
+        .join(sizes.select(F.col("doc_id").alias("id_2"), F.col("n_sh").alias("n2")), "id_2")
+        .filter(F.expr(BLOCKEVAL_J2))
+        .select("id_1", "id_2")
+        .localCheckpoint(eager=True)
+    )
+    nd = samp.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_caught = truth.join(cand, ["id_1", "id_2"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_caught")
+    )
+    return (
+        nd.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_caught))
+        .select(
+            "n_docs",
+            F.expr("CAST(n_docs * (n_docs - 1) / 2 AS BIGINT)").alias("n_all_pairs"),
+            "n_candidates",
+            "n_true",
+            "n_caught",
+            F.expr(
+                "CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE)"
+                " ELSE CAST(floor((CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE))"
+                "*10000 + 0.5)/10000.0 AS DOUBLE) END"
+            ).alias("pair_completeness"),
+            F.expr(
+                "CAST(floor((1.0 - CAST(n_candidates AS DOUBLE)"
+                " / CAST(n_docs * (n_docs - 1) / 2 AS DOUBLE))*10000 + 0.5)"
+                "/10000.0 AS DOUBLE)"
+            ).alias("reduction_ratio"),
+        )
+    )

@@ -1237,3 +1237,119 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "/10000.0 AS DOUBLE)"
         ).alias("max_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual (reciprocal) k-NN pairs over the SRP candidate graph — the
+# precision filter for near-dup mining: keep (a, b) only when each is in
+# the other's top-k, computed on ANN candidates, never all pairs.
+# ---------------------------------------------------------------------------
+MKNN_K = 5
+
+_SQL_MKNN_CAND = " UNION ".join(
+    f"SELECT a.vec_id AS q_id, b.vec_id AS c_id FROM bt a "
+    f"JOIN bt b ON a.b{i} = b.b{i} AND a.vec_id != b.vec_id"
+    for i in range(_SRPW_BANDS)
+)
+
+
+@register(
+    "mutual_knn_pairs",
+    oracle=f"""
+    WITH sig AS (SELECT vec_id, ({_SQL_SRPW_SIG}) AS sig FROM embeddings),
+    bt AS (SELECT vec_id, {_SQL_SRPW_BANDS} FROM sig),
+    cand AS (SELECT DISTINCT q_id, c_id FROM ({_SQL_MKNN_CAND})),
+    topk AS (
+      SELECT q_id, c_id, rank FROM (
+        SELECT c.q_id, c.c_id,
+               row_number() OVER (PARTITION BY c.q_id ORDER BY
+                 list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                 c.c_id) AS rank
+        FROM cand c
+        JOIN embeddings q ON c.q_id = q.vec_id
+        JOIN embeddings e ON c.c_id = e.vec_id)
+      WHERE rank <= {MKNN_K}),
+    mutual AS (
+      SELECT f.q_id AS id_1, f.c_id AS id_2,
+             f.rank::BIGINT AS rank_12, r.rank::BIGINT AS rank_21
+      FROM topk f JOIN topk r ON f.q_id = r.c_id AND f.c_id = r.q_id
+      WHERE f.q_id < f.c_id)
+    SELECT m.id_1, m.id_2, m.rank_12, m.rank_21,
+           floor(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 *10000 + 0.5)/10000.0 AS cosine
+    FROM mutual m
+    JOIN embeddings a ON m.id_1 = a.vec_id
+    JOIN embeddings b ON m.id_2 = b.vec_id
+    ORDER BY list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+             m.id_1, m.id_2
+    LIMIT 50
+    """,
+)
+def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal (mutual) k-NN pairs: (a, b) kept only when b is in a's
+    top-5 AND a is in b's top-5 — the standard precision filter for
+    near-dup mining and re-ranking (one-directional neighbors are often
+    hubness artifacts: a generic vector appears in everyone's list
+    without its own list reciprocating).  Neighborhoods are computed on
+    the SRP-LSH candidate graph (the session-shared wide-band index),
+    so the whole operator is candidate-bounded — never an all-pairs
+    scan — and, because SRP planes are md5 constants, bit-exactly
+    oracle-checkable end to end, top-k ranks included.
+
+    Scale: directed candidates from the band self-join (linear-ish by
+    the wide-band collision analysis), per-node top-5 via one keyed
+    window (WindowGroupLimit prunes map-side), mutuality as a self-join
+    of the bounded top-k edge list on the reversed key — O(n·k) rows.
+    Final top-50 is TakeOrderedAndProject.
+    """
+    from .functions.vector import dot_product
+
+    ib = _shared_srpw_index(spark, sf_dir)
+    l = ib.select(F.col("vec_id").alias("q_id"), "band", "val")
+    r = ib.select(F.col("vec_id").alias("c_id"), "band", "val")
+    cand = (
+        l.join(r, ["band", "val"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    emb = __load(spark, sf_dir, "embeddings")
+    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    cv = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("c_id"))
+    topk = (
+        cand.join(qv, "q_id")
+        .join(cv, "c_id")
+        .select("q_id", "c_id", dot_product("qe", "ce").alias("s"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MKNN_K)
+        .select("q_id", "c_id", "rank")
+        # the bounded top-k edge list feeds both sides of the mutuality
+        # self-join — cut it or the candidate scoring replays twice
+        .localCheckpoint(eager=True)
+    )
+    rev = topk.select(
+        F.col("c_id").alias("q_id"), F.col("q_id").alias("c_id"),
+        F.col("rank").alias("rank_21"),
+    )
+    mutual = (
+        topk.join(rev, ["q_id", "c_id"])
+        .filter(F.col("q_id") < F.col("c_id"))
+        .select(
+            F.col("q_id").alias("id_1"), F.col("c_id").alias("id_2"),
+            F.col("rank").cast("long").alias("rank_12"),
+            F.col("rank_21").cast("long").alias("rank_21"),
+        )
+    )
+    e1 = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("v1"))
+    e2 = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("v2"))
+    return (
+        mutual.join(e1, "id_1")
+        .join(e2, "id_2")
+        .withColumn("cos", dot_product("v1", "v2"))
+        .orderBy(F.desc("cos"), "id_1", "id_2")
+        .limit(50)
+        .select("id_1", "id_2", "rank_12", "rank_21", round4("cos").alias("cosine"))
+    )
