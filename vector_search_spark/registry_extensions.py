@@ -352,17 +352,26 @@ _SQL_SRP_PAIR_CAND = " UNION ".join(
     for i in range(_SRP_BANDS)
 )
 
-# Scale-tuned WIDE banding (4 bands × 8 bits, independent 'srpw' planes):
-# the production knob the measured 10× run demonstrates.  With B-bit bands
-# a random pair collides with probability ~bands·2^-B, so bucket pair
-# counts grow ~n²·2^-B — the narrow 4-bit demo banding keeps recall
-# respectable on this isotropic fixture but its candidates grow
-# quadratically (measured 95× at 10×); widening to 8-bit bands divides
-# the random-collision mass by 16 per band, and at real corpus sizes the
-# rule is band bits ≳ log2(n) − log2(candidates budget per row).
-_SRPW_BITS, _SRPW_BANDS = 32, 4
-_SRPW_MASK = (1 << (_SRPW_BITS // _SRPW_BANDS)) - 1
-_PLANES_W = srp_planes(_SRP_DIM, _SRPW_BITS, seed="srpw")
+# Scale-ADAPTIVE wide banding (4 bands, independent 'srpw' planes): the
+# production semantic-dedup path.  With B-bit bands a random pair collides
+# with probability ~bands·2^-B, so candidate-pair counts grow ~n²·2^-B.
+# Round 5 measured the fixed 4-bit banding quadratic (95× at the decade);
+# round 6's fixed 8-bit banding exhausted spill disk at the 100× fixture —
+# the documented rule "band bits ∝ log₂(corpus)" is now CODE, not prose:
+#
+#     band_bits = clamp(bit_length(n) − 4,  4, 15)
+#
+# i.e. per-row random collisions per band ≈ n·2^-bits ≈ 2^3 = 8, so the
+# candidate set stays ~8·bands·n rows at ANY corpus size (500 → 5 bits,
+# 2k → 7, 20k → 11, 200k → 14).  bit_length is the engine-portable exact
+# integer log2: Python `n.bit_length()` ≡ DuckDB `length(bin(n))` for n ≥ 1
+# (no float log2 — libm rounding could disagree at decade boundaries).
+# The hyperplanes are md5-derived per (seed, plane, component), so the
+# 60-plane maximal set is PREFIX-STABLE: Spark materializes only the
+# 4·bits planes it needs, the oracle computes all 60 and masks — plane j
+# is bit-identical in both.
+_SRPW_BANDS, _SRPW_MIN_BB, _SRPW_MAX_BB = 4, 4, 15
+_PLANES_W = srp_planes(_SRP_DIM, _SRPW_BANDS * _SRPW_MAX_BB, seed="srpw")
 _SQL_SRPW_SIG = " + ".join(
     "CASE WHEN list_dot_product(embedding::DOUBLE[], [{vals}]) >= 0 "
     "THEN {w}::BIGINT ELSE 0 END".format(
@@ -370,15 +379,25 @@ _SQL_SRPW_SIG = " + ".join(
     )
     for b, plane in enumerate(_PLANES_W)
 )
-_SQL_SRPW_BANDS = ", ".join(
-    f"(sig >> {i * (_SRPW_BITS // _SRPW_BANDS)}) & {_SRPW_MASK} AS b{i}"
-    for i in range(_SRPW_BANDS)
+# Data-dependent band extraction: bt carries (sig, bits); band i of a row =
+# (sig >> i·bits) & (2^bits − 1).  Equi-join per band, UNION across bands.
+_SQL_SRPW_CFG = (
+    f"SELECT LEAST({_SRPW_MAX_BB}, GREATEST({_SRPW_MIN_BB}, "
+    f"length(bin(COUNT(*)::BIGINT)) - 4))::BIGINT AS bits FROM embeddings"
 )
 _SQL_SRPW_PAIR_CAND = " UNION ".join(
-    f"SELECT a.vec_id AS id_1, b.vec_id AS id_2 FROM bt a "
-    f"JOIN bt b ON a.b{i} = b.b{i} AND a.vec_id < b.vec_id"
+    f"SELECT a.vec_id AS id_1, b.vec_id AS id_2 FROM bt a JOIN bt b "
+    f"ON ((a.sig >> ({i} * a.bits)) & ((1::BIGINT << a.bits) - 1)) = "
+    f"((b.sig >> ({i} * b.bits)) & ((1::BIGINT << b.bits) - 1)) "
+    f"AND a.vec_id < b.vec_id"
     for i in range(_SRPW_BANDS)
 )
+
+
+def _srpw_band_bits(n: int) -> int:
+    """Adaptive SRP band width — same formula as _SQL_SRPW_CFG."""
+    return min(_SRPW_MAX_BB, max(_SRPW_MIN_BB, n.bit_length() - 4))
+
 
 _SRPW_CACHE: dict[str, tuple] = {}
 
@@ -393,8 +412,13 @@ def _shared_srpw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass
     emb = __load(spark, sf_dir, "embeddings")
+    # One count() prices the corpus at index-build time (cheap parquet
+    # metadata scan) — exactly how dedup.py's cosine blocking sizes its
+    # buckets.  Unlike bucket count there, band width DOES change the
+    # result set; the oracle derives the identical value from COUNT(*).
+    bits = _srpw_band_bits(emb.count())
     ib = srp_band_table(
-        emb, "vec_id", "embedding", _SRPW_BITS, _SRPW_BANDS,
+        emb, "vec_id", "embedding", _SRPW_BANDS * bits, _SRPW_BANDS,
         seed="srpw", dim=_SRP_DIM, spread=True,
     ).persist()
     ib.count()
@@ -405,8 +429,10 @@ def _shared_srpw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_srp",
     oracle=f"""
-    WITH sig AS (SELECT vec_id, ({_SQL_SRPW_SIG}) AS sig FROM embeddings),
-    bt AS (SELECT vec_id, {_SQL_SRPW_BANDS} FROM sig),
+    WITH cfg AS ({_SQL_SRPW_CFG}),
+    bt AS MATERIALIZED (
+      SELECT vec_id, ({_SQL_SRPW_SIG}) AS sig, cfg.bits AS bits
+      FROM embeddings, cfg),
     cand AS ({_SQL_SRPW_PAIR_CAND}),
     scored AS (
       SELECT c.id_1, c.id_2,
@@ -423,28 +449,29 @@ def _shared_srpw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding) near-dup candidates via SRP-LSH buckets +
     exact cosine rescore — the PRIMARY scale path for semantic dedup,
-    registered with the SCALE-TUNED banding: 4 bands of 8 bits,
-    independent 'srpw' hyperplanes.  (The 4-bit-band configuration this
-    replaced lives on as `dedup_embedding_srp_narrow_demo`.)
-    The measured 10× run showed the narrow banding's candidate set — and
-    hence its runtime — growing quadratically on this isotropic corpus
-    (random band collision ~bands·2⁻⁴, measured 95× at the decade);
-    widening each band to 8 bits cuts
-    the random-collision mass 16× per band (measured 13.5×), which is the
-    production rule:
-    band bits scale with log₂(corpus) so candidates stay ~linear.  The
-    tradeoff is honest and visible: real near-duplicates (cosine ≥ 0.9)
-    would still collide with high probability, but this corpus has none —
-    its top pairs sit at cosine ≈ 0.4–0.5, where 8-bit bands rarely fire,
-    so this variant returns fewer/looser pairs than the exact path.  The
-    recall floor that matters — genuinely-near pairs — is structural, not
-    measurable here, and `dedup_embedding_cosine` remains the exactness
-    reference.  Candidates AND ranks verified bit-exactly against DuckDB
-    (md5-derived planes), like every SRP path.
+    registered with SCALE-ADAPTIVE banding: 4 bands of
+    ``clamp(bit_length(n) − 4, 4, 15)`` bits each, derived from a corpus
+    count at index-build time (independent 'srpw' hyperplanes; the fixed
+    4-bit configuration lives on as `dedup_embedding_srp_narrow_demo`).
+    History made this rule code instead of prose: the fixed 4-bit bands
+    measured quadratic at 10× (95×/decade), and the fixed 8-bit bands
+    that replaced them exhausted spill disk at the 100× fixture — every
+    FIXED width is just a cliff placed at a different decade.  With the
+    adaptive width, per-row random collisions per band ≈ n·2⁻ᵇⁱᵗˢ ≈ 8,
+    so the candidate set stays ~8·bands·n rows at any corpus size
+    (500 → 5 bits, 2k → 7, 20k → 11, 200k → 14).  The DuckDB oracle
+    derives the IDENTICAL width from COUNT(*) (`length(bin(n))` is
+    Python's `bit_length` — exact-integer log2, no libm), so candidates
+    AND ranks stay bit-exactly verified at every fixture scale, like
+    every SRP path.  Recall tradeoff is honest and visible: wider bands
+    return fewer/looser pairs on this isotropic no-near-dup corpus;
+    genuinely-near pairs (cosine ≥ 0.9) still collide w.h.p. at any
+    width, and `dedup_embedding_cosine` remains the exactness reference.
 
     Scale: identical shapes to the narrow variant (band self-join of the
     session-shared index, narrow id pairs, rescore joins, top-50
-    TakeOrderedAndProject) — only the collision mass changes.
+    TakeOrderedAndProject) — only the collision mass changes, and the
+    adaptive width pins it linear in n by construction.
     """
     from .functions.vector import dot_product
 
@@ -1247,8 +1274,10 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 MKNN_K = 5
 
 _SQL_MKNN_CAND = " UNION ".join(
-    f"SELECT a.vec_id AS q_id, b.vec_id AS c_id FROM bt a "
-    f"JOIN bt b ON a.b{i} = b.b{i} AND a.vec_id != b.vec_id"
+    f"SELECT a.vec_id AS q_id, b.vec_id AS c_id FROM bt a JOIN bt b "
+    f"ON ((a.sig >> ({i} * a.bits)) & ((1::BIGINT << a.bits) - 1)) = "
+    f"((b.sig >> ({i} * b.bits)) & ((1::BIGINT << b.bits) - 1)) "
+    f"AND a.vec_id != b.vec_id"
     for i in range(_SRPW_BANDS)
 )
 
@@ -1256,8 +1285,10 @@ _SQL_MKNN_CAND = " UNION ".join(
 @register(
     "mutual_knn_pairs",
     oracle=f"""
-    WITH sig AS (SELECT vec_id, ({_SQL_SRPW_SIG}) AS sig FROM embeddings),
-    bt AS (SELECT vec_id, {_SQL_SRPW_BANDS} FROM sig),
+    WITH cfg AS ({_SQL_SRPW_CFG}),
+    bt AS MATERIALIZED (
+      SELECT vec_id, ({_SQL_SRPW_SIG}) AS sig, cfg.bits AS bits
+      FROM embeddings, cfg),
     cand AS (SELECT DISTINCT q_id, c_id FROM ({_SQL_MKNN_CAND})),
     topk AS (
       SELECT q_id, c_id, rank FROM (
