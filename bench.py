@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vector_search_spark import registry  # noqa: E402
-from vector_search_spark.session import get_spark  # noqa: E402
+from vector_search_spark.session import get_spark, shuffle_partitions_for  # noqa: E402
 
 
 def main() -> None:
@@ -39,7 +39,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=shuffle_partitions_for(sf_dir, cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
     # Session-infrastructure warm-up so the first query isn't charged for

@@ -50,3 +50,82 @@ def test_band_bits_rule_pins_expected_decades():
 def test_adaptive_srp_oracle_parity_at_sf01(spark, name):
     df = registry.QUERIES[name](spark, SF_01)
     compare_with_oracle(df, registry.ORACLES[name], SF_01)
+
+
+# ---------------------------------------------------------------------------
+# 1000x-proofing (VERDICT-r6 item #4): the fixture builder's predicted
+# binding constants — int-width of offset keys, cipher/rotation periods —
+# and the input-sized shuffle width.
+# ---------------------------------------------------------------------------
+import importlib.util as _ilu
+import os as _os
+
+_spec = _ilu.spec_from_file_location(
+    "make_scaled_fixture",
+    _os.path.join(_os.path.dirname(__file__), "..", "tools", "make_scaled_fixture.py"),
+)
+_msf = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_msf)
+
+
+def test_caesar_cipher_distinct_past_letter_period():
+    # 312 is the letter-affine period; the digit layer must keep replicas
+    # distinct well past it (a 1000x build uses r up to 999).
+    seen = set()
+    for r in range(0, 1000, 7):
+        seen.add(_msf._caesar_cols(r))
+    assert len(seen) == len(range(0, 1000, 7))
+    # r=0 is the identity; digits untouched below 312
+    src, dst = _msf._caesar_cols(0)
+    assert src == dst
+    src312, dst312 = _msf._caesar_cols(312)
+    assert "0" in src312 and dst312 != src312
+
+
+def test_replicate_widens_int32_keys_instead_of_wrapping(spark):
+    df = spark.createDataFrame([(1, "a"), (99, "b")], "doc_id int, text string")
+    # 300 copies x 10M offset = 3e9 > int32 max: column must widen to long
+    out = _msf.replicate(df, "documents", 299, copies=300)
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    vals = sorted(r["doc_id"] for r in out.collect())
+    assert vals == [299 * _msf.OFFSET + 1, 299 * _msf.OFFSET + 99]
+    # an int32 column that FITS stays int32 (10 copies, max ~1e8)
+    out_small = _msf.replicate(df, "documents", 9, copies=10)
+    assert dict(out_small.dtypes)["doc_id"] == "int"
+    # and an int64 column stays int64 at any copy count
+    df2 = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    out2 = _msf.replicate(df2, "documents", 299, copies=300)
+    assert dict(out2.dtypes)["doc_id"] == "bigint"
+
+
+def test_replicate_embedding_transform_unique_and_orthogonal(spark):
+    import math
+
+    base = [float(i + 1) for i in range(64)]
+    df = spark.createDataFrame([(1, base)], "vec_id long, embedding array<double>")
+    seen = {}
+    norm0 = math.fsum(x * x for x in base)
+    # sweep replicas across all three sign regimes incl. r >= 128 (q >= 2,
+    # beyond the legacy period where the old code emitted twins)
+    for r in [1, 63, 64, 127, 128, 129, 192, 250, 999]:
+        emb = _msf.replicate(df, "embeddings", r, copies=1000).collect()[0][1]
+        key = tuple(round(x, 9) for x in emb)
+        assert key not in seen.values(), f"replica {r} duplicates another"
+        seen[r] = key
+        assert abs(math.fsum(x * x for x in emb) - norm0) < 1e-6  # orthogonal
+
+
+def test_shuffle_partitions_for_scales_with_input(tmp_path):
+    from vector_search_spark.session import shuffle_partitions_for
+
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "t.parquet").write_bytes(b"x" * 1024)
+    assert shuffle_partitions_for(str(small), cpus=32) == 32  # floor = cores
+    big = tmp_path / "big"
+    big.mkdir()
+    # 1 GiB sparse-ish file: 8 x 128MB targets, still under the 32 floor
+    with open(big / "t.parquet", "wb") as f:
+        f.truncate(100 * (128 << 20))
+    assert shuffle_partitions_for(str(big), cpus=32) == 100
+    assert shuffle_partitions_for(str(big), cpus=128) == 128

@@ -65,44 +65,75 @@ DIMS = ["region", "nation"]
 
 def _caesar_cols(r: int):
     """Per-replica AFFINE cipher x -> a*x + b (mod 26), a coprime to 26:
-    312 distinct bijections, so no two replicas share the cipher up to 312
-    copies.  (A plain Caesar shift has period 26 — at copies > 26 replica
-    pairs 26 apart would carry IDENTICAL text, planting the cross-replica
-    duplicates this fixture exists to avoid.)  r = 0 is the identity."""
+    312 distinct letter bijections.  (A plain Caesar shift has period 26 —
+    at copies > 26 replica pairs 26 apart would carry IDENTICAL text,
+    planting the cross-replica duplicates this fixture exists to avoid.)
+    Past 312 copies the letter cipher alone repeats, so replicas ≥ 312
+    compose an affine DIGIT cipher x -> a*x + b (mod 10), a ∈ {1,3,7,9}:
+    312 × 40 = 12,480 distinct combined bijections — enough for a 1000×
+    build off sf0.1 (copies = 1000) with no cross-replica text twins.
+    r = 0 is the identity."""
     lo = string.ascii_lowercase
     up = string.ascii_uppercase
     coprime = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
     a, b = coprime[(r // 26) % 12], r % 26
     perm = [(a * i + b) % 26 for i in range(26)]
-    return lo + up, "".join(lo[p] for p in perm) + "".join(up[p] for p in perm)
+    src = lo + up
+    dst = "".join(lo[p] for p in perm) + "".join(up[p] for p in perm)
+    d = r // 312  # digit-cipher index; 0 (identity) for the first 312
+    if d:
+        da, db = [1, 3, 7, 9][(d // 10) % 4], d % 10
+        dperm = [(da * i + db) % 10 for i in range(10)]
+        src += string.digits
+        dst += "".join(string.digits[p] for p in dperm)
+    return src, dst
 
 
-def replicate(df, table: str, r: int):
+_INT_MAX = {"integer": (1 << 31) - 1, "long": (1 << 63) - 1, "short": (1 << 15) - 1}
+
+
+def replicate(df, table: str, r: int, copies: int = 0):
+    """Replica r of a table.  Key math runs in BIGINT; the result is cast
+    back to the column's dtype only when the LARGEST replica's offset still
+    fits it — otherwise the column widens to BIGINT for every replica
+    (uniform output schema), instead of silently wrapping.  HANDOFF-r6's
+    predicted 1000× failure class: int32 ids + 999 × 10M offsets."""
     out = df
     for c in KEYED[table]:
-        out = out.withColumn(c, (F.col(c) + F.lit(r * OFFSET)).cast(df.schema[c].dataType))
+        dt = df.schema[c].dataType
+        fits = _INT_MAX.get(dt.typeName(), 0) >= (max(copies, r + 1) - 1) * OFFSET + OFFSET - 1
+        shifted = F.col(c).cast("long") + F.lit(r * OFFSET)
+        out = out.withColumn(c, shifted.cast(dt) if fits else shifted)
     if table == "documents" and r > 0:
         src, dst = _caesar_cols(r)
         out = out.withColumn("text", F.translate(F.col("text"), src, dst))
     if table == "embeddings" and r > 0:
-        # rotation by r mod dim, composed with a global sign flip every
-        # full rotation cycle: rotation alone has period dim (64), so at
-        # copies > 64 replica pairs 64 apart would carry IDENTICAL vectors;
-        # negation is orthogonal (within-replica angles exact) and makes
-        # the colliding pairs anti-podal (cosine -1) instead of twins.
-        # slice() with r >= dim errors outright (negative length).
+        # rotation by r mod dim, composed with a per-coordinate ±1 sign
+        # pattern: rotation alone has period dim (64), so at copies > 64
+        # replica pairs 64 apart would carry IDENTICAL vectors.  Any
+        # diagonal ±1 matrix is orthogonal (within-replica angles exact);
+        # the sign pattern is chosen from q = r // 64 so no two replicas
+        # ever share (rotation, signs): q = 0 identity, q = 1 global flip
+        # (both legacy — fixtures built before the extension reproduce
+        # bit-identically), q ≥ 2 flips coordinate j iff bit j of q is
+        # set — 64·2^64 distinct transforms, far past any buildable copy
+        # count.  slice() with r >= dim errors outright (negative length).
         k = f"pmod({r}, size(embedding))"
         rot = (
             f"concat(slice(embedding, {k} + 1, size(embedding) - {k}),"
             f" slice(embedding, 1, {k}))"
         )
-        sign = -1.0 if (r // 64) % 2 else 1.0
-        out = out.withColumn(
-            "embedding",
-            F.expr(
-                rot if sign > 0 else f"transform({rot}, x -> -x)"
-            ),
-        )
+        q = r // 64
+        if q == 0:
+            expr = rot
+        elif q == 1:
+            expr = f"transform({rot}, x -> -x)"
+        else:
+            expr = (
+                f"transform({rot}, (x, j) -> "
+                f"IF((CAST({q} AS BIGINT) >> pmod(j, 64)) % 2 = 1, -x, x))"
+            )
+        out = out.withColumn("embedding", F.expr(expr))
     return out
 
 
@@ -127,10 +158,27 @@ def main() -> None:
 
     for t in KEYED:
         base = spark.read.parquet(f"{args.base}/{t}.parquet")
-        scaled = replicate(base, t, 0)
-        for r in range(1, args.copies):
-            scaled = scaled.unionByName(replicate(base, t, r))
-        scaled.write.mode("overwrite").parquet(f"{args.out}/{t}.parquet")
+        # Offset-collision guard: replica key ranges are disjoint only if
+        # every base key is below OFFSET (a 1000× build FROM AN ALREADY
+        # SCALED fixture would violate this silently).
+        maxes = base.select(*[F.max(c) for c in KEYED[t]]).first()
+        assert all(m is None or m < OFFSET for m in maxes), (
+            f"{t}: base keys reach {max(maxes)} >= OFFSET {OFFSET}; "
+            "replica ranges would overlap — scale from the ORIGINAL base"
+        )
+        # Chunked append writes: a single copies-wide unionByName is a
+        # copies-branch plan (Catalyst analysis goes quadratic near 1000);
+        # 25-replica chunks keep plan width bounded at any copy count.
+        first = True
+        for lo in range(0, args.copies, 25):
+            chunk = None
+            for r in range(lo, min(lo + 25, args.copies)):
+                rep = replicate(base, t, r, copies=args.copies)
+                chunk = rep if chunk is None else chunk.unionByName(rep)
+            chunk.write.mode("overwrite" if first else "append").parquet(
+                f"{args.out}/{t}.parquet"
+            )
+            first = False
         n = spark.read.parquet(f"{args.out}/{t}.parquet").count()
         print(f"{t}: {n} rows ({args.copies}x)")
 

@@ -1,0 +1,100 @@
+"""Time every DuckDB oracle against a scaled fixture — the feasibility
+side of the scale story.  The Spark engine is the product; the DuckDB
+oracle is the CORRECTNESS HARNESS, and HANDOFF-r6 predicted oracle
+runtime becomes a binding constant around 1000×.  This probe measures
+it instead of guessing: each oracle runs in its own subprocess with a
+hard timeout, so a quadratic oracle can't wedge the sweep.
+
+Usage:
+    python tools/oracle_scale_probe.py <sf_dir> <tag> [--timeout 120] \
+        [--jobs 4] [--only name ...]
+
+Prints one JSON line:
+    {"metric": "oracle_scale_probe", "tag", "sf_dir", "timeout_sec",
+     "oracles": {name: {"sec": s, "rows": n} | {"error": "..."} |
+                 {"timeout": true}}}
+
+Directory-parquet fixtures (the .scale builds) are registered as
+'<dir>/<t>.parquet/*.parquet' globs; flat files as-is.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _view_sql(sf_dir: str, t: str) -> str:
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    return f"CREATE VIEW {t} AS SELECT * FROM '{src}'"
+
+
+def _run_one(sf_dir: str, name: str, sql: str, q: "mp.Queue") -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(_view_sql(sf_dir, t))
+    t0 = time.perf_counter()
+    try:
+        rows = con.execute(sql).fetchall()
+        q.put({"sec": round(time.perf_counter() - t0, 3), "rows": len(rows)})
+    except Exception as e:  # noqa: BLE001 - recorded, not raised
+        q.put({"error": f"{type(e).__name__}: {e}"[:200]})
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("tag")
+    ap.add_argument("--timeout", type=float, default=120.0)
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    from vector_search_spark import registry
+
+    names = args.only or sorted(registry.ORACLES)
+    rec = {
+        "metric": "oracle_scale_probe",
+        "tag": args.tag,
+        "sf_dir": args.sf_dir,
+        "timeout_sec": args.timeout,
+        "oracles": {},
+    }
+    ctx = mp.get_context("fork")
+    for name in names:
+        sql = registry.ORACLES.get(name)
+        if sql is None:
+            rec["oracles"][name] = {"error": "no oracle (rows-only query)"}
+            continue
+        q: mp.Queue = ctx.Queue()
+        p = ctx.Process(target=_run_one, args=(args.sf_dir, name, sql, q))
+        p.start()
+        p.join(args.timeout)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            rec["oracles"][name] = {"timeout": True}
+        else:
+            try:
+                rec["oracles"][name] = q.get_nowait()
+            except Exception:  # noqa: BLE001
+                rec["oracles"][name] = {"error": f"died rc={p.exitcode}"}
+        sys.stderr.write(f"{name}: {rec['oracles'][name]}\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

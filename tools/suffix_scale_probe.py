@@ -33,9 +33,9 @@ def main() -> None:
 
     from vector_search_spark import registry
     from vector_search_spark.registry_suffix import _shared_suffix
-    from vector_search_spark.session import get_spark
+    from vector_search_spark.session import get_spark, shuffle_partitions_for
 
-    spark = get_spark("suffix-scale-probe", cpus=cpus, shuffle_partitions=cpus)
+    spark = get_spark("suffix-scale-probe", cpus=cpus, shuffle_partitions=shuffle_partitions_for(sf_dir, cpus))
     spark.sparkContext.setLogLevel("ERROR")
     # page-cache warmup of the one input table, so setup measures compute
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()

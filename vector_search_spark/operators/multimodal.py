@@ -93,6 +93,8 @@ def decode_image_features(
     use_real = HAVE_PIL
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if use_real:  # pragma: no cover - PIL absent in container
                 raise NotImplementedError("real PIL decode not wired yet")
@@ -100,28 +102,41 @@ def decode_image_features(
                 raise NotImplementedError(
                     "image decode requires PIL; container has no codecs"
                 )
-            # Column-wise over the Arrow batch (no per-row pandas iteration):
-            # one digest per payload, then vectorized derivations from it.
-            digests = [hashlib.md5(bytes(p)).digest() for p in pdf[payload_col]]
-            metas = list(pdf[meta_col])
+            # The only per-row Python is the md5 itself (the "codec");
+            # everything downstream is one vectorized numpy pass over the
+            # packed digest matrix — the profiled round-6 hot spot was the
+            # 16-element float comprehension per row, not the hashing.
+            dig = np.frombuffer(
+                b"".join(hashlib.md5(bytes(p)).digest() for p in pdf[payload_col]),
+                dtype=np.uint8,
+            ).reshape(-1, 16)
+            feats = dig[:, :FEATURE_DIM].astype(np.float64) / 255.0 * 2.0 - 1.0
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].to_numpy(),
-                    "mime": [m["mime"] for m in metas],
-                    "n_bytes": [int(m["n_bytes"]) for m in metas],
-                    "width": [d[0] * 8 + 1 for d in digests],
-                    "height": [d[1] * 8 + 1 for d in digests],
-                    "features": [
-                        [(b / 255.0) * 2.0 - 1.0 for b in d[:FEATURE_DIM]]
-                        for d in digests
-                    ],
+                    # mime/n_bytes were flattened JVM-side: plain column
+                    # pass-through, no per-row struct-dict access.
+                    "mime": pdf["__mime"],
+                    "n_bytes": pdf["__n_bytes"],
+                    "width": dig[:, 0].astype(np.int32) * 8 + 1,
+                    "height": dig[:, 1].astype(np.int32) * 8 + 1,
+                    "features": list(feats),
                 },
                 columns=["doc_id", "mime", "n_bytes", "width", "height", "features"],
             )
 
     from ..partitioning import fan_out
 
-    return fan_out(df, id_col).mapInPandas(decode, schema=_FEATURES_SCHEMA)
+    # Flatten the metadata struct BEFORE the Arrow seam: struct columns
+    # arrive in pandas as per-row dicts (Python-object access per row);
+    # flat string/int columns are zero-copy Arrow arrays.
+    flat = df.select(
+        F.col(id_col),
+        F.col(payload_col),
+        F.col(f"{meta_col}.mime").alias("__mime"),
+        F.col(f"{meta_col}.n_bytes").alias("__n_bytes"),
+    )
+    return fan_out(flat, id_col).mapInPandas(decode, schema=_FEATURES_SCHEMA)
 
 
 def sample_frames(

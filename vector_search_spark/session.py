@@ -15,6 +15,33 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Target bytes of INPUT per shuffle partition.  128 MB mirrors
+# spark.sql.files.maxPartitionBytes — a reduce task should chew roughly
+# what a scan task does.
+_SHUFFLE_TARGET_BYTES = 128 << 20
+
+
+def shuffle_partitions_for(sf_dir: str, cpus: int | None = None) -> int:
+    """Derive the shuffle width from the INPUT SIZE, not a constant.
+
+    HANDOFF-r6 named the fixed 32-partition shuffle as a predicted
+    1000×-binding constant: 32 partitions over a 15 GB fixture is
+    ~470 MB per reduce task — past executor comfort.  Rule: one shuffle
+    partition per ~128 MB of input, floored at the core count (never
+    idle a core at small scale, where AQE coalescing trims any excess),
+    capped at 4096 (the AQE-coalesce ceiling a 1000-executor job would
+    use as its initial width).  Callers that know better (tests pinning
+    regimes) still pass an explicit count to get_spark."""
+    cpus = cpus or DEFAULT_CPUS
+    total = 0
+    for dirpath, _, files in os.walk(sf_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return max(cpus, min(4096, -(-total // _SHUFFLE_TARGET_BYTES)))
+
 
 def get_spark(
     app_name: str = "vector_search_spark",
