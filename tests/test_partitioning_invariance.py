@@ -200,3 +200,41 @@ def test_result_is_partitioning_invariant(spark, name):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Curated ORDERED subset (ADVICE r6): _rows sorts before comparing, which
+# is right for the unordered majority (the driver comparator also sorts)
+# but would hide a row-ORDER regression in queries whose contract ends in
+# a global ORDER BY.  These compare collected rows WITHOUT sorting — every
+# query here tie-breaks by id, so its output order is fully deterministic
+# and must survive any partitioning regime.
+# ---------------------------------------------------------------------------
+ORDERED_QUERIES = [
+    "knn_topk",            # rank within query, id tie-break
+    "search_pipeline",     # reranked + re-sorted
+    "dedup_embedding_srp", # top-50 by cosine desc, id tie-break
+    "multimodal_features", # ORDER BY doc_id, feat_idx
+    "tfidf_top_terms",
+    "top_orders_per_customer",
+]
+
+
+@pytest.mark.parametrize("name", ORDERED_QUERIES)
+def test_row_order_is_partitioning_invariant(spark, name):
+    saved = {k: spark.conf.get(k) for r in REGIMES for k in r}
+    try:
+        results = []
+        for regime in REGIMES:
+            for k, v in regime.items():
+                spark.conf.set(k, v)
+            df = registry.QUERIES[name](spark, SF_TEST)
+            results.append([tuple(r) for r in df.collect()])  # NO sort
+        assert results[0] == results[1], (
+            f"{name} row ORDER changed under a different partitioning "
+            "regime — its contract ends in a global ORDER BY, so order "
+            "must be deterministic"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

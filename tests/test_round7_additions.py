@@ -129,3 +129,45 @@ def test_shuffle_partitions_for_scales_with_input(tmp_path):
         f.truncate(100 * (128 << 20))
     assert shuffle_partitions_for(str(big), cpus=32) == 100
     assert shuffle_partitions_for(str(big), cpus=128) == 128
+
+
+# ---------------------------------------------------------------------------
+# New round-7 surface (VERDICT-r6 #5)
+# ---------------------------------------------------------------------------
+def test_ivf_probe_sweep_monotone_and_exact_at_full_probe(spark):
+    from conftest import SF_TEST
+
+    rows = registry.QUERIES["ann_ivf_probe_sweep"](spark, SF_TEST).collect()
+    by_probe = {r["nprobe"]: r for r in rows}
+    assert sorted(by_probe) == [1, 2, 4, 8, 16]
+    recalls = [by_probe[p]["recall_at_10"] for p in (1, 2, 4, 8, 16)]
+    assert recalls == sorted(recalls), f"recall not monotone in nprobe: {recalls}"
+    # probing all 16 cells IS the exact scan: recall must be exactly 1.0
+    assert by_probe[16]["recall_at_10"] == 1.0
+    assert by_probe[16]["matched"] == 200
+
+
+def test_hll_cube_levels_consistent(spark):
+    from conftest import SF_TEST
+
+    rows = registry.QUERIES["hll_cube_users"](spark, SF_TEST).collect()
+    cells = [r for r in rows if r["day"] != "ALL" and r["event_type"] != "ALL"]
+    days = [r for r in rows if r["day"] != "ALL" and r["event_type"] == "ALL"]
+    grand = [r for r in rows if r["day"] == "ALL"]
+    assert len(grand) == 1 and grand[0]["event_type"] == "ALL"
+    assert len(days) > 0 and len(cells) > len(days)
+    # merged-register estimate of a coarser level must dominate (>=) each
+    # of its children (union cardinality >= max child, and HLL register
+    # max-merge preserves that ordering)
+    import collections
+
+    max_cell_by_day = collections.defaultdict(float)
+    for r in cells:
+        max_cell_by_day[r["day"]] = max(max_cell_by_day[r["day"]], r["hll_est"])
+    for r in days:
+        assert r["hll_est"] >= max_cell_by_day[r["day"]] - 1e-9
+    # sketch accuracy sanity at every level: within 15% of exact
+    for r in rows:
+        assert abs(r["hll_est"] - r["exact_distinct"]) <= max(
+            3.0, 0.15 * r["exact_distinct"]
+        ), r

@@ -87,3 +87,25 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
     assert got == want
     # decisions arrived across >1 micro-batch (the stream really streamed)
     assert len({r["batch_id"] for r in sunk}) > 1
+
+
+def test_decisions_dir_flat_layout_rejected(spark, tmp_path):
+    """ADVICE r6: a decisions_dir holding OLD-LAYOUT flat parquet at its
+    root must be rejected before the first write — hive-partitioned and
+    flat files mixed in one dir break partition discovery on read."""
+    import pytest
+
+    docs = load_table(spark, SF_TEST, "documents")
+    corpus, new = _split(docs)
+    sh, sig, banded = corpus_index(corpus)
+    new_dir = str(tmp_path / "incoming2")
+    new.limit(5).write.parquet(new_dir)
+
+    decisions_dir = tmp_path / "decisions_old"
+    decisions_dir.mkdir()
+    (decisions_dir / "part-00000-legacy.parquet").write_bytes(b"PAR1junkPAR1")
+
+    with pytest.raises(ValueError, match="flat parquet"):
+        streaming_incremental_dedup(
+            spark, new_dir, sh, sig, banded, str(decisions_dir)
+        )

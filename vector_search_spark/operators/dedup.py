@@ -460,7 +460,21 @@ def embedding_neardup_pairs(
         # RESULT — the (min,max)-block pigeonhole covers every pair for any
         # n_buckets — only the per-task working set (invariance-suite
         # covered).  One count() job prices the corpus; it runs once at
-        # build time, like an index-build statistic.
+        # build time, like an index-build statistic.  NOTE (cost): the
+        # count() eagerly scans the input lineage — callers holding an
+        # expensive unmaterialized frame should persist/checkpoint it
+        # first or pass an explicit n_buckets, else the corpus is scanned
+        # twice (once to price buckets, once to score).
+        #
+        # CAP CEILING (ADVICE r6): the 256-bucket cap re-admits quadratic
+        # per-task growth past ~512k vectors (bucket population n/256
+        # exceeds the 2,000 target, and replication volume n×n_buckets
+        # rows is the competing cost that motivates the cap).  This
+        # operator is the EXACT all-pairs reference — O(n²/B) total work
+        # by construction — so past ~512k vectors the honest move is the
+        # LSH paths (dedup_embedding_srp scales indefinitely); the cap
+        # marks where exact-all-pairs stops being the right tool, it
+        # doesn't try to hide it.
         n = emb.count()
         n_buckets = min(256, max(8, -(-n // 2000)))
     bucket = (

@@ -145,6 +145,61 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", round4("score").alias("score"), "rank")
 
 
+@register("ann_ivf_probe_sweep")
+def q_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-nprobe curve (VERDICT-r6 #5): recall@10 of the IVF
+    path at nprobe ∈ {1, 2, 4, 8, 16} against exact KNN ground truth,
+    for the 20 standard query vectors — the tuning curve an ANN
+    deployment reads to pick its latency/recall operating point.  At
+    nprobe = 16 every cell is probed, so recall MUST be exactly 1.0
+    (probing all cells IS the exact scan) — pinned in pytest as the
+    self-validating end of the curve, alongside monotonicity in nprobe.
+
+    Rows-only (like `ann_ivf_topk`: Lloyd-refined centroids aren't
+    SQL-expressible), but the output is exact rational arithmetic —
+    matched/200 — so the values are deterministic and golden-pinnable.
+
+    Scale: the sweep reuses the session-shared IVF index (the amortized
+    build); each nprobe leg scores only its probed cells; the union of
+    five legs groups to a 5-row result.  Ground truth is one
+    broadcast-queries exact scan, bounded by the query set.
+    """
+    from .operators.knn import similarity_join
+
+    emb = __load(spark, sf_dir, "embeddings")
+    cent_mat, indexed = _shared_ivf_index(spark, sf_dir)
+    queries = (
+        indexed.filter(F.col("vec_id") < 20)
+        .dropDuplicates(["vec_id"])
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    exact = similarity_join(emb, queries, k=10).select("query_id", "vec_id")
+    legs = None
+    for nprobe in (1, 2, 4, 8, 16):
+        leg = ivf_query(indexed, cent_mat, queries, k=10, nprobe=nprobe).select(
+            F.lit(nprobe).cast("int").alias("nprobe"),
+            F.col("query_id").alias("a_qid"),
+            F.col("vec_id").alias("a_vec"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    n_expected = 20 * 10
+    return (
+        exact.join(
+            legs,
+            (exact.query_id == legs.a_qid) & (exact.vec_id == legs.a_vec),
+            "inner",
+        )
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("matched"))
+        .select(
+            "nprobe",
+            "matched",
+            round4(F.col("matched") / float(n_expected)).alias("recall_at_10"),
+        )
+        .orderBy("nprobe")
+    )
+
+
 # SRP band-bucket index cache per (session, sf_dir) — same amortized-index
 # model as _IVF_CACHE: the 16 hyperplane-projection folds over the corpus
 # are the build cost (a partitionBy(band) parquet at scale); the registered

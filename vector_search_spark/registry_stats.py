@@ -2471,3 +2471,178 @@ def q_wilson_lcb_hour_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson/EB twins on OTHER cell families (VERDICT-r6 #5): the hour cells
+# above have uniform n; these two exercise the estimators where they earn
+# their keep — genuinely small cells (25 docs per source) and cells
+# reached through a join (orders x customer segment).
+# ---------------------------------------------------------------------------
+@register(
+    "wilson_lcb_source_ranking",
+    oracle=f"""
+    WITH cells AS (
+      SELECT source, count(*)::BIGINT AS n,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS x
+      FROM documents GROUP BY 1),
+    scored AS (
+      SELECT source, n, x, {_WILSON_NANO} AS lcb_nano FROM cells)
+    SELECT source, n, x,
+           floor((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))*10000 + 0.5)/10000.0
+             AS raw_rate,
+           floor((CAST(lcb_nano AS DOUBLE) / 1000000000.0)*10000 + 0.5)/10000.0
+             AS wilson_lcb,
+           (row_number() OVER (ORDER BY lcb_nano DESC, source))::INTEGER AS rank
+    FROM scored ORDER BY rank
+    """,
+)
+def q_wilson_lcb_source_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source English-purity rates ranked by the Wilson lower bound —
+    the crawl-source quality leaderboard a training-data pipeline uses to
+    allocate its ingestion budget.  Unlike the hour cells (uniform n ≈
+    corpus/24), source cells are genuinely SMALL (25 docs each at
+    fixture scale), which is exactly the regime where ranking by raw rate
+    promotes noise and the LCB's small-n penalty earns its keep: a 16/25
+    source must outrank a 2/3 source even though the raw rates say
+    otherwise.
+
+    Exactness: same shared `_WILSON_NANO` text as the hour ranking —
+    counts exact, bound nano-quantized BEFORE the rank window, ties on
+    the source key.
+
+    Scale: one partial-agg'd documents scan to |sources| cells; the rank
+    window runs on the cell table (thousands of sources at 100 TB, still
+    one task).
+    """
+    docs = __load(spark, sf_dir, "documents")
+    cells = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    scored = cells.select("source", "n", "x", F.expr(_WILSON_NANO).alias("lcb_nano"))
+    w = Window.orderBy(F.desc("lcb_nano"), F.asc("source"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "source",
+            "n",
+            "x",
+            F.expr(
+                "CAST(floor((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))*10000 + 0.5)"
+                "/10000.0 AS DOUBLE)"
+            ).alias("raw_rate"),
+            F.expr(
+                "CAST(floor((CAST(lcb_nano AS DOUBLE) / 1000000000.0)*10000 + 0.5)"
+                "/10000.0 AS DOUBLE)"
+            ).alias("wilson_lcb"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+@register(
+    "eb_shrunk_segment_rates",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS segment, count(*)::BIGINT AS n,
+             sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    pn AS (
+      SELECT segment, n, x, ((x::HUGEINT * 1000000000) // n)::BIGINT AS p_nano
+      FROM cells),
+    g AS (SELECT count(*)::BIGINT AS g, sum(p_nano)::BIGINT AS s_nano FROM pn),
+    var_ AS (
+      SELECT sum(((g.g * p_nano - g.s_nano)::HUGEINT
+                  * (g.g * p_nano - g.s_nano)))::HUGEINT AS var_scaled
+      FROM pn CROSS JOIN g)
+    SELECT pn.segment, pn.n, pn.x,
+           floor((CAST(pn.x AS DOUBLE) / CAST(pn.n AS DOUBLE))*10000 + 0.5)
+             /10000.0 AS raw_rate,
+           floor(({_EB_SHRUNK})*10000 + 0.5)/10000.0 AS shrunk_rate,
+           floor(({_EB_WEIGHT})*10000 + 0.5)/10000.0 AS shrink_weight
+    FROM pn CROSS JOIN g CROSS JOIN var_
+    ORDER BY pn.segment
+    """,
+)
+def q_eb_shrunk_segment_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-market-segment order-fulfilment
+    rates (status 'F') — the hour-cell estimator (`eb_shrunk_hour_rates`)
+    re-aimed at a cell family reached through a JOIN: orders broadcast-
+    joined to the customer dimension, grouped by segment.  The estimator
+    texts (`_EB_SHRUNK`/`_EB_WEIGHT`) are shared verbatim, which is the
+    point: the prior-fit machinery is cell-family-agnostic, and a
+    production dashboard fits one prior per family off the same fold.
+
+    Exactness: identical integer/nano pipeline as the hour variant —
+    per-cell rates nano-quantized positive integer divisions, spread via
+    the exact G·p − Σp HUGEINT/DECIMAL fold, posterior mean as one shared
+    double text.
+
+    Scale: the customer dimension broadcasts (no shuffle of orders); one
+    partial-agg'd scan to 5 cells; everything downstream constant-size.
+    """
+    orders = __load(spark, sf_dir, "orders")
+    cust = __load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    cells = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+        # fans out to the rate table, the prior fit and the emit join
+        .localCheckpoint(eager=True)
+    )
+    pn = cells.select(
+        "segment",
+        "n",
+        "x",
+        F.expr(
+            "CAST((CAST(x AS DECIMAL(38,0)) * 1000000000) DIV n AS BIGINT)"
+        ).alias("p_nano"),
+    )
+    g = pn.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("p_nano").cast("long").alias("s_nano"),
+    )
+    var_ = (
+        pn.crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(
+                (F.col("g") * F.col("p_nano") - F.col("s_nano"))
+                .cast("decimal(38,0)")
+                * (F.col("g") * F.col("p_nano") - F.col("s_nano"))
+            )
+            .cast("decimal(38,0)")
+            .alias("var_scaled")
+        )
+    )
+    return (
+        pn.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(var_))
+        .select(
+            "segment",
+            "n",
+            "x",
+            F.expr(
+                "CAST(floor((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))*10000 + 0.5)"
+                "/10000.0 AS DOUBLE)"
+            ).alias("raw_rate"),
+            F.expr(
+                f"CAST(floor(({_EB_SHRUNK})*10000 + 0.5)/10000.0 AS DOUBLE)"
+            ).alias("shrunk_rate"),
+            F.expr(
+                f"CAST(floor(({_EB_WEIGHT})*10000 + 0.5)/10000.0 AS DOUBLE)"
+            ).alias("shrink_weight"),
+        )
+        .orderBy("segment")
+    )

@@ -187,6 +187,26 @@ def streaming_incremental_dedup(
     partition overwrite — a replayed batch REPLACES its own partition and
     touches no other, which upgrades the end-to-end contract to
     effectively-exactly-once."""
+    # Layout guard (ADVICE r6): this sink is hive-partitioned by batch_id.
+    # A decisions_dir carrying FLAT parquet files at its root (the pre-r6
+    # append layout, batch_id as a data column) would yield a mixed layout
+    # that breaks partition discovery on read, and dynamic overwrite would
+    # never clean the old rows — fail loudly before the first write, like
+    # the events_ts_is_nanos error this mirrors.
+    import os as _os
+
+    if _os.path.isdir(decisions_dir):
+        flat = [
+            f for f in _os.listdir(decisions_dir)
+            if f.endswith(".parquet") and _os.path.isfile(_os.path.join(decisions_dir, f))
+        ]
+        if flat:
+            raise ValueError(
+                f"decisions_dir {decisions_dir!r} holds {len(flat)} flat parquet "
+                "file(s) at its root (old unpartitioned layout); this sink writes "
+                "batch_id=N/ hive partitions and mixing the two breaks partition "
+                "discovery. Point at a fresh directory or migrate the old log."
+            )
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
