@@ -41,10 +41,12 @@ def _view_sql(sf_dir: str, t: str) -> str:
     return f"CREATE VIEW {t} AS SELECT * FROM '{src}'"
 
 
-def _run_one(sf_dir: str, name: str, sql: str, q: "mp.Queue") -> None:
+def _run_one(sf_dir: str, name: str, sql: str, threads: int, q: "mp.Queue") -> None:
     import duckdb
 
     con = duckdb.connect()
+    if threads:
+        con.execute(f"PRAGMA threads={threads}")
     for t in TABLES:
         con.execute(_view_sql(sf_dir, t))
     t0 = time.perf_counter()
@@ -60,6 +62,8 @@ def main() -> None:
     ap.add_argument("sf_dir")
     ap.add_argument("tag")
     ap.add_argument("--timeout", type=float, default=120.0)
+    ap.add_argument("--threads", type=int, default=0,
+                    help="PRAGMA threads per oracle (0 = DuckDB default)")
     ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -71,6 +75,7 @@ def main() -> None:
         "tag": args.tag,
         "sf_dir": args.sf_dir,
         "timeout_sec": args.timeout,
+        "threads": args.threads,
         "oracles": {},
     }
     ctx = mp.get_context("fork")
@@ -80,7 +85,8 @@ def main() -> None:
             rec["oracles"][name] = {"error": "no oracle (rows-only query)"}
             continue
         q: mp.Queue = ctx.Queue()
-        p = ctx.Process(target=_run_one, args=(args.sf_dir, name, sql, q))
+        p = ctx.Process(target=_run_one,
+                        args=(args.sf_dir, name, sql, args.threads, q))
         p.start()
         p.join(args.timeout)
         if p.is_alive():
