@@ -1731,12 +1731,15 @@ def test_brown_forsythe_matches_pure_python_and_reads_null(spark):
 def test_embedding_drift_mmd_matches_pure_python_and_reads_null(spark):
     import hashlib
 
-    from vector_search_spark.registry_extensions import MMD_BUCKETS
+    from vector_search_spark.registry_extensions import _mmd_buckets
 
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT vec_id, embedding FROM '{SF_TEST}/embeddings.parquet'"
     ).fetchall()
+    # rebuild the ADAPTIVE block count from the corpus size, exactly as
+    # both engines derive it (floor 32 binds at every fixture sf)
+    mmd_buckets = _mmd_buckets(len(rows))
     import math as _m
 
     def kern_micro(a, b):
@@ -1754,7 +1757,7 @@ def test_embedding_drift_mmd_matches_pure_python_and_reads_null(spark):
     buckets = defaultdict(lambda: ([], []))  # b -> (xs, ys)
     for vid, emb in rows:
         arm = int(hashlib.md5(f"mmdarm{vid}".encode()).hexdigest()[:8], 16) % 2
-        b = int(hashlib.md5(f"mmdblk{vid}".encode()).hexdigest()[:8], 16) % MMD_BUCKETS
+        b = int(hashlib.md5(f"mmdblk{vid}".encode()).hexdigest()[:8], 16) % mmd_buckets
         buckets[b][1 - arm].append([float(v) for v in emb])  # index 0 = arm1
     sum_micro = 0
     n_buckets = 0

@@ -1012,7 +1012,32 @@ def q_ann_srp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding-distribution drift: block (B-test) MMD with an RBF kernel.
 # ---------------------------------------------------------------------------
-MMD_BUCKETS = 32
+# Block count is scale-ADAPTIVE (round 7): with B blocks the pair work is
+# n²/B, so a FIXED B is quadratic growth hiding in a constant — the exact
+# class the 100× campaign kept finding (fixed SRP bands, fixed cosine
+# blocking, fixed simhash radius).  Holding the per-block population near
+# MMD_BUCKET_TARGET makes total pair work ≈ n·target, i.e. LINEAR in the
+# corpus, while the B-test estimator stays consistent (more blocks = the
+# standard B-test variance/compute dial, Zaremba et al. NeurIPS 2013).
+# B must be derived IDENTICALLY in both engines because the md5 bucket
+# assignment (and hence the result) depends on it: integer ceil-divide of
+# the corpus count, floored at 32 — both operands non-negative, so DuckDB
+# `//` (floor) and Python `//` agree; n ≤ 64,000 keeps B = 32, so every
+# driver-gate fixture (sf ≤ 0.1) is bit-unchanged.
+MMD_MIN_BUCKETS = 32
+MMD_BUCKET_TARGET = 2000
+
+
+def _mmd_buckets(n: int) -> int:
+    """Adaptive block count — same formula as the oracle's cfg subquery."""
+    return max(MMD_MIN_BUCKETS, (n + MMD_BUCKET_TARGET - 1) // MMD_BUCKET_TARGET)
+
+
+_SQL_MMD_BUCKETS = (
+    f"(SELECT GREATEST({MMD_MIN_BUCKETS}, "
+    f"(COUNT(*) + {MMD_BUCKET_TARGET - 1}) // {MMD_BUCKET_TARGET})::BIGINT "
+    f"FROM embeddings)"
+)
 # Per-pair RBF kernel on squared L2 distance, gamma = 1 (unit-ish vectors,
 # d^2 in [0, ~4]); ONE shared DOUBLE text, micro-quantized PER PAIR before
 # any sum so the fold is an exact integer in both engines.
@@ -1031,17 +1056,22 @@ _MMD_B_MICRO = (
 
 
 def _mmd_oracle() -> str:
+    # The self-dots are PER-ROW quantities hoisted out of the pair join
+    # (round 7: they were measured at 2/3 of the per-pair kernel cost at
+    # 100×) — `na` is projected once per row in `e` on both engines, so
+    # only the cross dot remains per pair.  Same shared kernel text, same
+    # doubles, bit-identical result.
     k_xx = _MMD_K_MICRO.format(
-        aa="list_dot_product(a.v, a.v)", ab="list_dot_product(a.v, b.v)",
-        bb="list_dot_product(b.v, b.v)",
+        aa="a.na", ab="list_dot_product(a.v, b.v)", bb="b.na",
     )
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS na,
              ('0x' || substr(md5('mmdarm' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
                % 2 AS arm,
              ('0x' || substr(md5('mmdblk' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-               % {MMD_BUCKETS} AS b
+               % {_SQL_MMD_BUCKETS} AS b
       FROM embeddings),
     xx AS (
       SELECT a.b, count(*)::BIGINT AS nxx, sum({k_xx})::BIGINT AS sxx
@@ -1083,15 +1113,18 @@ def q_embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brown–Forsythe) cannot express, and the standard check that a new
     crawl/encoder batch landed in the SAME embedding distribution as the
     corpus it joins.  The estimator averages FULL quadratic MMD² over
-    md5-assigned buckets, so total pair work is n²/B instead of n² — the
-    B-test tradeoff (bucket count scales with corpus in production,
-    like the LSH band bits; {MMD_BUCKETS} pinned here).  On the A/A md5
-    split MMD² must read ≈ 0 (gate-pinned vs the 4/√(bucket-pairs)
-    null band).
+    md5-assigned buckets, so total pair work is n²/B instead of n² — and
+    B is ADAPTIVE (round 7): ceil(n / {MMD_BUCKET_TARGET}) floored at
+    {MMD_MIN_BUCKETS}, derived from the same count in both engines, so
+    pair work stays ~n·target (linear) at any corpus size instead of the
+    fixed-constant quadratic the 100× campaign kept catching.  On the
+    A/A md5 split MMD² must read ≈ 0 (gate-pinned vs the
+    4/√(bucket-pairs) null band).
 
     Exactness: every pairwise kernel value exp(−‖a−b‖²) is quantized to
-    micro units PER PAIR (one shared DOUBLE text built from three
-    in-codegen dot products), the three per-bucket sums are exact
+    micro units PER PAIR (one shared DOUBLE text; the two self-dots are
+    hoisted per-ROW on both engines, only the cross dot is per-pair —
+    measured 2/3 of the kernel cost at 100×), the three per-bucket sums are exact
     BIGINTs, each bucket's MMD² is floor-quantized before the
     cross-bucket fold, and the emitted statistic carries its exact
     integer twin (sum_micro) beside the rounded float.
@@ -1103,6 +1136,10 @@ def q_embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     back.
     """
     emb = __load(spark, sf_dir, "embeddings")
+    # One cheap parquet-metadata count prices the corpus for the adaptive
+    # block rule (same eager-count tradeoff as _shared_srpw_index: callers
+    # with expensive unmaterialized lineage should persist first).
+    mmd_b = _mmd_buckets(emb.count())
     e = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),
@@ -1132,30 +1169,38 @@ def q_embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16,
                 10,
             ).cast("long")
-            % MMD_BUCKETS
+            % mmd_b
         ).alias("b"),
     )
-    # the prepared (id, vec, arm, bucket) table feeds six pair branches and
-    # the count fold — checkpoint it so the corpus is scanned ONCE (at
-    # production scale this is the written staging table the joins read)
-    e = e.localCheckpoint(eager=True)
     from .functions.vector import dot_product
+
+    # per-ROW self-dot hoisted out of the pair join (see _mmd_oracle);
+    # the prepared (id, vec, na, arm, bucket) table feeds six pair branches
+    # and the count fold — checkpoint it so the corpus is scanned ONCE and
+    # na is computed ONCE (at production scale this is the written staging
+    # table the joins read)
+    e = e.withColumn("na", dot_product("v", "v"))
+    e = e.localCheckpoint(eager=True)
 
     def pairs(arm_a: int, arm_b: int, strict: bool):
         a = e.filter(F.col("arm") == arm_a).select(
-            F.col("b"), F.col("vec_id").alias("ida"), F.col("v").alias("va")
+            F.col("b"),
+            F.col("vec_id").alias("ida"),
+            F.col("v").alias("va"),
+            F.col("na").alias("__aa"),
         )
         bb = e.filter(F.col("arm") == arm_b).select(
-            F.col("b"), F.col("vec_id").alias("idb"), F.col("v").alias("vb")
+            F.col("b"),
+            F.col("vec_id").alias("idb"),
+            F.col("v").alias("vb"),
+            F.col("na").alias("__bb"),
         )
         j = a.join(bb, "b")
         if strict:
             j = j.filter(F.col("ida") < F.col("idb"))
         k = _MMD_K_MICRO.format(aa="__aa", ab="__ab", bb="__bb")
         return (
-            j.withColumn("__aa", dot_product("va", "va"))
-            .withColumn("__ab", dot_product("va", "vb"))
-            .withColumn("__bb", dot_product("vb", "vb"))
+            j.withColumn("__ab", dot_product("va", "vb"))
             .groupBy("b")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n"),
