@@ -13,7 +13,21 @@ rerunnable tool, not a one-off.  Flags:
   its corpus scan per consumer (fix: eager localCheckpoint the small
   aggregate; 0 scans usually means checkpoints own the scan).
 - CartesianProduct: only scalar/1-row broadcasts are sanctioned.
-- Exchange SinglePartition: a global sort/window collapsed to one task.
+- single-partition Sort/Window over an UNREDUCED scan: a global
+  sort/window collapsed to one task.  Round-7 lesson: in formatted AQE
+  plans the exchange operator and its `Arguments: SinglePartition` are
+  on SEPARATE lines, so the old `"Exchange SinglePartition"` substring
+  never matched anything — the gate was silently a no-op while the
+  conformal pair shipped a one-task sort of the O(corpus) calibration
+  slice (measured 15↔148 s spill roulette at 100×).  The structural
+  check now parses the plan tree: an Exchange whose Arguments say
+  SinglePartition feeding a Sort/Window is a FLAG when a raw
+  `Scan parquet` is reachable below it without crossing an
+  aggregate/limit (unreduced corpus through one task), and a WARN
+  (non-fatal, printed) when the subtree bottoms out in a checkpointed
+  `Scan ExistingRDD` whose cardinality the plan can't prove — callers
+  must be able to justify those as provably bounded frames (day
+  tables, vocab top-K, per-partition totals).
 - zero WholeStageCodegen markers: the hot path fell off codegen.
 
 Exit code 1 if any query trips a flag, so this can run as a gate.
@@ -27,6 +41,76 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+_AGG_NODES = (
+    "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "TakeOrderedAndProject", "CollectLimit", "GlobalLimit", "LocalLimit",
+)
+
+
+def sp_sort_audit(p: str) -> tuple[int, int]:
+    """(flags, warns) for single-partition Sort/Window exchanges.
+
+    Parses the formatted plan: tree section gives structure (parent =
+    nearest shallower line), detail section gives per-id Arguments.  An
+    Exchange with SinglePartition arguments feeding Sort/Window is
+    flagged when a raw parquet scan is reachable in its subtree without
+    crossing an aggregate/limit, warned when the subtree bottoms out in
+    a checkpointed ExistingRDD of unprovable cardinality.
+    """
+    import re
+
+    nodes = []  # (idx, depth, name, id)
+    for ln in p.splitlines():
+        if ln.lstrip().startswith("("):
+            continue  # detail section
+        m = re.search(r"([A-Za-z][\w .]*?) \((\d+)\)\s*$", ln)
+        if m:
+            nodes.append((len(nodes), m.start(1), m.group(1).strip(), m.group(2)))
+    args: dict[str, str] = {}
+    cur = None
+    for ln in p.splitlines():
+        s = ln.strip()
+        m = re.match(r"\((\d+)\) ([A-Za-z][\w .]*)", s)
+        if m:
+            cur = m.group(1)
+        elif cur and s.startswith("Arguments:"):
+            args.setdefault(cur, s)
+    flags = warns = 0
+    for i, (idx, depth, name, nid) in enumerate(nodes):
+        if not name.startswith("Exchange"):
+            continue
+        if "SinglePartition" not in args.get(nid, ""):
+            continue
+        # parent: nearest preceding node with smaller depth
+        parent = next(
+            (n for n in reversed(nodes[:i]) if n[1] < depth), None
+        )
+        if parent is None or not (
+            parent[2].startswith("Sort") or parent[2].startswith("Window")
+        ):
+            continue
+        # subtree: following nodes with greater depth, until depth <= ours
+        raw_scan = unknown_rdd = False
+        stack_ok_depths: list[int] = []  # depths below an agg/limit node
+        for jdx, jdepth, jname, _ in nodes[i + 1:]:
+            if jdepth <= depth:
+                break
+            while stack_ok_depths and jdepth <= stack_ok_depths[-1]:
+                stack_ok_depths.pop()
+            reduced = bool(stack_ok_depths)
+            if any(jname.startswith(a) for a in _AGG_NODES):
+                stack_ok_depths.append(jdepth)
+            elif not reduced and jname.startswith("Scan parquet"):
+                raw_scan = True
+            elif not reduced and "ExistingRDD" in jname:
+                unknown_rdd = True
+        if raw_scan:
+            flags += 1
+        elif unknown_rdd:
+            warns += 1
+    return flags, warns
 
 
 def main() -> None:
@@ -54,7 +138,7 @@ def main() -> None:
         scans = p.count("Scan parquet")
         inmem = p.count("InMemoryTableScan") + p.count("InMemoryRelation")
         cart = p.count("CartesianProduct")
-        single = p.count("Exchange SinglePartition")
+        single, sp_warns = sp_sort_audit(p)
         # per-TABLE scan multiplicity: a 7-table join legitimately reads 7
         # different tables once each; the replay smell is the SAME table
         # scanned repeatedly
@@ -75,10 +159,15 @@ def main() -> None:
         if cart:
             flags.append(f"cartesian={cart}")
         if single:
-            flags.append(f"single_partition={single}")
+            flags.append(f"single_partition_sort={single}")
         if flags:
             bad += 1
             print(f"{name}: FLAG {' '.join(flags)}")
+        elif sp_warns:
+            print(
+                f"{name}: ok (scans={scans}) WARN sp_window_over_checkpoint="
+                f"{sp_warns} (prove the frame bounded or use global_order_stats)"
+            )
         else:
             print(f"{name}: ok (scans={scans})")
     print(f"# flagged: {bad}")

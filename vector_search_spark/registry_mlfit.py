@@ -415,11 +415,21 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("y") - F.col("mu")).cast("long").alias("r")
     ).localCheckpoint(eager=True)
     ncal = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
-    w = Window.orderBy("r")
+    # q-hat WITHOUT a partition-less window (round 7): the calibration
+    # slice is O(corpus) and a bare Window.orderBy funneled it through ONE
+    # task — measured at 100× as a 13–148 s single-partition sort (spill-
+    # dependent).  global_order_stats ranks via range partitions + a
+    # prefix over the tiny per-partition totals; `r` alone is not a total
+    # order, but min(r | rank ≥ k) is tie-insensitive (any tie order
+    # yields the k-th smallest value), so the result is bit-identical.
+    from .partitioning import global_order_stats
+
     qhat = (
-        cal.withColumn("rn", F.row_number().over(w))
+        global_order_stats(cal, ["r"])
         .crossJoin(F.broadcast(ncal))
-        .filter(F.col("rn") >= F.expr(f"(({CONF_ALPHA_NUM} * (n_cal + 1)) + 9) DIV 10"))
+        .filter(
+            F.col("__rank") >= F.expr(f"(({CONF_ALPHA_NUM} * (n_cal + 1)) + 9) DIV 10")
+        )
         .agg(F.min("r").cast("long").alias("q"))
     )
     ntr = li.filter(F.col("bucket") <= 2).agg(
@@ -1193,10 +1203,12 @@ def q_conformal_group_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     query; each group's q̂ is an exact order statistic (integer ceiling
     rank); coverage is integer counting with one float division on emit.
 
-    Scale: per-group ranks partition the calibration slice by group
-    (range-partitioned sort within each — groups are the Mondrian
-    taxonomy, bounded); everything else is the broadcast-joined
-    one-pass shape of the marginal query.
+    Scale: one global_order_stats ranking over (group, r) serves every
+    per-group quantile — rank-in-group is the global rank minus the
+    group's exclusive prefix count (a 6-row broadcast), so parallelism
+    follows the range partitioning, not the Mondrian cell count; the
+    global q̂ is a second ranking by r alone; everything else is the
+    broadcast-joined one-pass shape of the marginal query.
     """
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("rf"),
@@ -1231,21 +1243,48 @@ def q_conformal_group_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = joined.filter(F.col("bucket") == 3).select(
         "rf", "ls", F.abs(F.col("y") - F.col("mu")).cast("long").alias("r")
     ).localCheckpoint(eager=True)
-    ncal_g = cal.groupBy("rf", "ls").agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
-    wg = Window.partitionBy("rf", "ls").orderBy("r")
+    ncal_g = (
+        cal.groupBy("rf", "ls")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+        .localCheckpoint(eager=True)  # 6 rows, two consumers below
+    )
+    # Per-group AND global q-hat from ONE scalable ranking (round 7): the
+    # old plan put the O(corpus) calibration slice through a 6-partition
+    # window (per-group rank, parallelism capped at the Mondrian cell
+    # count) plus a partition-less window (global rank, ONE task —
+    # measured 15→148 s run-to-run at 100×, spill-dependent).  Now one
+    # global_order_stats over the total order (rf, ls, r): rows of a
+    # group are contiguous, so rank-in-group = global rank − the group's
+    # exclusive prefix count (a window over the 6-row group-count table,
+    # broadcast back).  Ties in r are rank-order-arbitrary but
+    # min(r | rank ≥ k) is tie-insensitive — results bit-identical.
+    from .partitioning import global_order_stats
+
+    ranked = global_order_stats(cal, ["rf", "ls", "r"])
+    wg_off = Window.orderBy("rf", "ls").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ncal_g.select(
+        "rf",
+        "ls",
+        "n_cal",
+        F.coalesce(F.sum("n_cal").over(wg_off), F.lit(0)).cast("long").alias("goff"),
+    )
     qg = (
-        cal.withColumn("rn", F.row_number().over(wg))
-        .join(F.broadcast(ncal_g), ["rf", "ls"])
-        .filter(F.col("rn") >= F.expr("((9 * (n_cal + 1)) + 9) DIV 10"))
+        ranked.join(F.broadcast(offs), ["rf", "ls"])
+        .filter(
+            F.col("__rank") - F.col("goff")
+            >= F.expr("((9 * (n_cal + 1)) + 9) DIV 10")
+        )
         .groupBy("rf", "ls", "n_cal")
         .agg(F.min("r").cast("long").alias("q_group"))
     )
     ncal = cal.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    w = Window.orderBy("r")
+    # the GLOBAL q-hat orders by r ALONE — a separate ranking (the
+    # (rf, ls, r) ranking above would select by group-major order, not
+    # by residual size); cal is checkpointed, so no scan replay
     qglob = (
-        cal.withColumn("rn", F.row_number().over(w))
+        global_order_stats(cal, ["r"])
         .crossJoin(F.broadcast(ncal))
-        .filter(F.col("rn") >= F.expr("((9 * (n + 1)) + 9) DIV 10"))
+        .filter(F.col("__rank") >= F.expr("((9 * (n + 1)) + 9) DIV 10"))
         .agg(F.min("r").cast("long").alias("q"))
     )
     test = joined.filter(F.col("bucket") == 4).select(
