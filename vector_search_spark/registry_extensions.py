@@ -611,10 +611,15 @@ def q_dedup_embedding_srp_narrow_demo(spark: SparkSession, sf_dir: str) -> DataF
     from .functions.vector import dot_product
 
     emb_all = __load(spark, sf_dir, "embeddings")
-    cap_ids = emb_all.select("vec_id").orderBy("vec_id").limit(_SRP_DEMO_CAP)
-    ib = _shared_srp_index(spark, sf_dir).join(
-        F.broadcast(cap_ids), "vec_id"
-    )  # (vec_id, band, val) pruned to the demo slice
+    ib = _shared_srp_index(spark, sf_dir)  # (vec_id, band, val)
+    if emb_all.count() > _SRP_DEMO_CAP:
+        # prune to the demo slice only when the cap BINDS — below it the
+        # join is a semantic no-op that still cost 0.85 s/collect at
+        # sf0.1 (TakeOrdered + broadcast per collect); the count is a
+        # cheap parquet-metadata scan and partitioning-independent, and
+        # the oracle's LIMIT text needs no branch (same result either way)
+        cap_ids = emb_all.select("vec_id").orderBy("vec_id").limit(_SRP_DEMO_CAP)
+        ib = ib.join(F.broadcast(cap_ids), "vec_id")
     l = ib.select(F.col("vec_id").alias("id_1"), "band", "val")
     r = ib.select(F.col("vec_id").alias("id_2"), "band", "val")
     cand = (
