@@ -69,17 +69,37 @@ _spec.loader.exec_module(_msf)
 
 
 def test_caesar_cipher_distinct_past_letter_period():
-    # 312 is the letter-affine period; the digit layer must keep replicas
-    # distinct well past it (a 1000x build uses r up to 999).
-    seen = set()
-    for r in range(0, 1000, 7):
-        seen.add(_msf._caesar_cols(r))
-    assert len(seen) == len(range(0, 1000, 7))
-    # r=0 is the identity; digits untouched below 312
-    src, dst = _msf._caesar_cols(0)
-    assert src == dst
-    src312, dst312 = _msf._caesar_cols(312)
-    assert "0" in src312 and dst312 != src312
+    # 312 is the letter-affine period; past it the md5-seeded letter
+    # permutation must keep replicas distinct (ADVICE r7: the corpus is
+    # digit-free, so the digit layer alone proved NOTHING — the old test
+    # compared full (src, dst) tuples and passed while replica pairs 312
+    # apart carried byte-identical TEXT).  Assert on what the corpus
+    # actually exercises: the letter mapping, hence transformed text.
+    letter_maps = [_msf._caesar_cols(r)[1][:52] for r in range(1000)]
+    assert len(set(letter_maps)) == 1000
+    # every map is a bijection on each case class
+    import string as _string
+
+    for dst in (letter_maps[0], letter_maps[312], letter_maps[999]):
+        assert sorted(dst[:26]) == list(_string.ascii_lowercase)
+        assert sorted(dst[26:]) == list(_string.ascii_uppercase)
+    # a digit-free text (like every real document) transforms DIFFERENTLY
+    # under replicas exactly one letter-affine period apart
+    text = "The quick brown fox jumps over the lazy dog"
+    out = set()
+    for r in (0, 312, 624, 936):
+        src, dst = _msf._caesar_cols(r)
+        out.add(text.translate(str.maketrans(src, dst)))
+    assert len(out) == 4
+    # r=0 is the identity
+    src0, dst0 = _msf._caesar_cols(0)
+    assert src0 == dst0
+    # r < 312 keeps the pre-r8 mapping bit-identical (existing 10x/100x
+    # fixtures reproduce): d=0 -> identity md5 perm -> pure affine
+    src100, dst100 = _msf._caesar_cols(100)
+    a, b = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25][(100 // 26) % 12], 100 % 26
+    expect = "".join(_string.ascii_lowercase[(a * i + b) % 26] for i in range(26))
+    assert dst100[:26] == expect
 
 
 def test_replicate_widens_int32_keys_instead_of_wrapping(spark):

@@ -63,24 +63,41 @@ KEYED = {
 DIMS = ["region", "nation"]
 
 
+def _md5_letter_perm(d: int):
+    """Deterministic full 26-letter permutation keyed by d: argsort of
+    md5("{d}:{i}") over i = 0..25.  d = 0 returns the identity so every
+    fixture built with copies <= 312 reproduces bit-identically."""
+    if d == 0:
+        return list(range(26))
+    import hashlib
+
+    keys = [hashlib.md5(f"sgfix-letters-{d}:{i}".encode()).hexdigest() for i in range(26)]
+    return sorted(range(26), key=lambda i: keys[i])
+
+
 def _caesar_cols(r: int):
     """Per-replica AFFINE cipher x -> a*x + b (mod 26), a coprime to 26:
     312 distinct letter bijections.  (A plain Caesar shift has period 26 —
     at copies > 26 replica pairs 26 apart would carry IDENTICAL text,
     planting the cross-replica duplicates this fixture exists to avoid.)
-    Past 312 copies the letter cipher alone repeats, so replicas ≥ 312
-    compose an affine DIGIT cipher x -> a*x + b (mod 10), a ∈ {1,3,7,9}:
-    312 × 40 = 12,480 distinct combined bijections — enough for a 1000×
-    build off sf0.1 (copies = 1000) with no cross-replica text twins.
-    r = 0 is the identity."""
+    Past 312 copies the affine family alone repeats, so replicas >= 312
+    compose the affine map with an md5-seeded full 26-LETTER permutation
+    keyed by d = r // 312 (ADVICE r7: the old digit-cipher layer never
+    fired on the real corpus — every document is digit-free, so replica
+    pairs 312 apart carried byte-identical text).  Letters are what the
+    corpus is made of; perturbing them keeps every replica distinct at any
+    buildable copy count.  main() asserts pairwise-distinct maps for the
+    requested copy count up front.  The digit layer is kept as extra
+    entropy for corpora that DO contain digits.  r = 0 is the identity."""
     lo = string.ascii_lowercase
     up = string.ascii_uppercase
     coprime = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
     a, b = coprime[(r // 26) % 12], r % 26
-    perm = [(a * i + b) % 26 for i in range(26)]
+    d = r // 312  # md5-permutation index; 0 (identity) for the first 312
+    pd = _md5_letter_perm(d)
+    perm = [pd[(a * i + b) % 26] for i in range(26)]
     src = lo + up
     dst = "".join(lo[p] for p in perm) + "".join(up[p] for p in perm)
-    d = r // 312  # digit-cipher index; 0 (identity) for the first 312
     if d:
         da, db = [1, 3, 7, 9][(d // 10) % 4], d % 10
         dperm = [(da * i + db) % 10 for i in range(10)]
@@ -144,6 +161,16 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
+
+    # Cipher-distinctness guard: every replica's LETTER map must differ
+    # (the corpus is digit-free, so the digit layer contributes nothing —
+    # ADVICE r7).  O(copies) strings, trivial at any buildable count.
+    letter_maps = {_caesar_cols(r)[1][:52] for r in range(args.copies)}
+    assert len(letter_maps) == args.copies, (
+        f"letter ciphers collide: {args.copies} replicas -> "
+        f"{len(letter_maps)} distinct maps; cross-replica text twins would "
+        "plant fake duplicates"
+    )
 
     from vector_search_spark.session import get_spark
 
