@@ -2,7 +2,12 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and print ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
 
-Each query is timed to full materialization (collect).  ``value`` is the
+Each query is timed to full materialization: a JVM-side xxhash64 checksum
+aggregate for the unordered majority (forces evaluation of every output
+column without O(corpus) py4j row transfer — the round-7 decade pair
+showed 7/9 superlinear flags were driver-side row decoding, not the
+engine), a real collect() for the ordering-contract queries in
+registry.ORDERED_QUERIES.  ``value`` is the
 sum of per-query WARM medians (steady-state plan execution; the DataFrame
 is built once and collected ``reps`` times — rebuilding per rep re-pays
 2-4.5 s of Catalyst+Janino PLAN COMPILATION per complex query, which at
@@ -122,12 +127,18 @@ def main() -> None:
         # A query that breaks at an exploratory scale (the round-6 100x run
         # died on the FIRST query's overflow and lost the whole record) is
         # itself a finding — record it and keep benchmarking the rest.
+        # Ordering-contract queries are consumed with a real collect()
+        # (row order IS the result); everything else is checksum-consumed
+        # JVM-side so O(corpus) py4j row transfer (~4-6 us/row — 7 of the
+        # 9 superlinear decade flags at 100x were exactly this) never
+        # pollutes the scaling signal.  See registry.checksum_consume.
+        ordered = name in registry.ORDERED_QUERIES
         try:
             df = fn(spark, sf_dir)
             samples = []
             for i in range(reps):
                 t0 = time.perf_counter()
-                rows = df.collect()
+                n_rows = len(df.collect()) if ordered else registry.checksum_consume(df)
                 samples.append(time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001
             errors[name] = str(e).split("\n")[0][:300]
@@ -140,7 +151,7 @@ def main() -> None:
         timings[name] = round(med, 3)
         print(
             f"# {name}: {timings[name]:.3f}s warm-median / {cold[name]:.3f}s cold"
-            f" ({len(rows)} rows, {reps} reps)",
+            f" ({n_rows} rows, {reps} reps{', collect' if ordered else ''})",
             file=sys.stderr,
         )
 

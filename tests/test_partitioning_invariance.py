@@ -210,14 +210,7 @@ def test_result_is_partitioning_invariant(spark, name):
 # query here tie-breaks by id, so its output order is fully deterministic
 # and must survive any partitioning regime.
 # ---------------------------------------------------------------------------
-ORDERED_QUERIES = [
-    "knn_topk",            # rank within query, id tie-break
-    "search_pipeline",     # reranked + re-sorted
-    "dedup_embedding_srp", # top-50 by cosine desc, id tie-break
-    "multimodal_features", # ORDER BY doc_id, feat_idx
-    "tfidf_top_terms",
-    "top_orders_per_customer",
-]
+ORDERED_QUERIES = sorted(registry.ORDERED_QUERIES)  # shared with bench.py
 
 
 @pytest.mark.parametrize("name", ORDERED_QUERIES)

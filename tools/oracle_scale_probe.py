@@ -88,16 +88,31 @@ def main() -> None:
         p = ctx.Process(target=_run_one,
                         args=(args.sf_dir, name, sql, args.threads, q))
         p.start()
-        p.join(args.timeout)
+        # Drain the queue BEFORE joining (ADVICE r7): a child whose queued
+        # result exceeds the pipe buffer blocks in the queue feeder thread
+        # and can never exit, so join-then-get_nowait records a FALSE
+        # timeout for an oracle that actually finished.
+        import queue as _queue
+
+        deadline = time.perf_counter() + args.timeout
+        res = None
+        while res is None:
+            try:
+                res = q.get(timeout=min(1.0, max(0.05, deadline - time.perf_counter())))
+            except _queue.Empty:
+                if time.perf_counter() >= deadline:
+                    res = {"timeout": True}
+                elif not p.is_alive():
+                    # one last non-blocking drain: the child may exit
+                    # between a successful put and this liveness check
+                    try:
+                        res = q.get_nowait()
+                    except _queue.Empty:
+                        res = {"error": f"died rc={p.exitcode}"}
         if p.is_alive():
             p.terminate()
-            p.join()
-            rec["oracles"][name] = {"timeout": True}
-        else:
-            try:
-                rec["oracles"][name] = q.get_nowait()
-            except Exception:  # noqa: BLE001
-                rec["oracles"][name] = {"error": f"died rc={p.exitcode}"}
+        p.join()
+        rec["oracles"][name] = res
         sys.stderr.write(f"{name}: {rec['oracles'][name]}\n")
     print(json.dumps(rec))
 

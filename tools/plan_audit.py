@@ -67,7 +67,16 @@ def sp_sort_audit(p: str) -> tuple[int, int]:
             continue  # detail section
         m = re.search(r"([A-Za-z][\w .]*?) \((\d+)\)\s*$", ln)
         if m:
-            nodes.append((len(nodes), m.start(1), m.group(1).strip(), m.group(2)))
+            # Depth = column where the node name starts, MINUS the
+            # whole-stage-codegen '* ' marker (ADVICE r7): a starred
+            # sibling printed after an Exchange at the same tree level
+            # would otherwise read 2 columns deeper and be swept into the
+            # Exchange's subtree — a raw scan in a sibling join branch
+            # falsely attributed to the single-partition exchange.
+            depth = m.start(1)
+            if ln[max(0, depth - 2):depth] == "* ":
+                depth -= 2
+            nodes.append((len(nodes), depth, m.group(1).strip(), m.group(2)))
     args: dict[str, str] = {}
     cur = None
     for ln in p.splitlines():
@@ -87,8 +96,10 @@ def sp_sort_audit(p: str) -> tuple[int, int]:
         parent = next(
             (n for n in reversed(nodes[:i]) if n[1] < depth), None
         )
-        if parent is None or not (
-            parent[2].startswith("Sort") or parent[2].startswith("Window")
+        # exact node names (ADVICE r7: startswith("Sort") also matched
+        # SortMergeJoin/SortAggregate — neither collapses to one task)
+        if parent is None or parent[2] not in (
+            "Sort", "Window", "WindowInPandas", "WindowGroupLimit"
         ):
             continue
         # subtree: following nodes with greater depth, until depth <= ours
@@ -113,6 +124,47 @@ def sp_sort_audit(p: str) -> tuple[int, int]:
     return flags, warns
 
 
+def audit_plan(p: str) -> tuple[list[str], int, int]:
+    """(flags, sp_warns, scans) for one formatted plan — the per-query
+    rule set, extracted so tests/test_plan_audit_selftest.py can feed it
+    deliberately BAD plans and assert it flags (the single-partition gate
+    was a silent no-op for four rounds; a gate nobody negative-controls
+    is a gate that may not exist)."""
+    import re as _re
+
+    scans = p.count("Scan parquet")
+    inmem = p.count("InMemoryTableScan") + p.count("InMemoryRelation")
+    cart = p.count("CartesianProduct")
+    single, sp_warns = sp_sort_audit(p)
+    # per-TABLE scan multiplicity: a 7-table join legitimately reads 7
+    # different tables once each; the replay smell is the SAME table
+    # scanned repeatedly
+    tables = _re.findall(r"Location:.*?/(\w+)\.parquet", p)
+    per_table = {}
+    for t in tables:
+        per_table[t] = per_table.get(t, 0) + 1
+    worst = max(per_table.values(), default=0)
+    worst_t = max(per_table, key=per_table.get) if per_table else ""
+    flags = []
+    # persisted session-shared indexes print their full lineage under
+    # InMemoryRelation but serve from cache at runtime — only flag
+    # scan multiplicity when no cache is involved
+    if worst > 3 and inmem == 0:
+        flags.append(f"scans={scans} worst={worst_t}x{worst}")
+    if cart:
+        flags.append(f"cartesian={cart}")
+    if single:
+        flags.append(f"single_partition_sort={single}")
+    return flags, sp_warns, scans
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     subs = sys.argv[2:]
@@ -126,40 +178,12 @@ def main() -> None:
         if subs and not any(s in name for s in subs):
             continue
         try:
-            df = registry.QUERIES[name](spark, sf_dir)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            p = buf.getvalue()
+            p = formatted_plan(registry.QUERIES[name](spark, sf_dir))
         except Exception as e:  # noqa: BLE001
             print(f"{name}: BUILD ERROR {str(e)[:120]}")
             bad += 1
             continue
-        scans = p.count("Scan parquet")
-        inmem = p.count("InMemoryTableScan") + p.count("InMemoryRelation")
-        cart = p.count("CartesianProduct")
-        single, sp_warns = sp_sort_audit(p)
-        # per-TABLE scan multiplicity: a 7-table join legitimately reads 7
-        # different tables once each; the replay smell is the SAME table
-        # scanned repeatedly
-        import re as _re
-
-        tables = _re.findall(r"Location:.*?/(\w+)\.parquet", p)
-        per_table = {}
-        for t in tables:
-            per_table[t] = per_table.get(t, 0) + 1
-        worst = max(per_table.values(), default=0)
-        worst_t = max(per_table, key=per_table.get) if per_table else ""
-        flags = []
-        # persisted session-shared indexes print their full lineage under
-        # InMemoryRelation but serve from cache at runtime — only flag
-        # scan multiplicity when no cache is involved
-        if worst > 3 and inmem == 0:
-            flags.append(f"scans={scans} worst={worst_t}x{worst}")
-        if cart:
-            flags.append(f"cartesian={cart}")
-        if single:
-            flags.append(f"single_partition_sort={single}")
+        flags, sp_warns, scans = audit_plan(p)
         if flags:
             bad += 1
             print(f"{name}: FLAG {' '.join(flags)}")

@@ -53,16 +53,20 @@ def main() -> None:
     }
     for name in names:
         df = registry.QUERIES[name](spark, sf_dir)
+        ordered = name in registry.ORDERED_QUERIES
         samples = []
-        rows = []
+        n_rows = 0
         for _ in range(3):
             t0 = time.perf_counter()
-            rows = df.collect()
+            # Same consumption contract as bench.py: collect() only for
+            # ordering-contract queries; JVM-side checksum otherwise so
+            # the probe measures the engine, not py4j row decoding.
+            n_rows = len(df.collect()) if ordered else registry.checksum_consume(df)
             samples.append(round(time.perf_counter() - t0, 3))
         rec["queries"][name] = {
             "cold_sec": samples[0],
             "warm_sec": sorted(samples[1:])[0],
-            "rows": len(rows),
+            "rows": n_rows,
         }
     print(json.dumps(rec))
 

@@ -171,6 +171,20 @@ def ivf_build(
     return cent_mat, indexed
 
 
+def ivf_write_index(indexed: DataFrame, path: str) -> None:
+    """Persist the IVF index hive-partitioned by cell — the 100 TB shape:
+    the build runs once, queries read ONLY their probed cells' directories
+    (``ivf_query``'s static cell filter becomes partition pruning at the
+    FileSourceScan)."""
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_read_index(spark, path: str) -> DataFrame:
+    """Read a persisted IVF index back; interchangeable with the in-session
+    index DataFrame for ``ivf_query``."""
+    return spark.read.parquet(path)
+
+
 def ivf_query(
     indexed: DataFrame,
     cent_mat: np.ndarray,
@@ -199,6 +213,16 @@ def ivf_query(
             probes, f"query_id long, __qvec array<double>, cell int"
         )
     )
+
+    # The probe list is known DRIVER-SIDE before the query runs, so the
+    # cell restriction is a STATIC filter, not just a join key: on an index
+    # persisted write.partitionBy("cell") this is partition pruning at the
+    # FileSourceScan (PartitionFilters, probed cells' directories only —
+    # tests/test_ivf_persisted_index.py pins it), and in-session it is a
+    # pushed-down predicate.  Results are unchanged (the equi-join on cell
+    # already restricts); this moves the restriction from post-scan to scan.
+    cells_used = sorted({int(c) for c in probe_cells.ravel()})
+    indexed = indexed.filter(F.col("cell").isin(cells_used))
 
     scored = indexed.join(probes_df, "cell").withColumn(
         "score", dot_product(F.col(vec_col), F.col("__qvec"))

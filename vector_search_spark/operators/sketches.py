@@ -33,13 +33,20 @@ _REST_BITS = 60 - HLL_P  # md5-derived hash is truncated to 60 bits
 _ALPHA_EXPR = f"(0.7213/(1.0 + 1.079/{HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0"
 
 
-def hll_registers(df: DataFrame, group: str, value: Column | str) -> DataFrame:
+def hll_registers(
+    df: DataFrame, group: str | list[str], value: Column | str
+) -> DataFrame:
     """Per (group, bucket) HLL register table: M = max leading-zero rank.
 
     The 60-bit hash comes from md5("hll:" || value): top ``HLL_P`` bits
     pick the register, the remaining 51 bits feed the rank.  All integer
     expressions — whole-stage codegen, partial-aggregated ``max``.
+
+    ``group`` may be a list for composite keys (ADVICE r7: callers used
+    to concat_ws grouping keys and split later, which silently corrupts
+    on a delimiter-bearing value and drops NULL keys entirely).
     """
+    groups = [group] if isinstance(group, str) else list(group)
     value = F.col(value) if isinstance(value, str) else value
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("hll:"), value.cast("string"))), 1, 15),
@@ -53,22 +60,24 @@ def hll_registers(df: DataFrame, group: str, value: Column | str) -> DataFrame:
         F.lit(_REST_BITS + 1) - F.length(F.bin(rest))
     )
     return (
-        df.select(F.col(group), bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy(group, "bucket")
+        df.select(*[F.col(g) for g in groups], bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*groups, "bucket")
         .agg(F.max("rho").alias("m_reg"))
     )
 
 
-def hll_estimate(registers: DataFrame, group: str) -> DataFrame:
+def hll_estimate(registers: DataFrame, group: str | list[str]) -> DataFrame:
     """Fold registers into the HLL estimate (with small-range correction).
 
     Harmonic sum in scaled integers: term_j = 2^(REST_BITS+1 - M_j) (so an
     empty register contributes 2^(REST_BITS+1)), summed as BIGINT —
     order-free.  One double division + the standard linear-counting branch.
+    ``group`` may be a list for composite keys.
     """
+    groups = [group] if isinstance(group, str) else list(group)
     scale_pow = _REST_BITS + 1  # 52
     term = F.pow(F.lit(2.0), F.lit(scale_pow) - F.col("m_reg")).cast("long")
-    per_group = registers.groupBy(group).agg(
+    per_group = registers.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("n_seen"),
         F.sum(term).alias("harm_scaled"),
     )
@@ -83,7 +92,7 @@ def hll_estimate(registers: DataFrame, group: str) -> DataFrame:
         (raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v_zero.cast("double")),
     ).otherwise(raw)
-    return per_group.select(F.col(group), est.alias("hll_raw"))
+    return per_group.select(*[F.col(g) for g in groups], est.alias("hll_raw"))
 
 
 def hll_distinct(df: DataFrame, group: str, value: Column | str) -> DataFrame:

