@@ -77,25 +77,39 @@ def main() -> None:
     )
     from vector_search_spark.registry_suffix import _shared_suffix  # noqa: E402
 
+    # Setup builders can be excluded by name for exploratory scale runs
+    # whose query family is skipped too (the suffix array at 1000x is
+    # ~4 GB heap per M tokens — excluded by design, so its index must not
+    # be built either).  Never set for driver runs.
+    skip_setup = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP_SETUP", "").split(",") if s
+    }
+    builders = [
+        ("_ps", _ps),
+        ("_shared_shingles", _shared_shingles),
+        ("_shared_signatures", _shared_signatures),
+        ("_shared_simhash_sigs", _shared_simhash_sigs),
+        ("_shared_lsh_candidates", _shared_lsh_candidates),
+        ("_shared_verified_pairs", _shared_verified_pairs),
+        ("_shared_token_blocks", _shared_token_blocks),
+        ("_shared_ivf_index", _shared_ivf_index),
+        ("_shared_srp_index", _shared_srp_index),
+        ("_shared_pq_index", _shared_pq_index),
+        ("_shared_sq_index", _shared_sq_index),
+        ("_shared_doc_features", _shared_doc_features),
+        ("_shared_bpe", _shared_bpe),
+        ("_shared_bigram_lm", _shared_bigram_lm),
+        ("_shared_phrase_index", _shared_phrase_index),
+        ("_shared_ivfpq_coarse", _shared_ivfpq_coarse),
+        ("_shared_ivfpq_residual_index", _shared_ivfpq_residual_index),
+        ("_shared_suffix", _shared_suffix),
+    ]
     t0 = time.perf_counter()
-    _ps(spark, sf_dir)
-    _shared_shingles(spark, sf_dir)
-    _shared_signatures(spark, sf_dir)
-    _shared_simhash_sigs(spark, sf_dir)
-    _shared_lsh_candidates(spark, sf_dir)
-    _shared_verified_pairs(spark, sf_dir)
-    _shared_token_blocks(spark, sf_dir)
-    _shared_ivf_index(spark, sf_dir)
-    _shared_srp_index(spark, sf_dir)
-    _shared_pq_index(spark, sf_dir)
-    _shared_sq_index(spark, sf_dir)
-    _shared_doc_features(spark, sf_dir)
-    _shared_bpe(spark, sf_dir)
-    _shared_bigram_lm(spark, sf_dir)
-    _shared_phrase_index(spark, sf_dir)
-    _shared_ivfpq_coarse(spark, sf_dir)
-    _shared_ivfpq_residual_index(spark, sf_dir)
-    _shared_suffix(spark, sf_dir)
+    for bname, builder in builders:
+        if bname in skip_setup:
+            print(f"# setup {bname}: SKIPPED", file=sys.stderr)
+            continue
+        builder(spark, sf_dir)
     setup_sec = round(time.perf_counter() - t0, 3)
     print(f"# setup (shingle/signature/IVF index builds): {setup_sec}s", file=sys.stderr)
 
@@ -116,6 +130,7 @@ def main() -> None:
     skip = {
         s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
     }
+    force_checksum = os.environ.get("SPARK_GRAFT_BENCH_FORCE_CHECKSUM", "") == "1"
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -132,13 +147,22 @@ def main() -> None:
         # JVM-side so O(corpus) py4j row transfer (~4-6 us/row — 7 of the
         # 9 superlinear decade flags at 100x were exactly this) never
         # pollutes the scaling signal.  See registry.checksum_consume.
-        ordered = name in registry.ORDERED_QUERIES
+        # SPARK_GRAFT_BENCH_FORCE_CHECKSUM=1 (exploratory scale runs only,
+        # recorded in the output) checksums EVERYTHING: at 1000x the two
+        # O(corpus)-output ordered queries would collect tens of millions
+        # of rows into the driver; their order contract stays verified by
+        # the invariance suite and the collect benches through 100x.
+        ordered = name in registry.ORDERED_QUERIES and not force_checksum
         try:
             df = fn(spark, sf_dir)
+            # build the consumption frame ONCE so reps measure plan
+            # execution, not re-analysis of the wrapper aggregate
+            consume = df if ordered else registry.checksum_frame(df)
             samples = []
             for i in range(reps):
                 t0 = time.perf_counter()
-                n_rows = len(df.collect()) if ordered else registry.checksum_consume(df)
+                rows = consume.collect()
+                n_rows = len(rows) if ordered else rows[0]["n"]
                 samples.append(time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001
             errors[name] = str(e).split("\n")[0][:300]
@@ -167,6 +191,10 @@ def main() -> None:
         "cold_queries": cold,
         "sf": sf,
     }
+    if force_checksum:
+        record["force_checksum"] = True
+    if skip:
+        record["skipped"] = sorted(skip)
     if errors:
         record["errors"] = errors
     line = json.dumps(record)

@@ -54,14 +54,17 @@ def main() -> None:
     for name in names:
         df = registry.QUERIES[name](spark, sf_dir)
         ordered = name in registry.ORDERED_QUERIES
+        # Same consumption contract as bench.py: collect() only for
+        # ordering-contract queries; JVM-side checksum otherwise so the
+        # probe measures the engine, not py4j row decoding.  The frame is
+        # built once so reps don't re-pay plan analysis.
+        consume = df if ordered else registry.checksum_frame(df)
         samples = []
         n_rows = 0
         for _ in range(3):
             t0 = time.perf_counter()
-            # Same consumption contract as bench.py: collect() only for
-            # ordering-contract queries; JVM-side checksum otherwise so
-            # the probe measures the engine, not py4j row decoding.
-            n_rows = len(df.collect()) if ordered else registry.checksum_consume(df)
+            rows = consume.collect()
+            n_rows = len(rows) if ordered else rows[0]["n"]
             samples.append(round(time.perf_counter() - t0, 3))
         rec["queries"][name] = {
             "cold_sec": samples[0],

@@ -41,8 +41,9 @@ ORDERED_QUERIES = frozenset({
 })
 
 
-def checksum_consume(df: DataFrame) -> int:
-    """Materialize a query entirely JVM-side and return its row count.
+def checksum_frame(df: DataFrame) -> DataFrame:
+    """1-row (n, checksum) frame that materializes a query entirely
+    JVM-side.
 
     ``xxhash64`` over EVERY output column forces full evaluation of the
     final projection (a bare ``count()`` would let Catalyst prune it —
@@ -52,15 +53,19 @@ def checksum_consume(df: DataFrame) -> int:
     benchmarks measure the ENGINE, not the driver's row decoder.  Note
     Catalyst legally drops a trailing non-contractual ORDER BY under the
     aggregate — for ordering-contract queries use collect() instead
-    (see ORDERED_QUERIES).
+    (see ORDERED_QUERIES).  Benchmarks should build this frame ONCE per
+    query and collect it per rep, so reps don't re-pay plan analysis.
     """
-    row = (
-        df.select(F.xxhash64(*df.columns).alias("__h"))
+    return df.select(F.xxhash64(*df.columns).alias("__h")).agg(
         # bit_xor, not sum: summing 64-bit hashes overflows under ANSI
-        .agg(F.count("*").alias("n"), F.expr("bit_xor(__h)").alias("checksum"))
-        .first()
+        F.count("*").alias("n"),
+        F.expr("bit_xor(__h)").alias("checksum"),
     )
-    return row["n"]
+
+
+def checksum_consume(df: DataFrame) -> int:
+    """One-shot convenience over :func:`checksum_frame`: row count."""
+    return checksum_frame(df).first()["n"]
 
 
 def register(name: str, oracle: str | None = None):
