@@ -106,11 +106,25 @@ def global_order_stats(
     sampled range bounds — so results are bit-stable under any
     partitioning regime (covered by the invariance suite through its
     callers).  ``order_cols`` must be a total order (include a tiebreaker).
+
+    The tagged frame is EAGERLY CHECKPOINTED before fan-out: ``totals``
+    and the windowed branch are two consumers of the same range exchange,
+    and when AQE does not reuse it each consumer re-samples its own range
+    boundaries — ``spark_partition_id`` then disagrees between the
+    branches and the offsets join against the WRONG partitions (round 8:
+    caught by the 1000x replica-slice verification as layout-dependent,
+    run-to-run nondeterministic answers in scorer_auc / pr_best_f1 /
+    ks_two_sample / customer_rfm_segments; the sf0.01 driver gate had
+    passed whenever exchange reuse happened to kick in).  One pinned
+    evaluation is the repo's standing multi-consumer rule — at production
+    scale this is the written staging table both phases read.
     """
     from pyspark.sql import Window
 
     parts = df.repartitionByRange(num_ranges, *[F.col(c) for c in order_cols])
-    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    tagged = parts.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     aggs = [F.count(F.lit(1)).alias("__cnt")]
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("__sum"))
@@ -186,11 +200,18 @@ def global_prefix_min(
     ``order_cols`` must be a total order (include a tiebreaker).  The
     classic consumer is the 2-D skyline: a point is non-dominated iff the
     running min of dim-2 over all better dim-1 points exceeds its own.
+
+    Eagerly checkpointed before fan-out for the same reason as
+    ``global_order_stats``: two consumers of one range exchange can
+    re-sample different boundaries, making ``spark_partition_id`` disagree
+    between the totals and window branches.
     """
     from pyspark.sql import Window
 
     parts = df.repartitionByRange(num_ranges, *order_cols)
-    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    tagged = parts.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     totals = tagged.groupBy("__pid").agg(F.min(min_col).alias("__pmin"))
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select("__pid", F.min("__pmin").over(wo).alias("__min_off"))
