@@ -150,6 +150,10 @@ def main() -> None:
               file=sys.stderr)
 
     con = duckdb.connect()
+    # Bound DuckDB's spill so a slice-infeasible oracle (graph_kcore's
+    # recursive CTE spilled >60 GB at sf0.1 scale) errors cleanly instead
+    # of filling the disk under the rest of the campaign.
+    con.execute("SET max_temp_directory_size='24GiB'")
     for t in TABLES:
         p = f"{slice_dir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
@@ -178,17 +182,39 @@ def main() -> None:
                 rec["queries"][name] = {"rows_only": len(srows)}
                 print(f"# {name}: rows-only {len(srows)}", file=sys.stderr)
                 continue
-            cur = con.execute(sql)
-            ocols = sorted(d[0] for d in cur.description)
-            orows = sorted(
-                (
-                    tuple(_norm_cell(v) for v in r)
-                    for r in con.execute(
-                        f"SELECT {', '.join(ocols)} FROM ({sql})"
-                    ).fetchall()
-                ),
-                key=_key,
-            )
+            try:
+                cur = con.execute(sql)
+                ocols = sorted(d[0] for d in cur.description)
+                orows = sorted(
+                    (
+                        tuple(_norm_cell(v) for v in r)
+                        for r in con.execute(
+                            f"SELECT {', '.join(ocols)} FROM ({sql})"
+                        ).fetchall()
+                    ),
+                    key=_key,
+                )
+            except Exception as oe:  # noqa: BLE001
+                # Oracle infeasible at SLICE scale (resource-bound — e.g.
+                # graph_kcore's recursive CTE): fall back to a GOLDEN PIN
+                # of the Spark result (deterministic rows+digest; stable
+                # across campaigns because the slice is deterministic).
+                # Not a mismatch — the query stays bit-exact-verified at
+                # the sf0.01 driver gate.
+                import hashlib
+
+                digest = hashlib.md5(repr(srows).encode()).hexdigest()
+                rec["queries"][name] = {
+                    "oracle_infeasible": str(oe).split(chr(10))[0][:200],
+                    "golden_rows": len(srows),
+                    "golden_md5": digest,
+                }
+                print(
+                    f"# {name}: ORACLE-INFEASIBLE at slice scale; golden pin "
+                    f"rows={len(srows)} md5={digest[:12]}",
+                    file=sys.stderr,
+                )
+                continue
             ok = cols == ocols and srows == orows
             rec["queries"][name] = {"match": ok, "rows": len(srows)}
             if not ok:
