@@ -190,6 +190,7 @@ def main() -> None:
         "cold_total_sec": cold_total,
         "cold_queries": cold,
         "sf": sf,
+        "reps": reps,
     }
     if force_checksum:
         record["force_checksum"] = True

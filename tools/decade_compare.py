@@ -26,8 +26,16 @@ def load(path: str) -> dict:
 
 
 def main() -> None:
-    lo, hi = load(sys.argv[1]), load(sys.argv[2])
-    lq, hq = lo["queries"], hi["queries"]
+    # --cold classifies first-collect times instead of warm medians.  With
+    # checksum consumption + Spark's cross-collect shuffle-stage skipping
+    # (the DAGScheduler reuses map outputs of the SAME DataFrame's RDD DAG,
+    # so re-collects only run the final stage), warm medians are
+    # last-stage-only and overhead-bound almost everywhere — the decade
+    # growth signal lives in the cold pass, which runs every stage.
+    args = [a for a in sys.argv[1:] if a != "--cold"]
+    key = "cold_queries" if "--cold" in sys.argv else "queries"
+    lo, hi = load(args[0]), load(args[1])
+    lq, hq = lo[key], hi[key]
     both = sorted(set(lq) & set(hq))
     only_lo = sorted(set(lq) - set(hq))
     only_hi = sorted(set(hq) - set(lq))
@@ -46,10 +54,10 @@ def main() -> None:
             classes["linear"].append((n, t_lo, t_hi, round(r, 1)))
         else:
             classes["superlinear"].append((n, t_lo, t_hi, round(r, 1)))
-    print(f"lower: {sys.argv[1]} sf={lo.get('sf')} n={len(lq)} "
+    print(f"lower: {args[0]} sf={lo.get('sf')} n={len(lq)} "
           f"warm={lo.get('value')} setup={lo.get('setup_sec')} "
           f"cold={lo.get('cold_total_sec')}")
-    print(f"upper: {sys.argv[2]} sf={hi.get('sf')} n={len(hq)} "
+    print(f"upper: {args[1]} sf={hi.get('sf')} n={len(hq)} "
           f"warm={hi.get('value')} setup={hi.get('setup_sec')} "
           f"cold={hi.get('cold_total_sec')}")
     print(f"compared={len(both)} only_lower={len(only_lo)} only_upper={len(only_hi)}")
