@@ -59,5 +59,44 @@ def main() -> None:
     print(line[:2000])
 
 
+def merge(paths: list[str], out: str, sf: float) -> dict:
+    """Merge tranche records (dicts with queries/cold_queries) into one;
+    later tranches win on name collisions.  setup_sec reports the FIRST
+    tranche's (each tranche re-pays it; summing would double-count)."""
+    merged = {"queries": {}, "cold_queries": {}, "skipped": set(), "errors": {}}
+    setup = None
+    tranches = []
+    for p in paths:
+        with open(p) as f:
+            rec = json.loads(f.readline())
+        tranches.append({"path": p, "n": len(rec.get("queries", {})),
+                         "setup_sec": rec.get("setup_sec")})
+        merged["queries"].update(rec.get("queries", {}))
+        merged["cold_queries"].update(rec.get("cold_queries", {}))
+        merged["errors"].update(rec.get("errors", {}))
+        merged["skipped"].update(rec.get("skipped", []))
+        if setup is None:
+            setup = rec.get("setup_sec")
+    merged["skipped"] = sorted(merged["skipped"] - set(merged["queries"]))
+    rec = {
+        "metric": "registry_queries_total_sec",
+        "value": round(sum(merged["queries"].values()), 3),
+        "unit": "sec",
+        "queries": merged["queries"],
+        "setup_sec": setup,
+        "cold_total_sec": round(sum(merged["cold_queries"].values()), 3),
+        "cold_queries": merged["cold_queries"],
+        "sf": sf,
+        "merged_tranches": tranches,
+        "skipped": merged["skipped"],
+        "n_queries": len(merged["queries"]),
+    }
+    if merged["errors"]:
+        rec["errors"] = merged["errors"]
+    with open(out, "w") as f:
+        f.write(json.dumps(rec) + "\n")
+    return rec
+
+
 if __name__ == "__main__":
     main()
