@@ -13,9 +13,11 @@ is built once and collected ``reps`` times — rebuilding per rep re-pays
 2-4.5 s of Catalyst+Janino PLAN COMPILATION per complex query, which at
 fixture scale swamps the 0.04-0.8 s execution the benchmark is meant to
 track).  The one-time compile cost is NOT hidden: ``cold_queries`` /
-``cold_total_sec`` record each query's first collect (compile included),
-and cold_total_sec is the number comparable to rounds 1-3, whose per-rep
-rebuilds measured compile+execute every rep.
+``cold_total_sec`` record each query's DataFrame CONSTRUCTION plus its
+first collect (compile included).  Construction is timed since round 9
+(ADVICE r8): helpers that eagerly checkpoint at build time do real engine
+work inside ``fn(spark, sf_dir)``, which a collect-only cold sample never
+saw; ``build_queries`` / ``build_total_sec`` break that component out.
 
 Shared artifacts (the dedup family's shingle/signature tables, the IVF
 index) are built in an explicit UNTIMED setup phase — the amortized-index
@@ -34,6 +36,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vector_search_spark import registry  # noqa: E402
 from vector_search_spark.session import get_spark, shuffle_partitions_for  # noqa: E402
+
+
+def _err_str(e: Exception) -> str:
+    """Root-cause error string for the record (VERDICT r8 #1a).
+
+    Py4J wraps every JVM failure as "An error occurred while calling
+    oNNNNN.collectToPython" — the r8 record's 5 errors were all that
+    line, useless for diagnosis.  Prefer the first line of the
+    underlying Java exception; the full Python traceback goes to stderr
+    at the call site.
+    """
+    je = getattr(e, "java_exception", None)
+    if je is not None:
+        try:
+            return je.toString().split("\n")[0][:300]
+        except Exception:  # noqa: BLE001 - dead gateway etc.; fall through
+            pass
+    return str(e).split("\n")[0][:300]
 
 
 def main() -> None:
@@ -105,11 +125,15 @@ def main() -> None:
         ("_shared_suffix", _shared_suffix),
     ]
     t0 = time.perf_counter()
+    setup_builders: dict[str, float] = {}
     for bname, builder in builders:
         if bname in skip_setup:
             print(f"# setup {bname}: SKIPPED", file=sys.stderr)
             continue
+        tb = time.perf_counter()
         builder(spark, sf_dir)
+        setup_builders[bname] = round(time.perf_counter() - tb, 3)
+        print(f"# setup {bname}: {setup_builders[bname]}s", file=sys.stderr)
     setup_sec = round(time.perf_counter() - t0, 3)
     print(f"# setup (shingle/signature/IVF index builds): {setup_sec}s", file=sys.stderr)
 
@@ -133,6 +157,7 @@ def main() -> None:
     force_checksum = os.environ.get("SPARK_GRAFT_BENCH_FORCE_CHECKSUM", "") == "1"
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    builds: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
         if name in skip:
@@ -153,22 +178,53 @@ def main() -> None:
         # of rows into the driver; their order contract stays verified by
         # the invariance suite and the collect benches through 100x.
         ordered = name in registry.ORDERED_QUERIES and not force_checksum
-        try:
-            df = fn(spark, sf_dir)
-            # build the consumption frame ONCE so reps measure plan
-            # execution, not re-analysis of the wrapper aggregate
-            consume = df if ordered else registry.checksum_frame(df)
-            samples = []
-            for i in range(reps):
-                t0 = time.perf_counter()
-                rows = consume.collect()
-                n_rows = len(rows) if ordered else rows[0]["n"]
-                samples.append(time.perf_counter() - t0)
-        except Exception as e:  # noqa: BLE001
-            errors[name] = str(e).split("\n")[0][:300]
+        # One in-place retry before recording an error (VERDICT r8 #1b):
+        # the r8 driver record lost 5 queries to a transiently sick
+        # long-lived session (lost localCheckpoint blocks / GC pressure)
+        # that a fresh attempt passes — a single retry makes the record
+        # robust to that without hiding a real failure (it errors twice).
+        last_err: Exception | None = None
+        for attempt in range(2):
+            try:
+                # DataFrame construction is timed (ADVICE r8): helpers
+                # that eagerly checkpoint at build time (global_order_stats
+                # et al.) do a large slice of engine work inside
+                # fn(spark, sf_dir), which the old collect-only cold
+                # sample never saw — build_sec keeps it in the record.
+                tb = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # build the consumption frame ONCE so reps measure plan
+                # execution, not re-analysis of the wrapper aggregate
+                consume = df if ordered else registry.checksum_frame(df)
+                build_sec = time.perf_counter() - tb
+                samples = []
+                for i in range(reps):
+                    t0 = time.perf_counter()
+                    rows = consume.collect()
+                    n_rows = len(rows) if ordered else rows[0]["n"]
+                    samples.append(time.perf_counter() - t0)
+                last_err = None
+                break
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                import traceback
+
+                traceback.print_exc(file=sys.stderr)
+                if attempt == 0:
+                    print(
+                        f"# {name}: attempt 1 failed ({_err_str(e)[:160]}); retrying once",
+                        file=sys.stderr,
+                    )
+        if last_err is not None:
+            errors[name] = _err_str(last_err)
             print(f"# {name}: ERROR {errors[name][:160]}", file=sys.stderr)
             continue
-        cold[name] = round(samples[0], 3)
+        builds[name] = round(build_sec, 3)
+        # cold = construction + first collect: the number that sees ALL
+        # the work (build-time checkpoints included).  Records before r9
+        # have collect-only cold; decade comparisons should pair
+        # same-semantics records.
+        cold[name] = round(build_sec + samples[0], 3)
         samples.sort()
         mid = len(samples) // 2
         med = samples[mid] if len(samples) % 2 else (samples[mid - 1] + samples[mid]) / 2
@@ -187,8 +243,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "setup_sec": setup_sec,
+        "setup_builders": setup_builders,
         "cold_total_sec": cold_total,
         "cold_queries": cold,
+        "build_total_sec": round(sum(builds.values()), 3),
+        "build_queries": builds,
         "sf": sf,
         "reps": reps,
     }

@@ -17,6 +17,19 @@ from vector_search_spark.session import get_spark  # noqa: E402
 
 SF_TEST = "/root/testdata/sf0.01"
 SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def stream_sf(default: str) -> str:
+    """Fixture dir for the STREAMING drain-equals-batch twins.
+
+    SPARK_GRAFT_STREAM_SF redirects the whole streaming family to another
+    FK-consistent instance — used by the scale campaign to run the twins
+    against the 1000x fixture's replica slice (VERDICT r8 missing #4);
+    unset, each test keeps its default gate fixture.
+    """
+    import os
+
+    return os.environ.get("SPARK_GRAFT_STREAM_SF", default)
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

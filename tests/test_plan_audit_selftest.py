@@ -176,3 +176,41 @@ Input [1]: [doc_id#1L]
 def test_text_control_split_line_single_partition():
     flags, warns, _scans = _pa.audit_plan(SPLIT_LINE_PLAN)
     assert any("single_partition_sort" in f for f in flags), (flags, warns)
+
+
+# ---------------------------------------------------------------------------
+# WARN allowlist (VERDICT r8 #2): the sp_window_over_checkpoint WARN set
+# depends on which AQE plan shape materializes, so "justified" must be an
+# explicit pinned contract, not a per-run hand assertion.
+# ---------------------------------------------------------------------------
+
+
+def test_warn_allowlist_queries_exist_in_registry():
+    from vector_search_spark import registry
+
+    missing = set(_pa.SP_WARN_ALLOWLIST) - set(registry.QUERIES)
+    assert not missing, f"allowlist names not in registry: {missing}"
+
+
+def test_warn_allowlist_entries_have_justifications():
+    for name, (cap, why) in _pa.SP_WARN_ALLOWLIST.items():
+        assert cap >= 1 and why.strip(), (name, cap, why)
+
+
+def test_warn_gate_escalates_unlisted_query():
+    assert _pa.warn_gate("some_future_query", 1) == [
+        "sp_warn_not_allowlisted=1>0"
+    ]
+
+
+def test_warn_gate_escalates_above_cap():
+    name = "runs_test_daily"
+    cap = _pa.SP_WARN_ALLOWLIST[name][0]
+    assert _pa.warn_gate(name, cap) == []
+    assert _pa.warn_gate(name, cap + 1) == [
+        f"sp_warn_not_allowlisted={cap + 1}>{cap}"
+    ]
+
+
+def test_warn_gate_silent_when_no_warns():
+    assert _pa.warn_gate("anything", 0) == []

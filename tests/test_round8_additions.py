@@ -19,6 +19,21 @@ def test_checksum_frame_counts_and_is_partitioning_invariant(spark):
     # bit_xor fold is order-free: same multiset -> same checksum under any
     # partitioning
     assert r1["checksum"] == r2["checksum"]
+    assert r1["checksum_sum"] == r2["checksum_sum"]
+
+
+def test_checksum_frame_multiplicity_sensitive(spark):
+    # ADVICE r8: bit_xor cancels even-multiplicity rows — [A,A,X] and
+    # [B,B,X] xor to hash(X) with equal n.  The decimal-sum fold must
+    # separate them.
+    base = spark.range(0, 1).select(F.lit("X").alias("v"))
+    aa = spark.range(0, 2).select(F.lit("A").alias("v")).union(base)
+    bb = spark.range(0, 2).select(F.lit("B").alias("v")).union(base)
+    ra = registry.checksum_frame(aa).first()
+    rb = registry.checksum_frame(bb).first()
+    assert ra["n"] == rb["n"] == 3
+    assert ra["checksum"] == rb["checksum"]  # the documented xor blind spot
+    assert ra["checksum_sum"] != rb["checksum_sum"]
 
 
 def test_checksum_frame_sees_every_column(spark):

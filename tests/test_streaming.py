@@ -12,7 +12,9 @@ from vector_search_spark.streaming.events import (
     streaming_tumbling_counts,
 )
 
-SF = "/root/testdata/sf0.001"
+from conftest import stream_sf
+
+SF = stream_sf("/root/testdata/sf0.001")
 
 
 def test_streaming_tumbling_equals_batch(spark):

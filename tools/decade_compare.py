@@ -35,6 +35,13 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--cold"]
     key = "cold_queries" if "--cold" in sys.argv else "queries"
     lo, hi = load(args[0]), load(args[1])
+    for path, rec in ((args[0], lo), (args[1], hi)):
+        if key not in rec:
+            raise SystemExit(
+                f"record {path} has no '{key}' section "
+                f"(pre-round-7 records and salvaged partials lack cold_queries; "
+                f"available keys: {sorted(rec)[:12]})"
+            )
     lq, hq = lo[key], hi[key]
     both = sorted(set(lq) & set(hq))
     only_lo = sorted(set(lq) - set(hq))

@@ -48,6 +48,28 @@ _AGG_NODES = (
     "TakeOrderedAndProject", "CollectLimit", "GlobalLimit", "LocalLimit",
 )
 
+# Queries PERMITTED a sp_window_over_checkpoint WARN (VERDICT r8 #2: the
+# WARN class depends on which AQE plan shape materializes — a checkpointed
+# frame AQE already coalesced to one partition needs no SinglePartition
+# exchange and prints nothing — so the observed set drifts run to run and
+# "justified" was being re-asserted by hand).  This is the closed class:
+# every entry is a partition-less window over a CHECKPOINTED aggregate
+# whose cardinality is bounded by a fixed domain, with the bound stated.
+# name -> (max warns, one-line boundedness justification).  A WARN on any
+# query NOT listed here (or above its cap) is a FLAG and exits 1.
+SP_WARN_ALLOWLIST: dict[str, tuple[int, str]] = {
+    "conformal_group_coverage": (2, "prefix table bounded by conformal grid x group count"),
+    "cramer_von_mises_test": (2, "value-cent histogram cells, bounded by the value domain"),
+    "isotonic_hour_calibration": (2, "PAVA grid over 24 hour-of-day cells"),
+    "runs_test_daily": (2, "lag over the per-day table, O(days)"),
+    "synthetic_value_sampler": (2, "CDF over SYNTH_BUCKETS histogram cells"),
+    # statically same-class (window over checkpointed bounded aggregate);
+    # AQE usually pre-collapses these so no WARN prints, but the shape
+    # can flip:
+    "ab_group_sequential": (2, "per-look boundary table, O(looks)"),
+    "heaps_law_curve": (2, "cumulative over 10 decile cells"),
+}
+
 
 def sp_sort_audit(p: str) -> tuple[int, int]:
     """(flags, warns) for single-partition Sort/Window exchanges.
@@ -158,6 +180,17 @@ def audit_plan(p: str) -> tuple[list[str], int, int]:
     return flags, sp_warns, scans
 
 
+def warn_gate(name: str, sp_warns: int) -> list[str]:
+    """Allowlist enforcement: a sp_window_over_checkpoint WARN on a query
+    not in SP_WARN_ALLOWLIST (or above its cap) escalates to a FLAG."""
+    if not sp_warns:
+        return []
+    cap = SP_WARN_ALLOWLIST.get(name, (0, ""))[0]
+    if sp_warns > cap:
+        return [f"sp_warn_not_allowlisted={sp_warns}>{cap}"]
+    return []
+
+
 def formatted_plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -184,13 +217,15 @@ def main() -> None:
             bad += 1
             continue
         flags, sp_warns, scans = audit_plan(p)
+        flags = flags + warn_gate(name, sp_warns)
         if flags:
             bad += 1
             print(f"{name}: FLAG {' '.join(flags)}")
         elif sp_warns:
+            cap, why = SP_WARN_ALLOWLIST[name]
             print(
                 f"{name}: ok (scans={scans}) WARN sp_window_over_checkpoint="
-                f"{sp_warns} (prove the frame bounded or use global_order_stats)"
+                f"{sp_warns} (allowlisted: {why})"
             )
         else:
             print(f"{name}: ok (scans={scans})")

@@ -183,14 +183,20 @@ def main() -> None:
                 print(f"# {name}: rows-only {len(srows)}", file=sys.stderr)
                 continue
             try:
+                # One oracle execution (ADVICE r8: the old shape ran the
+                # SQL twice — once just for cursor.description — doubling
+                # oracle wall time and spill at exactly the slice scale
+                # where oracles already strain): fetch once in native
+                # column order and permute cells to sorted order in
+                # Python.
                 cur = con.execute(sql)
-                ocols = sorted(d[0] for d in cur.description)
+                raw_cols = [d[0] for d in cur.description]
+                ocols = sorted(raw_cols)
+                perm = [raw_cols.index(c) for c in ocols]
                 orows = sorted(
                     (
-                        tuple(_norm_cell(v) for v in r)
-                        for r in con.execute(
-                            f"SELECT {', '.join(ocols)} FROM ({sql})"
-                        ).fetchall()
+                        tuple(_norm_cell(r[i]) for i in perm)
+                        for r in cur.fetchall()
                     ),
                     key=_key,
                 )

