@@ -1329,10 +1329,23 @@ def _pca_m_exprs() -> list[tuple[str, str]]:
 def _pca_iter_exprs(src: str) -> list[tuple[str, str]]:
     """[(col_name, sql_expr)] for one matrix-vector step + renormalize,
     reading v components ``{src}0..{src}{D-1}`` — plain SQL text valid in
-    both Spark SQL and DuckDB (CAST/floor/abs/greatest only)."""
+    both Spark SQL and DuckDB (CAST/floor/abs/greatest only).
+
+    The mat-vec products multiply in DECIMAL, not BIGINT (round-9: the
+    1000× campaign caught ARITHMETIC_OVERFLOW — M_jk ≈ Q·n grows with
+    row count, so M·v·D ≈ 2.4e19 > 2^63 at 600M lineitem rows; 100×
+    passed at 2.4e18).  Widths are chosen for DuckDB's strict
+    width-addition rule (25+7 = 32 ≤ 38): DECIMAL(25,0) holds the
+    moment sums to ~1e21 rows, DECIMAL(7,0) the ±1e6-unit iterate.
+    Exact integer arithmetic either way, so gate results are
+    bit-unchanged."""
     steps = []
     for j in range(_PCA_D):
-        dot = " + ".join(f"{_pca_m_name(j, k)} * {src}{k}" for k in range(_PCA_D))
+        dot = " + ".join(
+            f"CAST({_pca_m_name(j, k)} AS DECIMAL(25,0))"
+            f" * CAST({src}{k} AS DECIMAL(7,0))"
+            for k in range(_PCA_D)
+        )
         steps.append((f"w{j}", f"({dot})"))
     wmax = "greatest(" + ", ".join(f"abs(w{j})" for j in range(_PCA_D)) + ")"
     steps.append(("wmax", wmax))
@@ -1348,9 +1361,17 @@ def _pca_iter_exprs(src: str) -> list[tuple[str, str]]:
 
 
 def _pca_lambda_expr(v: str) -> str:
-    """Rayleigh quotient v'Mv / v'v in DOUBLE, fixed left-to-right sums."""
+    """Rayleigh quotient v'Mv / v'v in DOUBLE, fixed left-to-right sums.
+    Inner M·v products in DECIMAL for the same overflow headroom as
+    :func:`_pca_iter_exprs` (the sum is cast to DOUBLE afterwards, so
+    the emitted float is unchanged wherever BIGINT didn't overflow)."""
     mv = " + ".join(
-        "CAST(" + " + ".join(f"{_pca_m_name(j, k)} * {v}{k}" for k in range(_PCA_D))
+        "CAST("
+        + " + ".join(
+            f"CAST({_pca_m_name(j, k)} AS DECIMAL(25,0))"
+            f" * CAST({v}{k} AS DECIMAL(7,0))"
+            for k in range(_PCA_D)
+        )
         + f" AS DOUBLE) * CAST({v}{j} AS DOUBLE)"
         for j in range(_PCA_D)
     )
