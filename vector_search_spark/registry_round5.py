@@ -616,12 +616,19 @@ def q_gbdt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Second principal component by Hotelling deflation.
 # ---------------------------------------------------------------------------
 def _p2_mvv_text() -> str:
-    """u'Mu in DOUBLE, fixed left-to-right order (shared text)."""
+    """u'Mu in DOUBLE, fixed left-to-right order (shared text).  Inner
+    M·u products in DECIMAL — same r9 overflow fix as
+    ``_pca_iter_exprs`` (M_jk grows with row count; BIGINT overflowed at
+    600M lineitem rows)."""
     from .registry_round4 import _PCA_D, _pca_m_name
 
     return " + ".join(
         "CAST("
-        + " + ".join(f"{_pca_m_name(j, k)} * u{k}" for k in range(_PCA_D))
+        + " + ".join(
+            f"CAST({_pca_m_name(j, k)} AS DECIMAL(25,0))"
+            f" * CAST(u{k} AS DECIMAL(7,0))"
+            for k in range(_PCA_D)
+        )
         + f" AS DOUBLE) * CAST(u{j} AS DOUBLE)"
         for j in range(_PCA_D)
     )

@@ -32,12 +32,21 @@ def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"event_id long, {ts_ddl}, user_id long, event_type string, "
         "value double, props string"
     )
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")  # file sources need a dir
-        .parquet(sf_dir)
-    )
+    import os
+
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    table_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(table_path):
+        # Spark-written table layout (scaled fixtures / replica slices):
+        # events.parquet is a DIRECTORY of part files.  The single-file
+        # glob below would match none of them — the r9 slice-scale
+        # streaming run failed on exactly that (empty stream, 0 rows) —
+        # so stream the directory itself.
+        raw = reader.parquet(table_path)
+    else:
+        # driver-testdata layout: events.parquet is a FILE inside sf_dir
+        # (file sources need a directory, so glob-filter within it)
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     if nanos:
         return raw.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
