@@ -87,6 +87,7 @@ def main() -> None:
     )
     from vector_search_spark.registry_extensions import (  # noqa: E402
         _shared_ivf_index, _shared_pq_index, _shared_sq_index, _shared_srp_index,
+        _shared_srpw_index,
     )
     from vector_search_spark.registry_text import (  # noqa: E402
         _shared_bigram_lm, _shared_bpe, _shared_doc_features, _shared_phrase_index,
@@ -114,6 +115,11 @@ def main() -> None:
         ("_shared_token_blocks", _shared_token_blocks),
         ("_shared_ivf_index", _shared_ivf_index),
         ("_shared_srp_index", _shared_srp_index),
+        # the wide-band (adaptive) index was missing here through r9 —
+        # tranche sessions built it lazily inside the first "warm" rep,
+        # which is why 1000x warm decade ratios were garbage (VERDICT r9
+        # "what's wrong" #4); with it in setup, warm times time the QUERY
+        ("_shared_srpw_index", _shared_srpw_index),
         ("_shared_pq_index", _shared_pq_index),
         ("_shared_sq_index", _shared_sq_index),
         ("_shared_doc_features", _shared_doc_features),
@@ -248,9 +254,19 @@ def main() -> None:
         "cold_queries": cold,
         "build_total_sec": round(sum(builds.values()), 3),
         "build_queries": builds,
+        # semantics version for cold_queries (ADVICE r9): 2 = build +
+        # first collect (r9+); records without the field are 1 =
+        # collect-only.  decade_compare --cold refuses mixed pairs.
+        "cold_semantics": 2,
         "sf": sf,
         "reps": reps,
     }
+    if reps == 1:
+        # single-rep scale runs: the "warm" sample IS the first collect
+        # (plan caches and any remaining lazy builds land in it) — mark
+        # the record so nobody reads warm decade ratios from it
+        # (VERDICT r9 "what's wrong" #4)
+        record["warm_is_first_collect"] = True
     if force_checksum:
         record["force_checksum"] = True
     if skip:

@@ -42,6 +42,13 @@ def test_band_bits_rule_pins_expected_decades():
     assert _srpw_band_bits(2000) == 7     # sf0.1
     assert _srpw_band_bits(20000) == 11   # 10x fixture
     assert _srpw_band_bits(200000) == 14  # 100x fixture
+    # r10: the 1000x fixture must NOT hit the cap (the r9 cliff: the old
+    # cap of 15 froze the width at n ~ 524k, candidate mass went n^2*2^-15)
+    assert _srpw_band_bits(2_000_000) == 17
+    assert _srpw_band_bits(2_000_000) < _SRPW_MAX_BB
+    # the cap binds only past ~17.6T vectors (~4.5 PB fp32 @ dim 64) —
+    # outside the 100 TB design envelope; band-sliced packing allows <= 63
+    assert _srpw_band_bits(2**44 - 1) < _SRPW_MAX_BB <= 63
     assert _srpw_band_bits(1) == _SRPW_MIN_BB
     assert _srpw_band_bits(2**62) == _SRPW_MAX_BB
 

@@ -42,6 +42,21 @@ def main() -> None:
                 f"(pre-round-7 records and salvaged partials lack cold_queries; "
                 f"available keys: {sorted(rec)[:12]})"
             )
+    if key == "cold_queries":
+        # ADVICE r9: cold semantics changed at r9 (2 = build+first-collect,
+        # stamped from r10 on; r9 records lack the stamp but carry
+        # build_queries — added the same round — so they are inferable;
+        # anything older is 1 = collect-only).  A mixed pair silently
+        # skews decade ratios — refuse it.
+        sem = [
+            rec.get("cold_semantics", 2 if "build_queries" in rec else 1)
+            for rec in (lo, hi)
+        ]
+        if sem[0] != sem[1]:
+            raise SystemExit(
+                f"cold_semantics mismatch: {args[0]}={sem[0]} vs "
+                f"{args[1]}={sem[1]} — re-bench one side or compare warm"
+            )
     lq, hq = lo[key], hi[key]
     both = sorted(set(lq) & set(hq))
     only_lo = sorted(set(lq) - set(hq))

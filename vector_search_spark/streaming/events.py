@@ -36,6 +36,11 @@ def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
     table_path = os.path.join(sf_dir, "events.parquet")
+    # Layout detection is DRIVER-LOCAL (os.path.isdir): correct for every
+    # fixture this harness reads, but a remote sf_dir (hdfs://, s3a://)
+    # would always take the single-file branch and stream empty (ADVICE
+    # r9).  If remote fixture dirs ever appear, resolve through the
+    # Hadoop FileSystem API (spark._jvm.org.apache.hadoop.fs) instead.
     if os.path.isdir(table_path):
         # Spark-written table layout (scaled fixtures / replica slices):
         # events.parquet is a DIRECTORY of part files.  The single-file
