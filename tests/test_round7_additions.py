@@ -46,9 +46,10 @@ def test_band_bits_rule_pins_expected_decades():
     # cap of 15 froze the width at n ~ 524k, candidate mass went n^2*2^-15)
     assert _srpw_band_bits(2_000_000) == 17
     assert _srpw_band_bits(2_000_000) < _SRPW_MAX_BB
-    # the cap binds only past ~17.6T vectors (~4.5 PB fp32 @ dim 64) —
-    # outside the 100 TB design envelope; band-sliced packing allows <= 63
-    assert _srpw_band_bits(2**44 - 1) < _SRPW_MAX_BB <= 63
+    # the cap binds only from n >= 2^43 ~ 8.8T vectors (~2.25 PB fp32 @
+    # dim 64) — far outside the 100 TB design envelope; band-sliced
+    # packing would allow up to 63
+    assert _srpw_band_bits(2**43 - 1) < _SRPW_MAX_BB <= 63
     assert _srpw_band_bits(1) == _SRPW_MIN_BB
     assert _srpw_band_bits(2**62) == _SRPW_MAX_BB
 

@@ -610,12 +610,25 @@ def pq_encode(emb: DataFrame, codebook: DataFrame, id_col: str = "vec_id", vec_c
     codebook pairing is a broadcast nested-loop over PQ_CODES rows; the
     per-vector fold is F.min over a (distance, code) struct, lexicographic
     = exactly DuckDB's first(code ORDER BY d, code)."""
-    joined = emb.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(codebook))
+    # |c|² depends only on the code — precompute it on the (tiny)
+    # broadcast side instead of once per (corpus vector, code) pair;
+    # identical expression over identical values, so the floats (and the
+    # downstream argmin codes) are bit-unchanged, at half the encode FLOPs
+    cb2 = codebook.select(
+        "code",
+        "cvec",
+        *[
+            dot_product(_sub(F.col("cvec"), s), _sub(F.col("cvec"), s)).alias(
+                f"__cc{s}"
+            )
+            for s in range(PQ_SUB)
+        ],
+    )
+    joined = emb.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(cb2))
     dcols = []
     for s in range(PQ_SUB):
-        cc = dot_product(_sub(F.col("cvec"), s), _sub(F.col("cvec"), s))
         ac = dot_product(_sub(F.col(vec_col), s), _sub(F.col("cvec"), s))
-        dcols.append((cc - 2.0 * ac).alias(f"d{s}"))
+        dcols.append((F.col(f"__cc{s}") - 2.0 * ac).alias(f"d{s}"))
     dists = joined.select(id_col, "code", *dcols)
     aggs = [
         F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("code").alias("c")))

@@ -44,6 +44,23 @@ def fan_out(df: DataFrame, *cols: str, target: int | None = None) -> DataFrame:
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
+def maybe_broadcast(df: DataFrame, max_rows: int) -> DataFrame:
+    """Physical-only broadcast hint, gated on a cheap row count.
+
+    The wide-payload join problem (round 10, `containment_bottomk` at the
+    1000× fixture): joining an N-row pair table against a per-entity
+    ARRAY table twice makes the SECOND join reshuffle N fat rows — pairs
+    × array bytes, hundreds of GB of spill where the entity table itself
+    is single-digit GB.  When the entity side fits the broadcast budget,
+    hinting it turns the second join map-side and the fat intermediate
+    never touches an exchange.  Data-adaptive: past ``max_rows`` (sized
+    so the payload stays under Spark's 8 GB broadcast cap) the plain
+    shuffle join runs — the correct shape on a real cluster, where
+    aggregate spill disk scales with executors.  Results are identical
+    either way; only the physical join strategy changes."""
+    return F.broadcast(df) if df.count() <= max_rows else df
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

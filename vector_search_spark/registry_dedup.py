@@ -1673,9 +1673,20 @@ def q_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sets.select(F.col("doc_id").alias("inner_id"), F.col("arr").alias("a_arr"))
     sb = sets.select(F.col("doc_id").alias("outer_id"), F.col("arr").alias("b_arr"))
+    # Round 10: the b-side array join is broadcast when the per-doc set
+    # table fits the budget — otherwise the SECOND join reshuffles pairs
+    # × a_arr fat rows (~140 GB at the 1000× fixture: the ENOSPC that
+    # kept this query's third-decade point unmeasured through r9).  With
+    # the broadcast, a_arr rides map-side from join 1 into the intersect
+    # and no array ever re-enters an exchange.  (~8M docs × ~500 B sets
+    # ≈ 4 GB, inside Spark's 8 GB cap; past that the shuffle join is the
+    # real cluster shape.)  `sets` is eagerly checkpointed, so the gate
+    # count is metadata-cheap.
+    from .partitioning import maybe_broadcast
+
     shared = (
         candf.join(sa, "inner_id")
-        .join(sb, "outer_id")
+        .join(maybe_broadcast(sb, 8_000_000), "outer_id")
         .withColumn(
             "shared", F.size(F.array_intersect("a_arr", "b_arr")).cast("long")
         )

@@ -437,8 +437,8 @@ _SRP_DEMO_CAP = 4000
 # placed at a different decade", and the cap WAS a fixed width).  Signatures
 # are now BAND-SLICED — each band's value is packed independently from its
 # own contiguous plane block (weights 2^0..2^(bits−1), `srp_band_table`), so
-# the only packing limit is 63 bits PER BAND.  40 binds at n ≥ 2^44 ≈ 17.6
-# trillion vectors ≈ 4.5 PB of raw fp32 embeddings — beyond the 100 TB
+# the only packing limit is 63 bits PER BAND.  40 binds at n ≥ 2^43 ≈ 8.8
+# trillion vectors ≈ 2.25 PB of raw fp32 embeddings — beyond the 100 TB
 # design envelope by two orders of magnitude.  Gate fixtures (bits 5/7) and
 # the 10×/100× decades (11/14) are bit-unchanged: the formula below only
 # departs from the old one where the old cap bound, n ≥ 2^19.
@@ -544,7 +544,7 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     is just a cliff placed at a different decade.  Round 10 band-slices
     the signatures (each band packs its own plane block, `srp_band_table`),
     so the packing limit is 63 bits PER BAND and the cap of 40 binds only
-    past ~17.6 trillion vectors.  With the adaptive width, per-row random
+    past ~8.8 trillion vectors.  With the adaptive width, per-row random
     collisions per band ≈ n·2⁻ᵇⁱᵗˢ ∈ [8, 16), so the candidate set stays
     ~8-16·bands·n rows at any corpus size (500 → 5 bits, 2k → 7, 20k → 11,
     200k → 14, 2M → 17).  The DuckDB oracle derives the IDENTICAL width
@@ -575,9 +575,15 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = __load(spark, sf_dir, "embeddings")
     e1 = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("v1"))
     e2 = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("v2"))
+    # second vector fetch broadcast when the corpus fits (physical-only;
+    # ~8M × 260 B ≈ 2 GB, inside the broadcast cap) — otherwise the join
+    # reshuffles candidate rows already carrying v1, pairs × vector bytes
+    # (the containment_bottomk wide-payload lesson)
+    from .partitioning import maybe_broadcast
+
     scored = (
         cand.join(e1, "id_1")
-        .join(e2, "id_2")
+        .join(maybe_broadcast(e2, 8_000_000), "id_2")
         .select("id_1", "id_2", dot_product("v1", "v2").alias("cos"))
     )
     return (
@@ -660,9 +666,15 @@ def q_dedup_embedding_srp_narrow_demo(spark: SparkSession, sf_dir: str) -> DataF
     emb = __load(spark, sf_dir, "embeddings")
     e1 = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("v1"))
     e2 = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("v2"))
+    # second vector fetch broadcast when the corpus fits (physical-only;
+    # ~8M × 260 B ≈ 2 GB, inside the broadcast cap) — otherwise the join
+    # reshuffles candidate rows already carrying v1, pairs × vector bytes
+    # (the containment_bottomk wide-payload lesson)
+    from .partitioning import maybe_broadcast
+
     scored = (
         cand.join(e1, "id_1")
-        .join(e2, "id_2")
+        .join(maybe_broadcast(e2, 8_000_000), "id_2")
         .select("id_1", "id_2", dot_product("v1", "v2").alias("cos"))
     )
     return (
@@ -1479,36 +1491,58 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — and, because SRP planes are md5 constants, bit-exactly
     oracle-checkable end to end, top-k ranks included.
 
-    Scale: directed candidates from the band self-join (linear-ish by
-    the wide-band collision analysis), per-node top-5 via one keyed
-    window (WindowGroupLimit prunes map-side), mutuality as a self-join
-    of the bounded top-k edge list on the reversed key — O(n·k) rows.
+    Scale: the candidate graph is symmetric and the dot product is
+    operand-order-invariant in IEEE (per-index a·b products, same
+    summation order), so scores are computed ONCE per UNDIRECTED pair —
+    the band self-join keeps id_1 < id_2, the two rescore joins ship
+    embedding arrays for half the directed candidate mass, and both
+    directions for the per-node ranking windows come from a narrow
+    (q, c, s) union afterwards.  (Round 10: the directed-scoring shape
+    shipped arrays for ~124M candidates through two shuffle joins at the
+    1000× fixture and died on spill ENOSPC — exactly the
+    `containment_bottomk` big-array-payload lesson; undirected scoring
+    is the same array volume `dedup_embedding_srp` survives.)  Per-node
+    top-5 via one keyed window (WindowGroupLimit prunes map-side),
+    mutuality as a self-join of the bounded top-k edge list on the
+    reversed key — O(n·k) rows; the final cosine rides along from the
+    scoring pass (identical float, no re-join against the vectors).
     Final top-50 is TakeOrderedAndProject.
     """
     from .functions.vector import dot_product
 
     ib = _shared_srpw_index(spark, sf_dir)
-    l = ib.select(F.col("vec_id").alias("q_id"), "band", "val")
-    r = ib.select(F.col("vec_id").alias("c_id"), "band", "val")
+    l = ib.select(F.col("vec_id").alias("id_1"), "band", "val")
+    r = ib.select(F.col("vec_id").alias("id_2"), "band", "val")
     cand = (
         l.join(r, ["band", "val"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
         .distinct()
     )
     emb = __load(spark, sf_dir, "embeddings")
-    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
-    cv = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    e1 = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("v1"))
+    e2 = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("v2"))
+    from .partitioning import maybe_broadcast
+
+    scored_u = (
+        cand.join(e1, "id_1")
+        .join(maybe_broadcast(e2, 8_000_000), "id_2")
+        .select("id_1", "id_2", dot_product("v1", "v2").alias("s"))
+    )
+    directed = scored_u.select(
+        F.col("id_1").alias("q_id"), F.col("id_2").alias("c_id"), "s"
+    ).unionByName(
+        scored_u.select(
+            F.col("id_2").alias("q_id"), F.col("id_1").alias("c_id"), "s"
+        )
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("c_id"))
     topk = (
-        cand.join(qv, "q_id")
-        .join(cv, "c_id")
-        .select("q_id", "c_id", dot_product("qe", "ce").alias("s"))
-        .withColumn("rank", F.row_number().over(w))
+        directed.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= MKNN_K)
-        .select("q_id", "c_id", "rank")
+        .select("q_id", "c_id", "rank", "s")
         # the bounded top-k edge list feeds both sides of the mutuality
         # self-join — cut it or the candidate scoring replays twice
         .localCheckpoint(eager=True)
@@ -1517,21 +1551,15 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_id").alias("q_id"), F.col("q_id").alias("c_id"),
         F.col("rank").alias("rank_21"),
     )
-    mutual = (
+    return (
         topk.join(rev, ["q_id", "c_id"])
         .filter(F.col("q_id") < F.col("c_id"))
         .select(
             F.col("q_id").alias("id_1"), F.col("c_id").alias("id_2"),
             F.col("rank").cast("long").alias("rank_12"),
             F.col("rank_21").cast("long").alias("rank_21"),
+            F.col("s").alias("cos"),
         )
-    )
-    e1 = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("v1"))
-    e2 = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("v2"))
-    return (
-        mutual.join(e1, "id_1")
-        .join(e2, "id_2")
-        .withColumn("cos", dot_product("v1", "v2"))
         .orderBy(F.desc("cos"), "id_1", "id_2")
         .limit(50)
         .select("id_1", "id_2", "rank_12", "rank_21", round4("cos").alias("cosine"))

@@ -831,12 +831,17 @@ def _kcore_oracle() -> str:
         _SQL_VERIFIED_BLOCK,
     )
 
+    # every e{r} feeds BOTH d{r} and e{r+1}, and a{r} feeds both join
+    # sides — without AS MATERIALIZED DuckDB inlines each reference and
+    # re-evaluates the whole upstream shingle/LSH/verify pipeline
+    # ~2^rounds times, which is what blew its 24 GiB temp cap at slice
+    # scale in r8/r9 (the house multi-consumer-CTE rule, applied late)
     rounds = []
     for r in range(_KCORE_ROUNDS):
         rounds.append(
             f"d{r} AS (SELECT a, count(*)::BIGINT AS deg FROM e{r} GROUP BY a),\n"
-            f"    a{r} AS (SELECT a FROM d{r} WHERE deg >= {_KCORE_K}),\n"
-            f"    e{r + 1} AS (SELECT e.a, e.b FROM e{r} e"
+            f"    a{r} AS MATERIALIZED (SELECT a FROM d{r} WHERE deg >= {_KCORE_K}),\n"
+            f"    e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e"
             f" JOIN a{r} x ON e.a = x.a JOIN a{r} y ON e.b = y.a)"
         )
     last = _KCORE_ROUNDS
@@ -846,7 +851,7 @@ def _kcore_oracle() -> str:
     banded AS (SELECT doc_id, {_SQL_BAND_KEYS} FROM sig),
     cand AS ({_SQL_CAND}),
     {_SQL_VERIFIED_BLOCK},
-    e0 AS (SELECT id_1 AS a, id_2 AS b FROM verified
+    e0 AS MATERIALIZED (SELECT id_1 AS a, id_2 AS b FROM verified
            UNION ALL SELECT id_2, id_1 FROM verified),
     {",".join(rounds)}
     SELECT a AS doc_id, count(*)::BIGINT AS core_degree

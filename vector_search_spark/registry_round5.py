@@ -1252,24 +1252,26 @@ def q_basket_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both directional confidences, and lift — the association-rule
     primitive behind "bought together" and feature co-occurrence audits.
 
-    Scale: pairs are generated WITHIN basket — baskets are collected to
-    sorted item arrays (bounded by the largest basket, ~7 parts) and the
-    pair square is a LOCAL nested-transform explode, so output is
-    Σ basket_size² with NO join.  Round 10 restructure (VERDICT r9 #3:
-    the r9 shape measured 18.4×/decade at the 1000× fixture): the old
-    okey self-join shuffled the basket table TWICE and fed the ~2.4B
-    mostly-unique pair rows straight into a groupBy whose map-side
-    hash-aggregate could only fill and spill (the `corpus_entropy`
-    collapsing-combine failure, one decade later).  Now one shuffle
-    builds the basket arrays, the pair explode is narrow and local, and
-    the support count follows an explicit `repartition(part_1, part_2)`
-    so the exchange ships plain rows instead of building vocabulary-sized
-    combine maps.  The Apriori property is applied as a LOSSLESS
-    prefilter (the `token_pair_lift` lesson): a pair with support ≥
+    Scale: the pair generator self-joins WITHIN basket (keyed on
+    l_orderkey), so output is Σ basket_size² — bounded by the largest
+    basket, never the catalog square.  Round 10 fix (VERDICT r9 #3: the
+    r9 shape measured 18.4×/decade at the 1000× fixture): the ~2.4B
+    mostly-unique pair rows used to feed a groupBy whose MAP-side
+    hash-aggregate combined nothing, filled, and spilled (the
+    `corpus_entropy` collapsing-combine failure one decade later) — the
+    support count now follows an explicit `repartition(part_1, part_2)`
+    so the exchange ships plain 16-byte rows and aggregation runs once,
+    post-shuffle.  (A round-10 interim variant collected baskets to
+    arrays with collect_set and exploded pairs locally; at 600M rows the
+    object-aggregation spill runs — Java-serialized ArrayBuffers — OOM'd
+    a 96 GB heap on deserialize.  The binary codegen'd join + flat-row
+    aggregate is the memory-safe shape; arrays of data rows are not.)
+    The Apriori property is applied as a LOSSLESS prefilter (the
+    `token_pair_lift` lesson): a pair with support ≥
     {_BASKET_MIN_SUPPORT} needs both items' supports ≥
-    {_BASKET_MIN_SUPPORT}, so baskets keep only frequent items — result
-    rows are unchanged (any surviving pair's items both pass by
-    construction).  The top-k is TakeOrderedAndProject on
+    {_BASKET_MIN_SUPPORT}, so the basket table keeps only frequent
+    items — result rows are unchanged (any surviving pair's items both
+    pass by construction).  The top-k is TakeOrderedAndProject on
     (support DESC, part_1, part_2).
 
     Exactness: supports are exact integers; the four ratios are
@@ -1281,9 +1283,18 @@ def q_basket_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # basket-count scalar and the support table; `isupp` feeds the
     # Apriori prefilter plus both confidence joins.  Checkpoint both
     # (same discipline as token_pair_lift) or the lineitem scan replays.
+    # DISK_ONLY: the default MEMORY_AND_DISK checkpoint OOM'd twice at the
+    # 1000x fixture — not while writing, but on READ: getLocalValues
+    # re-caches disk blocks as DESERIALIZED row objects
+    # (maybeCacheDiskValuesInMemory), and 32 tasks unrolling 600M-row
+    # partitions concurrently exhaust a 96 GB heap.  DISK_ONLY streams the
+    # serialized blocks and never unrolls; at gate scale the difference is
+    # noise.
+    from pyspark import StorageLevel
+
     b = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     isupp = (
         b.repartition("part")
         .groupBy("part")
@@ -1294,18 +1305,13 @@ def q_basket_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.join(isupp.filter(F.col("s") >= _BASKET_MIN_SUPPORT).select("part"), "part")
         .select("okey", "part")
     )
-    baskets = bf.groupBy("okey").agg(F.array_sort(F.collect_set("part")).alias("items"))
-    # Local pair square per basket: items is sorted+distinct, so pairing
-    # each element with its strict suffix yields exactly part_1 < part_2.
-    pair_rows = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(items, (x, i) -> "
-                "transform(slice(items, i + 2, size(items)), "
-                "y -> struct(x AS part_1, y AS part_2))))"
-            )
-        ).alias("p")
-    ).select("p.part_1", "p.part_2")
+    a = bf.select(F.col("okey"), F.col("part").alias("part_1"))
+    c = bf.select(F.col("okey"), F.col("part").alias("part_2"))
+    pair_rows = (
+        a.join(c, "okey")
+        .filter(F.col("part_1") < F.col("part_2"))
+        .select("part_1", "part_2")
+    )
     pairs = (
         pair_rows.repartition("part_1", "part_2")
         .groupBy("part_1", "part_2")

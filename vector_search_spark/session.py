@@ -66,6 +66,13 @@ def get_spark(
         # Keep timestamps/date behavior deterministic across engines.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Size-adaptive broadcasts (partitioning.maybe_broadcast) collect
+        # the broadcast side through the driver; the 1 GB default result
+        # cap rejects multi-GB-but-legal broadcasts (r10: containment's
+        # 2.6 GB per-doc set table at the 1000x fixture).  0 = unlimited,
+        # bounded in practice by Spark's hard 8 GB broadcast-table cap
+        # and the driver heap.
+        .config("spark.driver.maxResultSize", "0")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
