@@ -199,3 +199,44 @@ def test_hll_cube_levels_consistent(spark):
         assert abs(r["hll_est"] - r["exact_distinct"]) <= max(
             3.0, 0.15 * r["exact_distinct"]
         ), r
+
+
+def test_band_sliced_packing_past_old_cap(spark):
+    """r10: srp_band_table packs each band from its own plane block with
+    local 2^k weights — no global-BIGINT cap.  Pin bits-per-band = 20
+    (impossible under the old 4x15-in-one-BIGINT packing) against a
+    Python recomputation of the same md5-derived planes."""
+    import hashlib
+
+    from vector_search_spark.operators.ann import srp_band_table, srp_planes
+
+    dim, bands, bpb = 8, 4, 20
+    planes = srp_planes(dim, bands * bpb, seed="srpw")
+    vecs = [
+        (0, [0.3, -1.2, 0.5, 2.0, -0.1, 0.7, -0.9, 1.1]),
+        (1, [-0.4, 0.2, -2.2, 0.9, 1.4, -0.6, 0.05, -1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_id"], r["band"]): r["val"]
+        for r in srp_band_table(
+            df, n_bits=bands * bpb, bands=bands, seed="srpw", dim=dim
+        ).collect()
+    }
+    assert len(got) == len(vecs) * bands
+    for vid, vec in vecs:
+        # reproduce Spark's float32 storage then float64 dot fold
+        import struct as _s
+
+        v32 = [_s.unpack("f", _s.pack("f", x))[0] for x in vec]
+        for band in range(bands):
+            want = 0
+            for k in range(bpb):
+                plane = planes[band * bpb + k]
+                dot = 0.0
+                for a, p in zip(v32, plane):
+                    dot += a * p
+                if dot >= 0:
+                    want |= 1 << k
+            assert got[(vid, band)] == want, (vid, band)
+            assert got[(vid, band)] < (1 << bpb)
