@@ -165,6 +165,39 @@ def main() -> None:
     cold: dict[str, float] = {}
     builds: dict[str, float] = {}
     errors: dict[str, str] = {}
+    session_restarts: list[str] = []
+
+    def _ensure_session():
+        """Rebuild the session if a prior query killed the JVM (r10: a
+        single executor OOM stops the SparkContext and every later query
+        would error with 'stopped SparkContext' — two group-N campaign
+        records died that way).  The shared-artifact caches key on
+        session identity, so builders lazily rebuild on the new session;
+        that rebuild lands in the next consumer's cold time and the
+        restart is disclosed in the record (`session_restarts`)."""
+        nonlocal spark
+        try:
+            stopped = spark.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            stopped = True
+        if stopped:
+            from vector_search_spark.session import get_spark
+
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            spark = get_spark(
+                "bench_restart",
+                cpus=cpus,
+                shuffle_partitions=int(
+                    spark_conf_shuffle if spark_conf_shuffle else cpus
+                ),
+            )
+            return True
+        return False
+
+    spark_conf_shuffle = spark.conf.get("spark.sql.shuffle.partitions", None)
     for name in sorted(registry.QUERIES):
         if name in skip:
             print(f"# {name}: SKIPPED (SPARK_GRAFT_BENCH_SKIP)", file=sys.stderr)
@@ -216,6 +249,13 @@ def main() -> None:
                 import traceback
 
                 traceback.print_exc(file=sys.stderr)
+                if _ensure_session():
+                    session_restarts.append(name)
+                    print(
+                        f"# {name}: SparkContext was stopped — session "
+                        f"rebuilt (restart #{len(session_restarts)})",
+                        file=sys.stderr,
+                    )
                 if attempt == 0:
                     print(
                         f"# {name}: attempt 1 failed ({_err_str(e)[:160]}); retrying once",
@@ -267,6 +307,8 @@ def main() -> None:
         # the record so nobody reads warm decade ratios from it
         # (VERDICT r9 "what's wrong" #4)
         record["warm_is_first_collect"] = True
+    if session_restarts:
+        record["session_restarts"] = session_restarts
     if force_checksum:
         record["force_checksum"] = True
     if skip:
