@@ -1,0 +1,106 @@
+"""Fourth-decade probe for the embedding family — 8M vectors, table-reduced.
+
+A full 10000x fixture (~150 GB) cannot fit this box next to spill, but the
+embedding-family queries read ONLY the embeddings table, so their fourth
+decade is probeable with an embeddings-only fixture: 4,000 key-offset
+replicas of sf0.1's 2,000 vectors = 8M (4x the 1000x fixture's 2M; decade
+midpoint).  bits = clamp(bit_length(8M) - 4, 4, 40) = 19, collision mass
+8M * 2^-19 = 15.3/row/band — the HIGH point of the width stair-step, i.e.
+the adversarial case for the adaptive banding.
+
+Times, in one fresh 96 GB session (cold = build + first collect, the
+campaign semantics): the srpw index build, `dedup_embedding_srp`,
+`mutual_knn_pairs`, and `ann_ivf_topk` (the serving path, via its own
+shared index).  Spark-side wall time only; bit-exactness for this region
+is pinned separately (tools/srp_uncapped_probe.py at 600k with a full
+DuckDB oracle, plus the shared-expression construction).
+
+Usage: python tools/ann_decade4_probe.py [--out .scale/emb8m] [--copies 4000]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util as _ilu
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(_HERE)
+BASE = "/root/testdata/sf0.1"
+
+_spec = _ilu.spec_from_file_location(
+    "make_scaled_fixture", os.path.join(_HERE, "make_scaled_fixture.py"))
+_msf = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_msf)
+
+
+def build_fixture(spark, out: str, copies: int, batch: int = 200) -> None:
+    """Embeddings-only replication, written in append batches so the plan
+    never unions thousands of children at once."""
+    from functools import reduce
+
+    os.makedirs(out, exist_ok=True)
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents").split():
+        lnk = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(lnk):
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), lnk)
+    dst = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(dst):
+        return
+    base = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    for lo in range(0, copies, batch):
+        parts = [_msf.replicate(base, "embeddings", r, copies=copies)
+                 for r in range(lo, min(lo + batch, copies))]
+        reduce(lambda a, b: a.unionByName(b), parts).coalesce(8).write.mode(
+            "append").parquet(dst + ".tmp")
+        print(f"# replicas {lo}..{min(lo + batch, copies) - 1} written",
+              file=sys.stderr)
+    os.rename(dst + ".tmp", dst)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, ".scale", "emb8m"))
+    ap.add_argument("--copies", type=int, default=4000)
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from vector_search_spark import registry
+    from vector_search_spark.registry_extensions import (
+        _shared_srpw_index, _srpw_band_bits,
+    )
+    from vector_search_spark.session import get_spark
+
+    spark = get_spark("ann_decade4")
+    build_fixture(spark, args.out, args.copies)
+    n = spark.read.parquet(f"{args.out}/embeddings.parquet").count()
+    bits = _srpw_band_bits(n)
+    out = {"metric": "ann_decade4_probe", "n": n, "bits": bits,
+           "mass": round(n * 2 ** -bits, 1), "queries": {}}
+
+    t0 = time.perf_counter()
+    _shared_srpw_index(spark, args.out)
+    out["srpw_setup_sec"] = round(time.perf_counter() - t0, 1)
+    print(f"# srpw setup {out['srpw_setup_sec']}s", file=sys.stderr)
+
+    for name in ("dedup_embedding_srp", "mutual_knn_pairs", "ann_ivf_topk"):
+        t0 = time.perf_counter()
+        try:
+            rows = registry.QUERIES[name](spark, args.out).collect()
+            out["queries"][name] = {
+                "cold_sec": round(time.perf_counter() - t0, 1),
+                "rows": len(rows),
+            }
+        except Exception as e:  # noqa: BLE001
+            out["queries"][name] = {"error": str(e)[:300]}
+        print(f"# {name}: {out['queries'][name]}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
