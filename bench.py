@@ -186,7 +186,26 @@ def main() -> None:
             try:
                 spark.stop()
             except Exception:
-                pass
+                # stop() raising means the driver JVM itself died (not
+                # just a stopped SparkContext); the builder would reuse
+                # the dead py4j gateway and hand back an unusable
+                # 'rebuilt' session (ADVICE r10).  Clear the cached
+                # gateway/JVM handles so get_spark forks a fresh one.
+                from pyspark import SparkContext
+                from pyspark.sql import SparkSession as _SS
+
+                try:
+                    if SparkContext._gateway is not None:
+                        SparkContext._gateway.shutdown()
+                except Exception:
+                    pass
+                SparkContext._active_spark_context = None
+                SparkContext._gateway = None
+                SparkContext._jvm = None
+                _SS._instantiatedSession = None
+                _SS._activeSession = None
+                os.environ.pop("PYSPARK_GATEWAY_PORT", None)
+                os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
             spark = get_spark(
                 "bench_restart",
                 cpus=cpus,

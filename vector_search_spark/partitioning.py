@@ -44,7 +44,13 @@ def fan_out(df: DataFrame, *cols: str, target: int | None = None) -> DataFrame:
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
-def maybe_broadcast(df: DataFrame, max_rows: int) -> DataFrame:
+def maybe_broadcast(
+    df: DataFrame,
+    max_rows: int,
+    n_rows: int | None = None,
+    row_bytes: int | None = None,
+    max_bytes: int = 6 << 30,
+) -> DataFrame:
     """Physical-only broadcast hint, gated on a cheap row count.
 
     The wide-payload join problem (round 10, `containment_bottomk` at the
@@ -53,12 +59,30 @@ def maybe_broadcast(df: DataFrame, max_rows: int) -> DataFrame:
     × array bytes, hundreds of GB of spill where the entity table itself
     is single-digit GB.  When the entity side fits the broadcast budget,
     hinting it turns the second join map-side and the fat intermediate
-    never touches an exchange.  Data-adaptive: past ``max_rows`` (sized
-    so the payload stays under Spark's 8 GB broadcast cap) the plain
+    never touches an exchange.  Data-adaptive: past the gate the plain
     shuffle join runs — the correct shape on a real cluster, where
     aggregate spill disk scales with executors.  Results are identical
-    either way; only the physical join strategy changes."""
-    return F.broadcast(df) if df.count() <= max_rows else df
+    either way; only the physical join strategy changes.
+
+    Gate contract (round 11, ADVICE r10):
+
+    - ``max_rows`` encodes each call site's row budget; its implicit
+      byte assumption is made explicit by ``row_bytes`` (estimated
+      serialized bytes/row), which tightens the gate to
+      ``min(max_rows, max_bytes // row_bytes)`` so a wider payload at
+      another dimensionality cannot pass the row gate yet blow Spark's
+      8 GB broadcast-table cap — ``max_bytes`` defaults to 6 GiB,
+      headroom under that hard cap.
+    - EAGER-ACTION contract: unless ``n_rows`` is supplied this runs
+      ``df.count()`` AT PLAN-BUILD TIME — a Spark job fires even if the
+      returned plan is never collected, and on a non-checkpointed /
+      non-metadata-countable input that job is a full scan.  Callers
+      should pass ``n_rows`` when the count is already known (corpus
+      configs that priced the table for other reasons) or hand in an
+      eagerly-checkpointed frame, whose count is metadata-cheap."""
+    cap = max_rows if row_bytes is None else min(max_rows, max_bytes // row_bytes)
+    n = df.count() if n_rows is None else n_rows
+    return F.broadcast(df) if n <= cap else df
 
 
 def salted_join(

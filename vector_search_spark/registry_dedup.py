@@ -1686,7 +1686,7 @@ def q_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shared = (
         candf.join(sa, "inner_id")
-        .join(maybe_broadcast(sb, 8_000_000), "outer_id")
+        .join(maybe_broadcast(sb, 8_000_000, row_bytes=560), "outer_id")
         .withColumn(
             "shared", F.size(F.array_intersect("a_arr", "b_arr")).cast("long")
         )

