@@ -15,6 +15,13 @@ shared index).  Spark-side wall time only; bit-exactness for this region
 is pinned separately (tools/srp_uncapped_probe.py at 600k with a full
 DuckDB oracle, plus the shared-expression construction).
 
+Round 11: replicas use the md5-seeded SIGNED-PERMUTATION family
+(make_scaled_fixture.py default — cosine-independent replicas), and the
+probe now measures band-collision candidate mass directly against the
+equal-mass prediction (see inline comment).  The r10 run of this probe
+on the legacy rot+sign family measured +31%/vector excess — a fixture
+artifact, which the new family must erase (done = within ~±10%).
+
 Usage: python tools/ann_decade4_probe.py [--out .scale/emb8m] [--copies 4000]
 Prints one JSON line.
 """
@@ -84,9 +91,57 @@ def main() -> None:
            "mass": round(n * 2 ** -bits, 1), "queries": {}}
 
     t0 = time.perf_counter()
-    _shared_srpw_index(spark, args.out)
+    ib = _shared_srpw_index(spark, args.out)
     out["srpw_setup_sec"] = round(time.perf_counter() - t0, 1)
     print(f"# srpw setup {out['srpw_setup_sec']}s", file=sys.stderr)
+
+    # Candidate-mass check (VERDICT r10 "what's missing" #2 done-criterion):
+    # measured band-collision mass Σ_buckets C(cnt, 2) vs the EQUAL-MASS
+    # prediction under cosine-independent replicas.  Cross-replica pairs
+    # dominate (C(copies,2) replica pairs × n_base² vector pairs × bands ×
+    # 2^-bits per-band random sign agreement); within-replica collisions
+    # are the base corpus' own structure at the probe's band width,
+    # measured directly on replica 0 and scaled by `copies`.  The r10
+    # rot+sign family FAILED this check (+31%/vector): same-rotation-class
+    # replicas shared sign bits, so same-base-vector cross pairs collided
+    # far above the 2^-bits baseline.  The signed-perm family must land
+    # within ~±10%.
+    import pyspark.sql.functions as F
+
+    t0 = time.perf_counter()
+    measured = (
+        ib.groupBy("band", "val").count()
+        .select(F.sum(F.expr("count * (count - 1) DIV 2")).alias("m"))
+        .first()["m"]
+    )
+    from vector_search_spark.operators.ann import srp_band_table
+    from vector_search_spark.registry_extensions import _SRPW_BANDS, _SRP_DIM
+
+    base = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_base = base.count()
+    base_ib = srp_band_table(
+        base, "vec_id", "embedding", _SRPW_BANDS * bits, _SRPW_BANDS,
+        seed="srpw", dim=_SRP_DIM, spread=True,
+    )
+    within_base = (
+        base_ib.groupBy("band", "val").count()
+        .select(F.sum(F.expr("count * (count - 1) DIV 2")).alias("m"))
+        .first()["m"]
+    )
+    copies = args.copies
+    cross_pred = (copies * (copies - 1) / 2) * n_base * n_base * _SRPW_BANDS * 2.0 ** -bits
+    predicted = copies * within_base + cross_pred
+    out["candidate_mass"] = {
+        "measured": int(measured),
+        "predicted": round(predicted),
+        "within_term": copies * int(within_base),
+        "cross_term": round(cross_pred),
+        "excess_pct": round(100.0 * (measured - predicted) / predicted, 1),
+        "per_vector_measured": round(measured / n, 2),
+        "per_vector_predicted": round(predicted / n, 2),
+        "check_sec": round(time.perf_counter() - t0, 1),
+    }
+    print(f"# candidate mass: {out['candidate_mass']}", file=sys.stderr)
 
     for name in ("dedup_embedding_srp", "mutual_knn_pairs", "ann_ivf_topk"):
         t0 = time.perf_counter()

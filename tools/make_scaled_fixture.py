@@ -25,10 +25,23 @@ Replication design (replica r = 0..copies-1, offset = r * 10_000_000):
   doc 9 identical twins and near-dup candidate pairs would grow
   quadratically in the replica count, which measures the fixture, not the
   engine.  n_chars is unchanged (bijection).
-- embeddings.embedding: per-replica circular shift of the vector.  A
-  coordinate permutation preserves norms and all within-replica angles
-  exactly; cross-replica cosine similarity collapses to the random-vector
-  baseline, for the same reason as the text cipher.
+- embeddings.embedding: per-replica md5-seeded SIGNED PERMUTATION of the
+  coordinates (independent random permutation + independent ±1 sign per
+  coordinate, replica 0 = identity).  Any signed permutation is
+  orthogonal, so norms and all within-replica angles are exact;
+  cross-replica cosines behave like independent random vectors
+  (E = 0, sd ≈ 1/√dim) because the coordinate alignments between two
+  independently-permuted copies are themselves random.  Round 11 lesson
+  (VERDICT r10 "what's missing" #2): the previous family — circular
+  rotation composed with a ±1 diagonal chosen from q = r // 64 — has only
+  64 rotation classes, and two replicas in the SAME class differ only by
+  a diagonal sign pattern, so their cosine is Σ s_j s'_j v_j², which is
+  cosine-CORRELATED (nearby q share most sign bits).  At 4,000 copies the
+  fixture planted genuinely-near-dup cross-replica pairs that grew
+  quadratically in the class population — the decade-4 probe measured
+  the fixture, not the engine.  The legacy family stays available as
+  --emb-family rotsign for bit-identical reproduction of pre-r11
+  fixtures.
 - timestamps are never shifted: a day at sf1 holds copies× the rows of the
   same day at the base sf, which is exactly how a denser corpus scales.
 
@@ -109,7 +122,44 @@ def _caesar_cols(r: int):
 _INT_MAX = {"integer": (1 << 31) - 1, "long": (1 << 63) - 1, "short": (1 << 15) - 1}
 
 
-def replicate(df, table: str, r: int, copies: int = 0):
+def _emb_signed_perm(r: int, dim: int):
+    """Replica r's signed permutation: an md5-argsort permutation of the
+    dim coordinates plus an independent md5-derived ±1 per coordinate.
+    r = 0 is the identity (base replica bit-identical).  Deterministic,
+    and pairwise-distinct for any buildable copy count (main() asserts)."""
+    if r == 0:
+        return list(range(dim)), [1] * dim
+    import hashlib
+
+    keys = [
+        hashlib.md5(f"sgfix-embperm-{r}:{j}".encode()).hexdigest()
+        for j in range(dim)
+    ]
+    perm = sorted(range(dim), key=lambda j: keys[j])
+    signs = [
+        1 if int(hashlib.md5(f"sgfix-embsign-{r}:{j}".encode()).hexdigest(), 16) & 1
+        else -1
+        for j in range(dim)
+    ]
+    return perm, signs
+
+
+_EMB_DIM_CACHE: dict = {}
+
+
+def _emb_dim(df) -> int:
+    """Vector dimensionality of an embeddings frame, probed once per df
+    object (both callers loop replicas over ONE base frame, so id(df) is
+    a stable live key)."""
+    key = id(df)
+    if key not in _EMB_DIM_CACHE:
+        _EMB_DIM_CACHE[key] = int(
+            df.select(F.size(F.col("embedding")).alias("d")).head()[0]
+        )
+    return _EMB_DIM_CACHE[key]
+
+
+def replicate(df, table: str, r: int, copies: int = 0, emb_family: str = "signed-perm"):
     """Replica r of a table.  Key math runs in BIGINT; the result is cast
     back to the column's dtype only when the LARGEST replica's offset still
     fits it — otherwise the column widens to BIGINT for every replica
@@ -124,7 +174,21 @@ def replicate(df, table: str, r: int, copies: int = 0):
     if table == "documents" and r > 0:
         src, dst = _caesar_cols(r)
         out = out.withColumn("text", F.translate(F.col("text"), src, dst))
-    if table == "embeddings" and r > 0:
+    if table == "embeddings" and r > 0 and emb_family == "signed-perm":
+        # md5-seeded signed permutation (the r11 default — see module
+        # docstring).  Built as a dim-wide F.array of ±element_at picks:
+        # negation preserves the FLOAT element type bit-exactly, so the
+        # transform is an exact orthogonal map of the stored floats.
+        dim = _emb_dim(df)
+        perm, signs = _emb_signed_perm(r, dim)
+        elems = [
+            F.element_at(F.col("embedding"), perm[j] + 1)
+            if signs[j] == 1
+            else -F.element_at(F.col("embedding"), perm[j] + 1)
+            for j in range(dim)
+        ]
+        out = out.withColumn("embedding", F.array(*elems))
+    elif table == "embeddings" and r > 0:
         # rotation by r mod dim, composed with a per-coordinate ±1 sign
         # pattern: rotation alone has period dim (64), so at copies > 64
         # replica pairs 64 apart would carry IDENTICAL vectors.  Any
@@ -160,7 +224,25 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"))
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--emb-family", default="signed-perm", choices=["signed-perm", "rotsign"],
+        help="embedding replica transform: signed-perm (r11 default, "
+        "cosine-independent replicas) or rotsign (legacy, reproduces "
+        "pre-r11 fixtures bit-identically)",
+    )
     args = ap.parse_args()
+
+    if args.emb_family == "signed-perm":
+        # Distinctness guard for the embedding transforms, mirroring the
+        # letter-cipher guard below: every replica's (perm, signs) must
+        # differ or cross-replica vector twins would plant fake near-dups.
+        dim = 64  # assert at the house dim; _emb_dim re-probes at build
+        maps = {tuple(_emb_signed_perm(r, dim)[0]) + tuple(_emb_signed_perm(r, dim)[1])
+                for r in range(args.copies)}
+        assert len(maps) == args.copies, (
+            f"embedding signed-perms collide: {args.copies} replicas -> "
+            f"{len(maps)} distinct maps"
+        )
 
     # Cipher-distinctness guard: every replica's LETTER map must differ
     # (the corpus is digit-free, so the digit layer contributes nothing —
@@ -200,7 +282,8 @@ def main() -> None:
         for lo in range(0, args.copies, 25):
             chunk = None
             for r in range(lo, min(lo + 25, args.copies)):
-                rep = replicate(base, t, r, copies=args.copies)
+                rep = replicate(base, t, r, copies=args.copies,
+                                emb_family=args.emb_family)
                 chunk = rep if chunk is None else chunk.unionByName(rep)
             chunk.write.mode("overwrite" if first else "append").parquet(
                 f"{args.out}/{t}.parquet"
