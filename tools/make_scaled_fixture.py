@@ -176,18 +176,25 @@ def replicate(df, table: str, r: int, copies: int = 0, emb_family: str = "signed
         out = out.withColumn("text", F.translate(F.col("text"), src, dst))
     if table == "embeddings" and r > 0 and emb_family == "signed-perm":
         # md5-seeded signed permutation (the r11 default — see module
-        # docstring).  Built as a dim-wide F.array of ±element_at picks:
-        # negation preserves the FLOAT element type bit-exactly, so the
-        # transform is an exact orthogonal map of the stored floats.
+        # docstring).  ONE zip_with over two literal int arrays, not a
+        # dim-wide F.array of element_at picks: a 4,000-replica build
+        # unions hundreds of replicas per write batch, and at 64
+        # expression nodes per replica Catalyst analysis went
+        # effectively quadratic (the first probe build stalled for tens
+        # of minutes per batch).  s * x with s ∈ {-1, 1} is an exact
+        # IEEE sign flip / identity, so the floats are bit-identical to
+        # the expanded form (pinned by test_signed_perm_spark_matches_python).
         dim = _emb_dim(df)
         perm, signs = _emb_signed_perm(r, dim)
-        elems = [
-            F.element_at(F.col("embedding"), perm[j] + 1)
-            if signs[j] == 1
-            else -F.element_at(F.col("embedding"), perm[j] + 1)
-            for j in range(dim)
-        ]
-        out = out.withColumn("embedding", F.array(*elems))
+        pcsv = ",".join(str(p + 1) for p in perm)
+        scsv = ",".join(str(s) for s in signs)
+        out = out.withColumn(
+            "embedding",
+            F.expr(
+                f"zip_with(array({pcsv}), array({scsv}),"
+                f" (p, s) -> s * element_at(embedding, p))"
+            ),
+        )
     elif table == "embeddings" and r > 0:
         # rotation by r mod dim, composed with a per-coordinate ±1 sign
         # pattern: rotation alone has period dim (64), so at copies > 64
