@@ -139,16 +139,33 @@ def main() -> None:
     # give", which is the fixture-health property under test: residual
     # excess then measures ACTUAL cross-replica correlation (the r10
     # rot+sign family's failure), not model error.
-    r1 = _msf.replicate(base, "embeddings", 1, copies=copies)
-    r2 = _msf.replicate(base, "embeddings", 2, copies=copies)
-    xb1 = srp_band_table(r1, "vec_id", "embedding", _SRPW_BANDS * bits,
-                         _SRPW_BANDS, seed="srpw", dim=_SRP_DIM)
-    xb2 = srp_band_table(r2, "vec_id", "embedding", _SRPW_BANDS * bits,
-                         _SRPW_BANDS, seed="srpw", dim=_SRP_DIM)
-    x_hat = (
-        xb1.select("band", "val").join(xb2.select("band", "val"), ["band", "val"])
+    # 20 replicas -> C(20,2) = 190 cross pairs in one tagged self-join:
+    # a single replica pair's count is Poisson-noisy at ~±11%, which
+    # swamps a ±10% verdict; averaging 190 pairs brings the estimator
+    # under ±1% and also detects correlation between ANY two of them.
+    from functools import reduce
+
+    tagged = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            srp_band_table(
+                _msf.replicate(base, "embeddings", r, copies=copies),
+                "vec_id", "embedding", _SRPW_BANDS * bits, _SRPW_BANDS,
+                seed="srpw", dim=_SRP_DIM,
+            ).select("band", "val").withColumn("tag", F.lit(r))
+            for r in range(1, 21)
+        ],
+    ).localCheckpoint(eager=True)
+    n_pairs_sampled = 20 * 19 // 2
+    x_total = (
+        tagged.alias("a")
+        .join(tagged.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.val") == F.col("b.val"))
+              & (F.col("a.tag") < F.col("b.tag")))
         .count()
     )
+    x_hat = x_total / n_pairs_sampled
     cross_naive = (copies * (copies - 1) / 2) * n_base * n_base * _SRPW_BANDS * 2.0 ** -bits
     cross_pred = (copies * (copies - 1) / 2) * x_hat
     predicted = copies * within_base + cross_pred
@@ -157,7 +174,8 @@ def main() -> None:
         "predicted": round(predicted),
         "within_term": copies * int(within_base),
         "cross_term": round(cross_pred),
-        "x_hat_two_replica": int(x_hat),
+        "x_hat_per_pair": round(x_hat, 2),
+        "x_hat_pairs_sampled": n_pairs_sampled,
         "cross_term_naive_2pow": round(cross_naive),
         "excess_pct": round(100.0 * (measured - predicted) / predicted, 1),
         "per_vector_measured": round(measured / n, 2),
