@@ -67,12 +67,17 @@ def maybe_broadcast(
     Gate contract (round 11, ADVICE r10):
 
     - ``max_rows`` encodes each call site's row budget; its implicit
-      byte assumption is made explicit by ``row_bytes`` (estimated
-      serialized bytes/row), which tightens the gate to
-      ``min(max_rows, max_bytes // row_bytes)`` so a wider payload at
-      another dimensionality cannot pass the row gate yet blow Spark's
-      8 GB broadcast-table cap — ``max_bytes`` defaults to 6 GiB,
-      headroom under that hard cap.
+      byte assumption is made explicit by ``row_bytes``, which tightens
+      the gate to ``min(max_rows, max_bytes // row_bytes)`` so a wider
+      payload at another dimensionality cannot pass the row gate yet
+      blow Spark's 8 GiB broadcast-table cap — ``max_bytes`` defaults to
+      6 GiB, headroom under that hard cap.  ``row_bytes`` must estimate
+      the IN-MEMORY HashedRelation cost per row (data bytes × ~3-4 for
+      UnsafeRow/array-header/hash-page overhead on array payloads), NOT
+      the serialized size: the r11 decade-4 probe measured an 8M-row
+      64-float table passing a 320 B/row serialized gate and then dying
+      on the 8 GiB relation cap — and in local mode the failed broadcast
+      build stopped the whole SparkContext, not just the query.
     - EAGER-ACTION contract: unless ``n_rows`` is supplied this runs
       ``df.count()`` AT PLAN-BUILD TIME — a Spark job fires even if the
       returned plan is never collected, and on a non-checkpointed /

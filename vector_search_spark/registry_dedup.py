@@ -1678,15 +1678,17 @@ def q_containment_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # × a_arr fat rows (~140 GB at the 1000× fixture: the ENOSPC that
     # kept this query's third-decade point unmeasured through r9).  With
     # the broadcast, a_arr rides map-side from join 1 into the intersect
-    # and no array ever re-enters an exchange.  (~8M docs × ~500 B sets
-    # ≈ 4 GB, inside Spark's 8 GB cap; past that the shuffle join is the
-    # real cluster shape.)  `sets` is eagerly checkpointed, so the gate
+    # and no array ever re-enters an exchange.  row_bytes=1024 is the
+    # IN-MEMORY relation cost of a ~52-long set array (~416 B data ×
+    # overhead — the r11 in-memory-gate rule, partitioning.py), so the
+    # byte gate admits ≤ ~6.3M docs; past that the shuffle join is the
+    # real cluster shape.  `sets` is eagerly checkpointed, so the gate
     # count is metadata-cheap.
     from .partitioning import maybe_broadcast
 
     shared = (
         candf.join(sa, "inner_id")
-        .join(maybe_broadcast(sb, 8_000_000, row_bytes=560), "outer_id")
+        .join(maybe_broadcast(sb, 8_000_000, row_bytes=1024), "outer_id")
         .withColumn(
             "shared", F.size(F.array_intersect("a_arr", "b_arr")).cast("long")
         )

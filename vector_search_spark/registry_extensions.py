@@ -586,11 +586,18 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = __load(spark, sf_dir, "embeddings")
     e1 = emb.select(F.col("vec_id").alias("id_1"), F.col("embedding").alias("v1"))
     e2 = emb.select(F.col("vec_id").alias("id_2"), F.col("embedding").alias("v2"))
-    # second vector fetch broadcast when the corpus fits (physical-only;
-    # ~8M × 320 B ≈ 2.4 GB, inside the byte gate) — otherwise the join
-    # reshuffles candidate rows already carrying v1, pairs × vector bytes
-    # (the containment_bottomk wide-payload lesson).  n_rows comes from
-    # the index build's cached COUNT(*) — no re-scan per query build.
+    # second vector fetch broadcast when the corpus fits (physical-only) —
+    # otherwise the join reshuffles candidate rows already carrying v1,
+    # pairs × vector bytes (the containment_bottomk wide-payload lesson).
+    # n_rows comes from the index build's cached COUNT(*) — no re-scan per
+    # query build.  row_bytes=1024 is the IN-MEMORY HashedRelation cost of
+    # a 64-float row (256 B data × ~3-4× UnsafeRow/array-header/hash-page
+    # overhead), NOT the serialized size: the r11 decade-4 probe showed an
+    # 8M-row vector table passing a serialized-size gate and then dying on
+    # Spark's hard 8 GiB broadcast-relation cap — and the failed broadcast
+    # build took the whole local-mode context down with it.  The byte gate
+    # now admits ≤ ~6.3M vectors; past that the shuffle join runs, which
+    # is the correct shape on a real cluster anyway.
     from .partitioning import maybe_broadcast
 
     scored = (
@@ -598,7 +605,7 @@ def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             maybe_broadcast(
                 e2, 8_000_000,
-                n_rows=_srpw_corpus_count(spark, sf_dir), row_bytes=320,
+                n_rows=_srpw_corpus_count(spark, sf_dir), row_bytes=1024,
             ),
             "id_2",
         )
@@ -694,7 +701,7 @@ def q_dedup_embedding_srp_narrow_demo(spark: SparkSession, sf_dir: str) -> DataF
 
     scored = (
         cand.join(e1, "id_1")
-        .join(maybe_broadcast(e2, 8_000_000, n_rows=n_all, row_bytes=320), "id_2")
+        .join(maybe_broadcast(e2, 8_000_000, n_rows=n_all, row_bytes=1024), "id_2")
         .select("id_1", "id_2", dot_product("v1", "v2").alias("cos"))
     )
     return (
@@ -1549,7 +1556,7 @@ def q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             maybe_broadcast(
                 e2, 8_000_000,
-                n_rows=_srpw_corpus_count(spark, sf_dir), row_bytes=320,
+                n_rows=_srpw_corpus_count(spark, sf_dir), row_bytes=1024,
             ),
             "id_2",
         )
