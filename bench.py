@@ -96,7 +96,9 @@ def main() -> None:
     from vector_search_spark.registry_round4 import (  # noqa: E402
         _shared_ivfpq_coarse, _shared_ivfpq_residual_index,
     )
-    from vector_search_spark.registry_suffix import _shared_suffix  # noqa: E402
+    from vector_search_spark.registry_suffix import (  # noqa: E402
+        _shared_sa_adjacent, _shared_suffix,
+    )
 
     # Setup builders can be excluded by name for exploratory scale runs
     # whose query family is skipped too (the suffix array at 1000x is
@@ -129,9 +131,18 @@ def main() -> None:
         ("_shared_ivfpq_coarse", _shared_ivfpq_coarse),
         ("_shared_ivfpq_residual_index", _shared_ivfpq_residual_index),
         ("_shared_suffix", _shared_suffix),
+        # cross-doc SA-adjacent LCP pairs (round 11): the shared front half
+        # of corpus_suffix_repeats + corpus_exact_dedup_rewrite; skip it
+        # whenever _shared_suffix is skipped (same heap-sizing rule)
+        ("_shared_sa_adjacent", _shared_sa_adjacent),
     ]
     t0 = time.perf_counter()
     setup_builders: dict[str, float] = {}
+    if "_shared_suffix" in skip_setup:
+        # the adjacency table sits on top of the rank pyramid — skipping
+        # the pyramid (the suffix heap-sizing rule) must skip it too, or
+        # the lazy build would rebuild what the skip excluded
+        skip_setup.add("_shared_sa_adjacent")
     for bname, builder in builders:
         if bname in skip_setup:
             print(f"# setup {bname}: SKIPPED", file=sys.stderr)

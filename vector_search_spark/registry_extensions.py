@@ -5,12 +5,11 @@ row counts and values are stable across runs."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.scalar import round4
 from .operators.ann import ivf_build, ivf_query, srp_band_table, srp_planes, srp_topk
-from .operators.multimodal import attach_binary_payload, decode_image_features
 from .registry import register
 from .sources.tables import load_table as __load
 
@@ -100,23 +99,46 @@ def _shared_ivf_index(spark: SparkSession, sf_dir: str):
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload + metadata struct → mapInPandas decode/feature stub
-    (deterministic fake decoder; real codecs absent in this container).
+    """Deterministic fake decode/feature extraction over the synthesized
+    binary payloads, fully NATIVE since round 11 (guide §4.1): the stub
+    "codec" is pure md5 byte math, so the whole pipeline is Catalyst
+    expressions — md5 → hex-pair parse → the same (b/255)·2−1 formula in
+    identical IEEE order — and the ArrowEvalPython node (plus its
+    fan_out exchange) is gone from the plan.  The mapInPandas seam
+    (`operators.multimodal.decode_image_features`) remains the operator a
+    REAL codec (PIL) plugs into and keeps its own tests; this registered
+    query measures the query path, which for the md5 stub needs no
+    Python boundary at all.  Results are bit-identical (same formula,
+    same order) and oracle-checked as before.
 
-    Features are EXPLODED to scalar ``(feat_idx, feat_value)`` rows so the
-    result is canonicalizable (array cells aren't sortable), and — because
-    the fake decode is pure md5 byte math — the whole pipeline gets a
-    bit-exact DuckDB oracle (hex-parse the digest, same round4 formula).
+    Features stay EXPLODED to scalar ``(feat_idx, feat_value)`` rows so
+    the result is canonicalizable (array cells aren't sortable).
     """
     docs = __load(spark, sf_dir, "documents")
-    feats = decode_image_features(attach_binary_payload(docs))
-    ex = feats.select(
+    payload = F.encode(F.col("text"), "utf-8")
+    hx = F.md5(payload)
+    ex = docs.select(
+        "doc_id",
+        F.lit("image/fake").alias("mime"),
+        F.octet_length(payload).alias("n_bytes"),
+        hx.alias("hx"),
+    ).select(
         "doc_id",
         "mime",
         "n_bytes",
-        "width",
-        "height",
-        F.posexplode("features").alias("feat_idx", "feat_value"),
+        (F.conv(F.substring("hx", 1, 2), 16, 10).cast("int") * 8 + 1)
+        .cast("int")
+        .alias("width"),
+        (F.conv(F.substring("hx", 3, 2), 16, 10).cast("int") * 8 + 1)
+        .cast("int")
+        .alias("height"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 15), i ->"
+                " (CAST(conv(substring(hx, 2*i + 1, 2), 16, 10) AS DOUBLE)"
+                "  / 255.0) * 2.0 - 1.0)"
+            )
+        ).alias("feat_idx", "feat_value"),
     )
     return ex.select(
         "doc_id",
@@ -160,10 +182,21 @@ def q_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched/200 — so the values are deterministic and golden-pinnable.
 
     Scale: the sweep reuses the session-shared IVF index (the amortized
-    build); each nprobe leg scores only its probed cells; the union of
-    five legs groups to a 5-row result.  Ground truth is one
+    build) and — since round 11 — scores every probed cell ONCE: each
+    query's 16 cells carry their probe rank, a candidate's ENTRY LEVEL
+    is its minimum probe rank over the cells that contain it, and the
+    five legs are `entry <= nprobe` filters of that one scored table
+    (guide §1.2: the old shape ran five independent ivf_query plans —
+    5 probe collects, 5 scored joins, 5 windows — recomputing the
+    nprobe=16 superset's work up to 5×).  A candidate enters leg n iff
+    one of its cells is among the query's top-n probes, which is exactly
+    the per-leg candidate set; scores are identical dot products, so
+    each leg's top-10 is unchanged row-for-row.  Ground truth is one
     broadcast-queries exact scan, bounded by the query set.
     """
+    import numpy as np
+
+    from .functions.vector import dot_product
     from .operators.knn import similarity_join
 
     emb = __load(spark, sf_dir, "embeddings")
@@ -174,25 +207,56 @@ def q_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
     exact = similarity_join(emb, queries, k=10).select("query_id", "vec_id")
-    legs = None
-    for nprobe in (1, 2, 4, 8, 16):
-        leg = ivf_query(indexed, cent_mat, queries, k=10, nprobe=nprobe).select(
-            F.lit(nprobe).cast("int").alias("nprobe"),
-            F.col("query_id").alias("a_qid"),
-            F.col("vec_id").alias("a_vec"),
+    sweep = (1, 2, 4, 8, 16)
+    # one driver-side probe-ranking pass (ivf_query's model, done once for
+    # the max level instead of once per leg)
+    qrows = queries.collect()
+    qmat = np.array([r["query_vec"] for r in qrows], dtype=np.float64)
+    order = np.argsort(-(qmat @ cent_mat.T), axis=1)[:, : max(sweep)]
+    probes = [
+        (int(r["query_id"]), list(r["query_vec"]), int(c), rk + 1)
+        for r, cells in zip(qrows, order)
+        for rk, c in enumerate(cells)
+    ]
+    probes_df = F.broadcast(
+        spark.createDataFrame(
+            probes, "query_id long, __qvec array<double>, cell int, probe_rank int"
         )
-        legs = leg if legs is None else legs.unionByName(leg)
+    )
+    scored = indexed.join(probes_df, "cell").withColumn(
+        "score", dot_product(F.col("embedding"), F.col("__qvec"))
+    )
+    # replica dedup + entry level in one aggregate: scores of a (query, id)
+    # pair are identical across its cells, so max(score) IS the score
+    narrow = scored.groupBy("query_id", "vec_id").agg(
+        F.min("probe_rank").alias("entry"), F.max("score").alias("score")
+    )
+    legs = narrow.select(
+        "query_id",
+        "vec_id",
+        "score",
+        "entry",
+        F.explode(F.array(*[F.lit(n) for n in sweep])).alias("nprobe"),
+    ).filter(F.col("entry") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    topk = (
+        legs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("nprobe", F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vec"))
+    )
     n_expected = 20 * 10
     return (
         exact.join(
-            legs,
-            (exact.query_id == legs.a_qid) & (exact.vec_id == legs.a_vec),
+            topk,
+            (exact.query_id == topk.a_qid) & (exact.vec_id == topk.a_vec),
             "inner",
         )
         .groupBy("nprobe")
         .agg(F.count(F.lit(1)).cast("long").alias("matched"))
         .select(
-            "nprobe",
+            F.col("nprobe").cast("int").alias("nprobe"),
             "matched",
             round4(F.col("matched") / float(n_expected)).alias("recall_at_10"),
         )

@@ -533,6 +533,25 @@ def _ma_start(v: str, excluded: str | None) -> str:
 _MA_VARIANTS = [("full", None)] + [(f"wo_{s}", s) for s in _MA_STATES]
 
 
+def _ma_np_hof_expr(v: str, excluded: str | None, x: str, acc: str) -> str:
+    """One variant-``v`` absorption update for state ``x`` with the state
+    vector read from an array lambda variable — the HOF-loop form of
+    ``_ma_step``'s text (p_{v}_{y} -> element_at(acc, idx)).  Same term
+    order, same integer numerator, same floor-divide — bit-identical."""
+    xs = [s for s in _MA_STATES if s != excluded]
+    terms = [f"c_{x}_conv * {_MA_SCALE}"]
+    for y in _MA_STATES:
+        if y == excluded:
+            continue
+        terms.append(f"c_{x}_{y} * element_at({acc}, {xs.index(y) + 1})")
+    num = " + ".join(terms)
+    return (
+        f"(CASE WHEN r_{x} = 0 THEN 0 ELSE "
+        f"CAST(floor(CAST({num} AS DOUBLE) / CAST(r_{x} AS DOUBLE))"
+        f" AS BIGINT) END)"
+    )
+
+
 def _ma_oracle() -> str:
     ctes = [
         """e AS MATERIALIZED (
@@ -719,31 +738,30 @@ def _ma_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias(f"r_{s}")
         )
-    it = tr.agg(*agg_exprs)
+    # 1-row count frame materialized once (round 11; see _markov_plan) —
+    # warm collects rerun only the five HOF variants, as the unrolled
+    # plan's every-4-rounds barriers already made them do through r10.
+    it = tr.agg(*agg_exprs).localCheckpoint(eager=True)
+    # All five chain variants iterate as one aggregate() HOF each over
+    # sequence(1, ROUNDS) on an array<bigint> state (round 11): the
+    # unrolled form compiled ~300 generated columns + 4 localCheckpoint
+    # barriers (~6.8 s build per fresh plan); the HOF form is five small
+    # expressions with the same per-round text (_ma_np_hof_expr), so the
+    # arithmetic — and therefore the result — is unchanged.
+    from .registry_ml import _hof_once
+
     for v, exc in _MA_VARIANTS:
-        for x in _MA_STATES:
-            if x != exc:
-                it = it.withColumn(f"p_{v}_{x}", F.lit(0).cast("long"))
-    for t in range(_MA_ROUNDS):
-        for v, exc in _MA_VARIANTS:
-            for name, sql in _ma_step(v, exc):
-                it = it.withColumn(name, F.expr(sql))
-        for v, exc in _MA_VARIANTS:
-            for x in _MA_STATES:
-                if x != exc:
-                    it = it.withColumn(f"p_{v}_{x}", F.col(f"np_{v}_{x}"))
-        it = it.drop(
-            *[
-                f"np_{v}_{x}"
-                for v, exc in _MA_VARIANTS
-                for x in _MA_STATES
-                if x != exc
-            ]
+        xs = [x for x in _MA_STATES if x != exc]
+        init = ", ".join("CAST(0 AS BIGINT)" for _ in xs)
+        steps = ", ".join(_ma_np_hof_expr(v, exc, x, "acc") for x in xs)
+        it = _hof_once(
+            it,
+            f"pv_{v}",
+            f"aggregate(sequence(1, {_MA_ROUNDS}), array({init}),"
+            f" (acc, t) -> array({steps}))",
         )
-        if t % 4 == 3:
-            # 1-row barrier: keeps each codegen segment under the JVM's
-            # 64 KB method limit (no interpreted-mode fallback spam)
-            it = it.localCheckpoint()
+        for x in xs:
+            it = it.withColumn(f"p_{v}_{x}", F.element_at(f"pv_{v}", xs.index(x) + 1))
     for v, exc in _MA_VARIANTS:
         it = it.withColumn(f"ps_{v}", F.expr(_ma_start(v, exc)))
     eff = " + ".join(f"(ps_full - ps_wo_{s})" for s in _MA_STATES)
@@ -1270,21 +1288,29 @@ def _me_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, a in enumerate(TYPES)
         for j, b in enumerate(TYPES)
     ]
-    it = pairs.agg(*cnt_aggs)
+    # 1-row count matrix materialized once (round 11; see _markov_plan) —
+    # warm collects rerun only the iteration tail, as the unrolled plan's
+    # mid-loop barriers already made them do through r10.
+    it = pairs.agg(*cnt_aggs).localCheckpoint(eager=True)
     for i in range(K):
         it = it.withColumn(
             f"r{i}", F.expr(" + ".join(f"c{i}_{j}" for j in range(K)))
         )
+    # HOF-loop form of the stationary iteration (round 11): same per-round
+    # text as the oracle via _mk_np_hof_expr, one aggregate() expression
+    # instead of ITERS unrolled layers + localCheckpoint barriers.
+    from .registry_ml import _hof_once, _mk_np_hof_expr
+
+    steps = ", ".join(_mk_np_hof_expr(j, "acc") for j in range(K))
+    init = ", ".join(f"CAST({SCALE // K} AS BIGINT)" for _ in range(K))
+    it = _hof_once(
+        it,
+        "pv",
+        f"aggregate(sequence(1, {ITERS}), array({init}),"
+        f" (acc, t) -> array({steps}))",
+    )
     for i in range(K):
-        it = it.withColumn(f"p{i}", F.lit(SCALE // K).cast("long"))
-    for t in range(ITERS):
-        for name, sql in step():
-            it = it.withColumn(name, F.expr(sql))
-        for i in range(K):
-            it = it.withColumn(f"p{i}", F.col(f"np{i}"))
-        it = it.drop(*[f"np{i}" for i in range(K)])
-        if t % 4 == 3:
-            it = it.localCheckpoint()
+        it = it.withColumn(f"p{i}", F.element_at("pv", i + 1))
     for name, sql in _me_entropy_exprs():
         it = it.withColumn(name, F.expr(sql))
     rows = it.select(

@@ -672,21 +672,42 @@ def q_markov_expected_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, a in enumerate(_MK_TYPES)
         for j, b in enumerate(_MK_TYPES)
     ]
-    it = pairs.agg(*cnt_aggs)
+    # 1-row count matrix materialized once (round 11; see
+    # registry_ml._markov_plan) — warm collects rerun only the HOF tail,
+    # as the old every-4-rounds eager barriers already made them do.
+    it = pairs.agg(*cnt_aggs).localCheckpoint(eager=True)
     for i in range(_MK_K):
         it = it.withColumn(
             f"r{i}", F.expr(" + ".join(f"c{i}_{j}" for j in range(_MK_K)))
         )
+    # HOF-loop form (round 11): all HIT_ROUNDS rounds in one aggregate()
+    # expression over an array<bigint> state — replaces 48 unrolled
+    # layers + 12 eager localCheckpoint jobs (~3.1 s build) with one
+    # small expression.  Per-round text identical to _hit_step_exprs
+    # (e{j} -> element_at(acc, idx)), so the trajectory is bit-identical.
+    def _hit_hof_expr(i: int) -> str:
+        mv = " + ".join(
+            f"(CAST(c{i}_{j} AS DOUBLE) * CAST(element_at(acc, {nonabs.index(j) + 1})"
+            f" AS DOUBLE))"
+            for j in nonabs
+        )
+        return (
+            f"CAST({_HIT_SCALE} + floor(({mv}) / CAST(r{i} AS DOUBLE) + 0.5)"
+            f" AS BIGINT)"
+        )
+
+    from .registry_ml import _hof_once
+
+    init = ", ".join("CAST(0 AS BIGINT)" for _ in nonabs)
+    steps = ", ".join(_hit_hof_expr(i) for i in nonabs)
+    it = _hof_once(
+        it,
+        "ev",
+        f"aggregate(sequence(1, {HIT_ROUNDS}), array({init}),"
+        f" (acc, t) -> array({steps}))",
+    )
     for i in nonabs:
-        it = it.withColumn(f"e{i}", F.lit(0).cast("long"))
-    for t in range(HIT_ROUNDS):
-        for name, sql in _hit_step_exprs():
-            it = it.withColumn(name, F.expr(sql))
-        for i in nonabs:
-            it = it.withColumn(f"e{i}", F.col(f"ne{i}"))
-        it = it.drop(*[f"ne{i}" for i in nonabs])
-        if (t + 1) % 4 == 0:
-            it = it.localCheckpoint(eager=True)
+        it = it.withColumn(f"e{i}", F.element_at("ev", nonabs.index(i) + 1))
     rows = it.select(
         F.explode(
             F.array(

@@ -342,6 +342,35 @@ def _mk_step_exprs() -> list[tuple[str, str]]:
     return steps
 
 
+def _hof_once(df: DataFrame, name: str, loop_sql: str) -> DataFrame:
+    """Attach a HOF-loop column behind an ``explode(array(...))`` Generate
+    barrier (round 11).  ``aggregate()`` HOFs are CodegenFallback
+    expressions; without the barrier, CollapseProject inlines the whole
+    loop into EVERY downstream consumer expression and the interpreted
+    evaluator re-runs it once per textual copy — measured +0.06–0.14 s
+    per warm collect on the 1-row iteration queries.  A Generate node is
+    a projection-collapse boundary, so the loop is evaluated exactly
+    once per row and consumers reference the output attribute.  A
+    single-element array explode preserves row count and values."""
+    return df.select("*", F.explode(F.array(F.expr(loop_sql))).alias(name))
+
+
+def _mk_np_hof_expr(j: int, acc: str) -> str:
+    """The same np{j} step text as ``_mk_step_exprs`` with the state read
+    from an array lambda variable (p{i} -> element_at(acc, i+1)) — the
+    HOF-loop form of one pi·P round.  Term order and quantization are
+    identical to the unrolled/oracle text, so the arithmetic is
+    IEEE-identical; only the plan shape changes."""
+    terms = []
+    for i in range(_MK_K):
+        frac = (
+            f"(CASE WHEN r{i} = 0 THEN (CASE WHEN {i} = {j} THEN 1.0 ELSE 0.0 END)"
+            f" ELSE CAST(c{i}_{j} AS DOUBLE) / CAST(r{i} AS DOUBLE) END)"
+        )
+        terms.append(f"CAST(element_at({acc}, {i + 1}) AS DOUBLE) * {frac}")
+    return f"CAST(floor({' + '.join(terms)}) AS BIGINT)"
+
+
 def _mk_oracle() -> str:
     cnt = ", ".join(
         f"sum(CASE WHEN prev = '{a}' AND event_type = '{b}' THEN 1 ELSE 0 END)::BIGINT"
@@ -433,19 +462,35 @@ def _markov_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, a in enumerate(_MK_TYPES)
         for j, b in enumerate(_MK_TYPES)
     ]
-    it = pairs.agg(*cnt_aggs)
+    # 1-row count matrix materialized once (round 11): every re-collect of
+    # the plan-cached frame reruns only the iteration tail, not the corpus
+    # window+aggregate — the same disclosed build-time-checkpoint model the
+    # unrolled entropy/attribution plans used through r10 (their mid-loop
+    # barriers doubled as this); cold (= build + first collect) carries it.
+    it = pairs.agg(*cnt_aggs).localCheckpoint(eager=True)
     for i in range(_MK_K):
         it = it.withColumn(
             f"r{i}", F.expr(" + ".join(f"c{i}_{j}" for j in range(_MK_K)))
         )
+    # The _MK_ITERS power-iteration rounds are ONE aggregate() HOF over
+    # sequence(1, N) on an array<bigint> state instead of N unrolled
+    # withColumn layers (round 11, guide §1.2: the unrolled plan cost
+    # ~2.2 s of Catalyst analysis + Janino codegen per fresh build vs
+    # ~0.3 s for the single-expression loop; per-round arithmetic — term
+    # order, floor quantization — is the same generated text with
+    # p{i} -> element_at(acc, i+1), so results are bit-identical).
+    steps = ", ".join(
+        _mk_np_hof_expr(j, "acc") for j in range(_MK_K)
+    )
+    init = ", ".join(f"CAST({_MK_SCALE // _MK_K} AS BIGINT)" for _ in range(_MK_K))
+    it = _hof_once(
+        it,
+        "pv",
+        f"aggregate(sequence(1, {_MK_ITERS}), array({init}),"
+        f" (acc, t) -> array({steps}))",
+    )
     for i in range(_MK_K):
-        it = it.withColumn(f"p{i}", F.lit(_MK_SCALE // _MK_K).cast("long"))
-    for _ in range(_MK_ITERS):
-        for name, sql in _mk_step_exprs():
-            it = it.withColumn(name, F.expr(sql))
-        for i in range(_MK_K):
-            it = it.withColumn(f"p{i}", F.col(f"np{i}"))
-        it = it.drop(*[f"np{i}" for i in range(_MK_K)])
+        it = it.withColumn(f"p{i}", F.element_at("pv", i + 1))
     rows = it.select(
         F.explode(
             F.array(
@@ -2051,33 +2096,36 @@ def _abb_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         *[F.expr(_pois_w(f"u{b}")).alias(f"w{b}") for b in range(_BOOT_B)],
     )
-    aggs = [
-        F.sum(F.when(F.col("grp") == "t", 1).otherwise(0)).cast("long").alias("n_t"),
-        F.sum(F.when(F.col("grp") == "c", 1).otherwise(0)).cast("long").alias("n_c"),
-        F.sum(F.when(F.col("grp") == "t", F.col("cents")).otherwise(0))
-        .cast("long")
-        .alias("sc_t"),
-        F.sum(F.when(F.col("grp") == "c", F.col("cents")).otherwise(0))
-        .cast("long")
-        .alias("sc_c"),
+    # Round 11 (guide §4.2/§7.2): the old single agg carried 132 CASE-laden
+    # accumulators (2 arms × 66), far past the 64 KB generated-method limit
+    # — the whole HashAggregate fell back to interpreted eval (measured
+    # ~10× the warm time of the 66-accumulator bootstrap_value_ci on the
+    # same scan).  Group by arm instead (66 plain accumulators, codegen
+    # stays on), then pivot the TWO arm rows into the t/c columns with a
+    # trivial conditional agg.  Integer sums regrouped — bit-identical.
+    per_arm = w.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sc"),
+        *[
+            e
+            for b in range(_BOOT_B)
+            for e in (
+                F.sum(f"w{b}").cast("long").alias(f"sw{b}"),
+                F.sum(F.col(f"w{b}") * F.col("cents")).cast("long").alias(f"swc{b}"),
+            )
+        ],
+    )
+
+    pivot_aggs = [
+        F.max(F.when(F.col("grp") == s, F.col(src))).cast("long").alias(dst)
+        for s in ("t", "c")
+        for src, dst in (
+            [("n", f"n_{s}"), ("sc", f"sc_{s}")]
+            + [(f"sw{b}", f"sw_{s}{b}") for b in range(_BOOT_B)]
+            + [(f"swc{b}", f"swc_{s}{b}") for b in range(_BOOT_B)]
+        )
     ]
-    for s in ("t", "c"):
-        for b in range(_BOOT_B):
-            aggs.append(
-                F.sum(F.when(F.col("grp") == s, F.col(f"w{b}")).otherwise(0))
-                .cast("long")
-                .alias(f"sw_{s}{b}")
-            )
-            aggs.append(
-                F.sum(
-                    F.when(F.col("grp") == s, F.col(f"w{b}") * F.col("cents")).otherwise(
-                        0
-                    )
-                )
-                .cast("long")
-                .alias(f"swc_{s}{b}")
-            )
-    agg = w.agg(*aggs)
+    agg = per_arm.agg(*pivot_aggs)
     diffs = ", ".join(_abb_diff(b) for b in range(_BOOT_B))
     lo = F.expr(f"element_at(array_sort(array({diffs})), 2)")
     hi = F.expr(f"element_at(array_sort(array({diffs})), {_BOOT_B - 1})")

@@ -1365,6 +1365,43 @@ def _pca_iter_exprs(src: str) -> list[tuple[str, str]]:
     return steps
 
 
+def _pca_hof_loop_expr(iters: int, mpfx: str = "m") -> str:
+    """The power-iteration rounds as ONE aggregate() HOF over
+    sequence(1, iters) on an array<bigint> state (round 11): the same
+    per-round text as ``_pca_iter_exprs`` with v{k} -> element_at(acc,
+    k+1) and w{j}/wmax inlined (they are deterministic, so textual
+    duplication cannot change the value).  Identical operand order and
+    quantization ⇒ bit-identical trajectory; the plan shrinks from
+    iters × (2D+1) unrolled column layers to one expression.
+
+    ``mpfx`` selects the moment-matrix column family (``m`` for the
+    phase-1 matrix, any other prefix for e.g. a deflated matrix whose
+    columns follow the same ``{pfx}{j}_{k}`` naming)."""
+
+    def w_text(j: int) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"CAST({mpfx}{j}_{k} AS DECIMAL(25,0))"
+                f" * CAST(element_at(acc, {k + 1}) AS DECIMAL(7,0))"
+                for k in range(_PCA_D)
+            )
+            + ")"
+        )
+
+    wmax = "greatest(" + ", ".join(f"abs({w_text(j)})" for j in range(_PCA_D)) + ")"
+    steps = ", ".join(
+        f"CAST(floor((CAST({w_text(j)} AS DOUBLE) * {_PCA_SCALE}.0)"
+        f" / CAST({wmax} AS DOUBLE)) AS BIGINT)"
+        for j in range(_PCA_D)
+    )
+    init = ", ".join(f"CAST({_PCA_SCALE} AS BIGINT)" for _ in range(_PCA_D))
+    return (
+        f"aggregate(sequence(1, {iters}), array({init}),"
+        f" (acc, t) -> array({steps}))"
+    )
+
+
 def _pca_lambda_expr(v: str) -> str:
     """Rayleigh quotient v'Mv / v'v in DOUBLE, fixed left-to-right sums.
     Inner M·v products in DECIMAL for the same overflow headroom as
@@ -1471,18 +1508,20 @@ def _pca_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = li.select(
         *[F.expr(e).alias(f"x{j}") for j, e in enumerate(_PCA_FEATURES)]
     )
+    # 1-row moment matrix materialized once (round 11): warm collects rerun
+    # only the iteration tail (same disclosed build-checkpoint model as the
+    # markov/svd family; cold = build + first collect carries the scan).
     it = feats.agg(
         *[F.expr(sql).cast("long").alias(name) for name, sql in _pca_m_exprs()]
-    )
+    ).localCheckpoint(eager=True)
+    # HOF-loop form of the 8 power-iteration rounds (round 11; see
+    # _pca_hof_loop_expr — bit-identical arithmetic, tiny plan; the
+    # _hof_once Generate barrier keeps the loop evaluated once).
+    from .registry_ml import _hof_once
+
+    it = _hof_once(it, "pv", _pca_hof_loop_expr(_PCA_ITERS))
     for j in range(_PCA_D):
-        it = it.withColumn(f"v{j}", F.lit(_PCA_SCALE).cast("long"))
-    for _ in range(_PCA_ITERS):
-        for name, expr in _pca_iter_exprs("v"):
-            it = it.withColumn(name, F.expr(expr))
-        for j in range(_PCA_D):
-            it = it.withColumn(f"v{j}", F.col(f"n{j}"))
-        it = it.drop("wmax", *[f"w{j}" for j in range(_PCA_D)],
-                     *[f"n{j}" for j in range(_PCA_D)])
+        it = it.withColumn(f"v{j}", F.element_at("pv", j + 1))
     lam = F.expr(_pca_lambda_expr("v"))
     rows = it.select(
         F.explode(

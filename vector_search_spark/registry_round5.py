@@ -832,30 +832,28 @@ def q_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pca_m_name,
         )
 
+        from .registry_round4 import _pca_hof_loop_expr
+
         li = _t(spark, sf_dir, "lineitem")
         feats = li.select(
             *[F.expr(e).alias(f"x{j}") for j, e in enumerate(_PCA_FEATURES)]
         )
+        # 1-row moment matrix materialized once (round 11; same model as
+        # pca_top_component — warm reruns only the two iteration phases).
         it = feats.agg(
             *[F.expr(sql).cast("long").alias(name) for name, sql in _pca_m_exprs()]
-        )
+        ).localCheckpoint(eager=True)
 
-        def run_phase(frame: DataFrame) -> DataFrame:
-            for j in range(_PCA_D):
-                frame = frame.withColumn(f"v{j}", F.lit(_PCA_SCALE).cast("long"))
-            for _ in range(_PCA_ITERS):
-                for name, expr in _pca_iter_exprs("v"):
-                    frame = frame.withColumn(name, F.expr(expr))
-                for j in range(_PCA_D):
-                    frame = frame.withColumn(f"v{j}", F.col(f"n{j}"))
-                frame = frame.drop(
-                    "wmax",
-                    *[f"w{j}" for j in range(_PCA_D)],
-                    *[f"n{j}" for j in range(_PCA_D)],
-                )
-            return frame
+        # Both 8-round phases are ONE aggregate() HOF each (round 11;
+        # _pca_hof_loop_expr — bit-identical arithmetic, tiny plan; the
+        # _hof_once Generate barrier keeps each loop evaluated once); the
+        # eager localCheckpoint codegen barrier between phases is gone
+        # because there is no >64 KB generated method anymore.
+        from .registry_ml import _hof_once
 
-        it = run_phase(it)
+        it = _hof_once(it, "pva", _pca_hof_loop_expr(_PCA_ITERS))
+        for j in range(_PCA_D):
+            it = it.withColumn(f"v{j}", F.element_at("pva", j + 1))
         for j in range(_PCA_D):
             it = it.withColumn(f"u{j}", F.col(f"v{j}")).drop(f"v{j}")
         it = it.withColumn("uvv", F.expr(_p2_vv_text())).withColumn(
@@ -869,8 +867,10 @@ def q_pca_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             *[F.col(f"u{j}") for j in range(_PCA_D)],
             "uvv",
-        ).localCheckpoint(eager=True)  # 1-row codegen barrier between phases
-        it2 = run_phase(defl)
+        )
+        it2 = _hof_once(defl, "pvb", _pca_hof_loop_expr(_PCA_ITERS))
+        for j in range(_PCA_D):
+            it2 = it2.withColumn(f"v{j}", F.element_at("pvb", j + 1))
         lam = F.expr(_pca_lambda_expr("v"))
         ortho = F.expr(_p2_ortho_text())
         rows = it2.select(
@@ -929,6 +929,36 @@ def _svd2_w_exprs(gpfx: str) -> list[tuple[str, str]]:
             (f"n{j}", f"CAST(floor(w{j} * {_SVD2_SCALE}.0 / wmax) AS BIGINT)")
         )
     return steps
+
+
+def _svd2_hof_loop_expr(rounds: int, gpfx: str) -> str:
+    """All ``rounds`` mat-vec + max-norm renormalize steps as ONE
+    aggregate() HOF on an array<bigint> state (round 11): per-round text
+    identical to ``_svd2_w_exprs`` with v{k} -> element_at(acc, k+1) and
+    w{j}/wmax inlined (deterministic subexpressions — duplication cannot
+    change the value).  Bit-identical trajectory, no unrolled layers, no
+    1-row localCheckpoint codegen barriers."""
+
+    def w_text(j: int) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"{gpfx}{j}_{k} * CAST(element_at(acc, {k + 1}) AS DOUBLE)"
+                for k in range(_SVD2_K)
+            )
+            + ")"
+        )
+
+    wmax = "greatest(" + ", ".join(f"abs({w_text(j)})" for j in range(_SVD2_K)) + ")"
+    steps = ", ".join(
+        f"CAST(floor({w_text(j)} * {_SVD2_SCALE}.0 / {wmax}) AS BIGINT)"
+        for j in range(_SVD2_K)
+    )
+    init = ", ".join(f"CAST({_SVD2_SCALE} AS BIGINT)" for _ in range(_SVD2_K))
+    return (
+        f"aggregate(sequence(1, {rounds}), array({init}),"
+        f" (acc, t) -> array({steps}))"
+    )
 
 
 def _svd2_lam_expr(gpfx: str) -> str:
@@ -1129,32 +1159,25 @@ def q_svd_rank2_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for k in range(_SVD2_K)
             ]
         )
+        # 1-row Gram matrix materialized once (round 11): warm collects
+        # rerun only the iteration tail — the unrolled plan's every-8-rounds
+        # eager barriers already gave warm exactly this scope through r10.
         it = gi.select(
             *[
                 F.col(f"gi{j}_{k}").cast("double").alias(f"gd{j}_{k}")
                 for j in range(_SVD2_K)
                 for k in range(_SVD2_K)
             ]
-        )
+        ).localCheckpoint(eager=True)
+        # Both iteration phases are ONE aggregate() HOF each (round 11;
+        # _svd2_hof_loop_expr): bit-identical arithmetic, no unrolled
+        # layers, no eager localCheckpoint barrier jobs.  _hof_once's
+        # Generate barrier keeps each loop evaluated once per row.
+        from .registry_ml import _hof_once
+
+        it = _hof_once(it, "pva", _svd2_hof_loop_expr(_SVD2_P1_ROUNDS, "gd"))
         for j in range(_SVD2_K):
-            it = it.withColumn(f"v{j}", F.lit(s).cast("long"))
-
-        def run_rounds(frame: DataFrame, rounds: int, gpfx: str) -> DataFrame:
-            for r in range(rounds):
-                for name, expr in _svd2_w_exprs(gpfx):
-                    frame = frame.withColumn(name, F.expr(expr))
-                for j in range(_SVD2_K):
-                    frame = frame.withColumn(f"v{j}", F.col(f"n{j}"))
-                frame = frame.drop(
-                    "wmax",
-                    *[f"w{j}" for j in range(_SVD2_K)],
-                    *[f"n{j}" for j in range(_SVD2_K)],
-                )
-                if (r + 1) % 8 == 0:  # 1-row codegen barrier (64 KB limit)
-                    frame = frame.localCheckpoint(eager=True)
-            return frame
-
-        it = run_rounds(it, _SVD2_P1_ROUNDS, "gd")
+            it = it.withColumn(f"v{j}", F.element_at("pva", j + 1))
         it = it.withColumn("lam1", F.expr(_svd2_lam_expr("gd")))
         for j in range(_SVD2_K):
             it = it.withColumn(f"p{j}", F.col(f"v{j}")).drop(f"v{j}")
@@ -1167,10 +1190,10 @@ def q_svd_rank2_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"p{j}" for j in range(_SVD2_K)],
             "pvv",
             "lam1",
-        ).localCheckpoint(eager=True)
+        )
+        it = _hof_once(it, "pvb", _svd2_hof_loop_expr(_SVD2_P2_ROUNDS, "dd"))
         for j in range(_SVD2_K):
-            it = it.withColumn(f"v{j}", F.lit(s).cast("long"))
-        it = run_rounds(it, _SVD2_P2_ROUNDS, "dd")
+            it = it.withColumn(f"v{j}", F.element_at("pvb", j + 1))
         lam2 = _svd2_lam_expr("dd")
         ortho = _svd2_ortho_expr()
         rows = it.select(

@@ -46,6 +46,47 @@ def _shared_suffix(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
     _SA_CACHE[sf_dir] = (spark, tok, ranks)
     return tok, ranks
 
+# Cross-document SA adjacency + exact LCPs — the shared front half of
+# `corpus_suffix_repeats` AND `corpus_exact_dedup_rewrite` (round 11):
+# both queries ranked the same top-level table, self-joined the same
+# consecutive-rank pairs and ran the same 7-level (14-join) LCP walk,
+# each compiling and executing that subplan from scratch.  It is a pure
+# corpus-level artifact (like the rank pyramid itself), so it joins the
+# session-shared index set: built once per (session, sf_dir), eagerly
+# checkpointed, disclosed in bench setup_sec.  Kept at the lcp >= 2
+# floor — the weakest consumer filter — so both queries read subsets.
+_SA_ADJ_CACHE: dict[str, tuple] = {}
+
+
+def _shared_sa_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hit = _SA_ADJ_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    tok, ranks = _shared_suffix(spark, sf_dir)
+    top = ranks[_SA_LEVELS]
+    sa = global_order_stats(top, ["r", "doc_id", "pos"]).select(
+        "doc_id", "pos", F.col("__rank").alias("sa_r")
+    )
+    nxt = sa.select(
+        (F.col("sa_r") - 1).alias("sa_r"),
+        F.col("doc_id").alias("doc_j"),
+        F.col("pos").alias("j"),
+    )
+    pairs = (
+        sa.select("sa_r", F.col("doc_id").alias("doc_i"), F.col("pos").alias("i"))
+        .join(nxt, "sa_r")
+        .filter(F.col("doc_i") != F.col("doc_j"))
+        .select("doc_i", "i", "doc_j", "j")
+    )
+    walked = (
+        lcp_walk(pairs, ranks, _SA_LEVELS)
+        .filter(F.col("lcp") >= 2)
+        .localCheckpoint()
+    )
+    _SA_ADJ_CACHE[sf_dir] = (spark, walked)
+    return walked
+
+
 _SA_ORACLE = f"""
 WITH arr AS (
   SELECT doc_id,
@@ -218,22 +259,7 @@ def q_corpus_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything from a native list sort, sharing only the tokenizer.
     """
     tok, ranks = _shared_suffix(spark, sf_dir)
-    top = ranks[_SA_LEVELS]
-    sa = global_order_stats(top, ["r", "doc_id", "pos"]).select(
-        "doc_id", "pos", F.col("__rank").alias("sa_r")
-    )
-    nxt = sa.select(
-        (F.col("sa_r") - 1).alias("sa_r"),
-        F.col("doc_id").alias("doc_j"),
-        F.col("pos").alias("j"),
-    )
-    pairs = (
-        sa.select("sa_r", F.col("doc_id").alias("doc_i"), F.col("pos").alias("i"))
-        .join(nxt, "sa_r")
-        .filter(F.col("doc_i") != F.col("doc_j"))
-        .select("doc_i", "i", "doc_j", "j")
-    )
-    walked = lcp_walk(pairs, ranks, _SA_LEVELS).filter(F.col("lcp") >= 2)
+    walked = _shared_sa_adjacent(spark, sf_dir)
     w_top = Window.orderBy(
         F.desc("lcp"), F.asc("doc_i"), F.asc("i"), F.asc("doc_j"), F.asc("j")
     )
@@ -345,23 +371,8 @@ def q_corpus_exact_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by Σ lcp of cut pairs; the rewrite itself is an anti-join on
     (doc, pos) + an ordered fold per doc.  Nothing is ever collected.
     """
-    tok, ranks = _shared_suffix(spark, sf_dir)
-    top = ranks[_SA_LEVELS]
-    sa = global_order_stats(top, ["r", "doc_id", "pos"]).select(
-        "doc_id", "pos", F.col("__rank").alias("sa_r")
-    )
-    nxt = sa.select(
-        (F.col("sa_r") - 1).alias("sa_r"),
-        F.col("doc_id").alias("doc_j"),
-        F.col("pos").alias("j"),
-    )
-    pairs = (
-        sa.select("sa_r", F.col("doc_id").alias("doc_i"), F.col("pos").alias("i"))
-        .join(nxt, "sa_r")
-        .filter(F.col("doc_i") != F.col("doc_j"))
-        .select("doc_i", "i", "doc_j", "j")
-    )
-    walked = lcp_walk(pairs, ranks, _SA_LEVELS).filter(F.col("lcp") >= _CUT_MIN)
+    tok, _ranks = _shared_suffix(spark, sf_dir)
+    walked = _shared_sa_adjacent(spark, sf_dir).filter(F.col("lcp") >= _CUT_MIN)
     cuts = walked.select(
         F.when(F.col("doc_i") < F.col("doc_j"), F.col("doc_j"))
         .otherwise(F.col("doc_i"))

@@ -81,6 +81,15 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    # Environment-supplied overrides (round 11): "k=v;k=v" — the
+    # parameterized seam for config experiments and cluster-profile
+    # overrides, so scale-dependent settings never get hard-coded to the
+    # local box (explicit extra_conf from callers still wins).
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
