@@ -101,6 +101,45 @@ def _shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SYM_EDGES_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+_CC_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _shared_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct symmetric edge list of the verified near-dup graph —
+    session-shared (round 11): six dup-graph queries each re-derived and
+    re-checkpointed this same table from `_shared_verified_pairs` (one
+    distinct exchange + materialization per query build)."""
+    pairs = _shared_verified_pairs(spark, sf_dir)
+    return _session_cached(
+        _SYM_EDGES_CACHE, spark, sf_dir,
+        lambda: (
+            pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
+            .unionAll(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
+            .distinct()
+        ),
+        checkpoint=True,
+    )
+
+
+def _shared_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels (node, label) of the verified near-dup
+    pair set — session-shared (round 11): five registry queries
+    (dedup_clusters, dup_sampling_weights, dedup_cluster_keep_best,
+    dup_community_modularity, graph_double_sweep_diameter) each re-ran
+    the full pointer-jumping loop (iterations × eager checkpoint jobs +
+    a convergence action per round) on the SAME pair table.  The loop's
+    final label table is already checkpointed by the operator."""
+    from .operators.dedup import connected_components
+
+    return _session_cached(
+        _CC_CACHE, spark, sf_dir,
+        lambda: connected_components(
+            _shared_verified_pairs(spark, sf_dir).select("id_1", "id_2")
+        ),
+    )
+
+
 def _shared_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash
 
@@ -540,10 +579,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin computes the same closure with a recursive CTE.  See
     `operators.dedup.connected_components` for the convergence contract.
     """
-    from .operators.dedup import connected_components
-
-    pairs = _shared_verified_pairs(spark, sf_dir)
-    cc = connected_components(pairs)
+    cc = _shared_components(spark, sf_dir)
     csize = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         cc.join(csize, "label")
@@ -761,11 +797,8 @@ def q_dup_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated minority.  All counts exact BIGINTs; weights are one float
     expression per output row.
     """
-    from .operators.dedup import connected_components
-
     docs = __load(spark, sf_dir, "documents")
-    pairs = _shared_verified_pairs(spark, sf_dir)
-    cc = connected_components(pairs)
+    cc = _shared_components(spark, sf_dir)
     csize = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     labeled = cc.join(csize, "label").select(
         F.col("node").alias("doc_id"), "cluster_size"
@@ -1130,12 +1163,7 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, the same economics as `connected_components` without the
     pointer-jumping (rank needs the full edge set every round).
     """
-    pairs = _shared_verified_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
-        .unionAll(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
-        .distinct()
-    )
+    edges = _shared_sym_edges(spark, sf_dir)
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     # (a, b, deg-of-a) is static across iterations: materialize it once and
     # truncate lineage, so iteration i's plan doesn't re-derive the edge
@@ -2043,11 +2071,8 @@ def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from .operators.dedup import connected_components
-
     docs = __load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    pairs = _shared_verified_pairs(spark, sf_dir)
-    cc = connected_components(pairs).select(
+    cc = _shared_components(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
     w = Window.partitionBy("cluster_id").orderBy(

@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register
-from .registry_dedup import _shared_verified_pairs
 from .registry_round5 import _SQL_DUP_EDGES, _fdiv, _lpa_round_sql, LPA_ROUNDS
 from .registry_round5 import q_dup_label_propagation
 from .sources.tables import load_table as __load
@@ -25,15 +24,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric directed edge list of the verified near-dup graph —
-    the artifact every dup-graph query starts from (session-shared
-    upstream via `_shared_verified_pairs`)."""
-    pairs = _shared_verified_pairs(spark, sf_dir)
-    return (
-        pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
-        .unionAll(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    session-shared since round 11 (`_shared_sym_edges`): the four graph
+    queries here each re-derived and re-checkpointed it per build."""
+    from .registry_dedup import _shared_sym_edges
+
+    return _shared_sym_edges(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -205,11 +200,10 @@ def q_dup_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg'd groupBys per partition — O(edges), no squares, no
     iteration.
     """
-    from .operators.dedup import connected_components
+    from .registry_dedup import _shared_components
 
     edges = _sym_edges(spark, sf_dir)
-    pairs = _shared_verified_pairs(spark, sf_dir)
-    cc = connected_components(pairs.select("id_1", "id_2")).select(
+    cc = _shared_components(spark, sf_dir).select(
         F.lit("components").alias("scheme"),
         F.col("node").alias("doc_id"),
         F.col("label").cast("long").alias("community"),
@@ -493,13 +487,12 @@ def q_graph_double_sweep_diameter(spark: SparkSession, sf_dir: str) -> DataFrame
     regardless of component count; eager localCheckpoint per round keeps
     the plan constant-size.
     """
-    from .operators.dedup import connected_components
+    from .registry_dedup import _shared_components
 
     edges = _sym_edges(spark, sf_dir)
-    pairs = _shared_verified_pairs(spark, sf_dir)
-    cc = connected_components(pairs.select("id_1", "id_2")).select(
+    cc = _shared_components(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("label").cast("long").alias("comp")
-    ).localCheckpoint(eager=True)
+    )
 
     def _sweep(start: DataFrame) -> DataFrame:
         dist = start.localCheckpoint(eager=True)

@@ -878,12 +878,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint between rounds keeps the logical plan constant-size
     (the iterative-Spark lineage trap).
     """
-    from .registry_dedup import _shared_verified_pairs
+    from .registry_dedup import _shared_sym_edges
 
-    pairs = _shared_verified_pairs(spark, sf_dir).select("id_1", "id_2")
-    edges = pairs.select(
-        F.col("id_1").alias("a"), F.col("id_2").alias("b")
-    ).unionByName(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
+    # session-shared symmetric edge table (round 11); pairs are unique
+    # with id_1 < id_2, so the old non-distinct union is the same set
+    edges = _shared_sym_edges(spark, sf_dir)
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         alive = deg.filter(F.col("deg") >= _KCORE_K).select("a")

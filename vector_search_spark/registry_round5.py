@@ -38,7 +38,6 @@ from .registry_dedup import (
     _SQL_SHINGLES,
     _SQL_SIG,
     _SQL_VERIFIED_BLOCK,
-    _shared_verified_pairs,
 )
 from .sources.tables import load_table as __load
 
@@ -80,6 +79,40 @@ def _lpa_round_sql(prev: str, cur: str) -> str:
       WHERE rn = 1)"""
 
 
+_LPA_CACHE: dict[str, tuple] = {}
+
+
+def _shared_lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final (doc_id, label) table of the fixed-round synchronous LPA —
+    session-shared (round 11): both `dup_label_propagation` and
+    `dup_community_modularity` ran the full 4-round loop independently.
+    The loop's last round already ends in an eager localCheckpoint."""
+    hit = _LPA_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from .registry_dedup import _shared_sym_edges
+
+    edges = _shared_sym_edges(spark, sf_dir)
+    labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id").cast("long")
+    )
+    w = Window.partitionBy("b").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            edges.join(labels, edges.a == labels.doc_id)
+            .groupBy("b", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("b").alias("doc_id"), "label")
+            .localCheckpoint(eager=True)
+        )
+    _LPA_CACHE[sf_dir] = (spark, labels)
+    return labels
+
+
 @register(
     "dup_label_propagation",
     oracle=_SQL_DUP_EDGES
@@ -114,29 +147,7 @@ def q_dup_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup graphs are shallow (templates are star/clique-like), so a fixed
     small round count is the production setting.
     """
-    pairs = _shared_verified_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
-        .unionAll(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id").cast("long")
-    )
-    w = Window.partitionBy("b").orderBy(F.desc("c"), F.asc("label"))
-    for _ in range(LPA_ROUNDS):
-        cnt = (
-            edges.join(labels, edges.a == labels.doc_id)
-            .groupBy("b", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("b").alias("doc_id"), "label")
-            .localCheckpoint(eager=True)
-        )
+    labels = _shared_lpa_labels(spark, sf_dir)
     w_sz = Window.partitionBy("label")
     return labels.select(
         "doc_id",
@@ -201,13 +212,9 @@ def q_dup_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e12-node graphs (score ≤ N·1e6); beyond that the accumulator moves
     to DECIMAL(38,0) per the house second-moment rule.
     """
-    pairs = _shared_verified_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("id_1").alias("a"), F.col("id_2").alias("b"))
-        .unionAll(pairs.select(F.col("id_2").alias("a"), F.col("id_1").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    from .registry_dedup import _shared_sym_edges
+
+    edges = _shared_sym_edges(spark, sf_dir)
     nodes = edges.select(F.col("a").alias("doc_id")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     x = nodes.withColumn("x", F.lit(EIGEN_SCALE).cast("long"))
