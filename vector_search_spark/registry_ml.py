@@ -2096,36 +2096,39 @@ def _abb_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         *[F.expr(_pois_w(f"u{b}")).alias(f"w{b}") for b in range(_BOOT_B)],
     )
-    # Round 11 (guide §4.2/§7.2): the old single agg carried 132 CASE-laden
-    # accumulators (2 arms × 66), far past the 64 KB generated-method limit
-    # — the whole HashAggregate fell back to interpreted eval (measured
-    # ~10× the warm time of the 66-accumulator bootstrap_value_ci on the
-    # same scan).  Group by arm instead (66 plain accumulators, codegen
-    # stays on), then pivot the TWO arm rows into the t/c columns with a
-    # trivial conditional agg.  Integer sums regrouped — bit-identical.
-    per_arm = w.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("sc"),
-        *[
-            e
-            for b in range(_BOOT_B)
-            for e in (
-                F.sum(f"w{b}").cast("long").alias(f"sw{b}"),
-                F.sum(F.col(f"w{b}") * F.col("cents")).cast("long").alias(f"swc{b}"),
-            )
-        ],
-    )
-
-    pivot_aggs = [
-        F.max(F.when(F.col("grp") == s, F.col(src))).cast("long").alias(dst)
-        for s in ("t", "c")
-        for src, dst in (
-            [("n", f"n_{s}"), ("sc", f"sc_{s}")]
-            + [(f"sw{b}", f"sw_{s}{b}") for b in range(_BOOT_B)]
-            + [(f"swc{b}", f"swc_{s}{b}") for b in range(_BOOT_B)]
-        )
+    # Round 11: a group-by-arm + 2-row-pivot restructuring (66 accumulators
+    # per group instead of 132 CASE-laden ones) was tried and MEASURED
+    # neutral-to-slightly-worse at both sf0.1 and sf1 (warm ~0.25 s either
+    # way — the cost is the 3-stage md5/conv/ladder pipeline over the
+    # purchase slice, not aggregate codegen), so the original one-pass
+    # shape is kept.
+    aggs = [
+        F.sum(F.when(F.col("grp") == "t", 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("grp") == "c", 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("grp") == "t", F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sc_t"),
+        F.sum(F.when(F.col("grp") == "c", F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sc_c"),
     ]
-    agg = per_arm.agg(*pivot_aggs)
+    for s in ("t", "c"):
+        for b in range(_BOOT_B):
+            aggs.append(
+                F.sum(F.when(F.col("grp") == s, F.col(f"w{b}")).otherwise(0))
+                .cast("long")
+                .alias(f"sw_{s}{b}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(F.col("grp") == s, F.col(f"w{b}") * F.col("cents")).otherwise(
+                        0
+                    )
+                )
+                .cast("long")
+                .alias(f"swc_{s}{b}")
+            )
+    agg = w.agg(*aggs)
     diffs = ", ".join(_abb_diff(b) for b in range(_BOOT_B))
     lo = F.expr(f"element_at(array_sort(array({diffs})), 2)")
     hi = F.expr(f"element_at(array_sort(array({diffs})), {_BOOT_B - 1})")
