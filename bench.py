@@ -347,6 +347,12 @@ def main() -> None:
         record["warm_is_first_collect"] = True
     if session_restarts:
         record["session_restarts"] = session_restarts
+    from vector_search_spark.session import LAST_ENV_EXTRA_CONF
+
+    if LAST_ENV_EXTRA_CONF:
+        # Disclose env-supplied Spark config overrides in the record
+        # itself (ADVICE r11): numbers influenced by an override carry it.
+        record["env_extra_conf"] = dict(LAST_ENV_EXTRA_CONF)
     if force_checksum:
         record["force_checksum"] = True
     if skip:

@@ -21,10 +21,29 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from conftest import SF_SMOKE, duck_con
+from conftest import SF_SMOKE, duck_con, skip_unless_slow_tests
 from vector_search_spark import registry
 
 INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint"}
+
+# The measured-slow oracle executions (>=4.5 s each even at sf0.001 —
+# the iterative graph/LCP pipelines are size-independent in DuckDB).
+# This file's gate is mechanical (dtype contract, not values): gating
+# these params costs nothing unless their oracle TEXT is edited, in
+# which case run with SP_SLOW_TESTS=1.  See test_registry._SLOW_ORACLES.
+_SLOW_DTYPE_ORACLES = frozenset(
+    {
+        "dup_eigencentrality",
+        "dup_graph_pagerank",
+        "dup_bfs_hops",
+        "dup_graph_triangles",
+        "dup_label_propagation",
+        "dup_neighbor_jaccard",
+        "corpus_exact_dedup_rewrite",
+        "dedup_cluster_keep_best",
+        "ann_ivfpq_residual_topk",
+    }
+)
 
 
 def _oracle_cases():
@@ -33,6 +52,8 @@ def _oracle_cases():
 
 @pytest.mark.parametrize("name", _oracle_cases())
 def test_oracle_integer_columns_survive_pandas(spark, name):
+    if name in _SLOW_DTYPE_ORACLES:
+        skip_unless_slow_tests("slow size-independent DuckDB oracle; dtype gate")
     spark_types = dict(registry.QUERIES[name](spark, SF_SMOKE).dtypes)
     con = duck_con(SF_SMOKE)
     pdf = con.execute(registry.ORACLES[name]).df()

@@ -27,7 +27,12 @@ def main() -> None:
     it = iter(args)
     for a in it:
         if a == "--sf":
-            sfs.append(next(it))
+            try:
+                sfs.append(next(it))
+            except StopIteration:
+                print("usage: check_queries.py <query> [...] [--sf DIR ...]", file=sys.stderr)
+                print("error: --sf requires a directory argument", file=sys.stderr)
+                sys.exit(2)
         else:
             names.append(a)
     if not sfs:

@@ -240,6 +240,70 @@ def ivf_query(
     )
 
 
+def ivf_probe_sweep_topk(
+    indexed: DataFrame,
+    cent_mat: np.ndarray,
+    queries: DataFrame,
+    sweep: tuple[int, ...] = (1, 2, 4, 8, 16),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """All ``nprobe`` legs of an IVF probe sweep from ONE scored pass.
+
+    Each query's top-``max(sweep)`` cells are ranked once (same driver-side
+    probe model as ``ivf_query`` — shared here so the two paths cannot
+    desynchronize, ADVICE r11); every probed cell is scored once carrying
+    its probe rank; a candidate's ENTRY level is its minimum probe rank
+    over containing cells, and leg ``n`` is the ``entry <= n`` filter.  A
+    candidate enters leg n iff one of its cells is among the query's top-n
+    probes — exactly ``ivf_query(nprobe=n)``'s candidate set, with the
+    same dot-product scores and (desc score, asc id) tie-break, so each
+    leg's top-k is row-identical to the single-leg path (pinned in
+    tests/test_round12_opt.py).
+
+    Returns (nprobe, query_id, id, score, rank) for rank <= k.
+    """
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qmat = np.array([r[query_vec_col] for r in qrows], dtype=np.float64)
+    order = np.argsort(-(qmat @ cent_mat.T), axis=1)[:, : max(sweep)]
+    probes = [
+        (int(r[query_id_col]), list(r[query_vec_col]), int(c), rk + 1)
+        for r, cells in zip(qrows, order)
+        for rk, c in enumerate(cells)
+    ]
+    probes_df = F.broadcast(
+        indexed.sparkSession.createDataFrame(
+            probes, "query_id long, __qvec array<double>, cell int, probe_rank int"
+        )
+    )
+    scored = indexed.join(probes_df, "cell").withColumn(
+        "score", dot_product(F.col(vec_col), F.col("__qvec"))
+    )
+    # replica dedup + entry level in one aggregate: scores of a (query, id)
+    # pair are identical across its cells, so max(score) IS the score
+    narrow = scored.groupBy("query_id", id_col).agg(
+        F.min("probe_rank").alias("entry"), F.max("score").alias("score")
+    )
+    legs = narrow.select(
+        "query_id",
+        id_col,
+        "score",
+        "entry",
+        F.explode(F.array(*[F.lit(n) for n in sweep])).alias("nprobe"),
+    ).filter(F.col("entry") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        legs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("nprobe", "query_id", id_col, "score", "rank")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -194,9 +194,7 @@ def q_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     each leg's top-10 is unchanged row-for-row.  Ground truth is one
     broadcast-queries exact scan, bounded by the query set.
     """
-    import numpy as np
-
-    from .functions.vector import dot_product
+    from .operators.ann import ivf_probe_sweep_topk
     from .operators.knn import similarity_join
 
     emb = __load(spark, sf_dir, "embeddings")
@@ -208,43 +206,12 @@ def q_ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = similarity_join(emb, queries, k=10).select("query_id", "vec_id")
     sweep = (1, 2, 4, 8, 16)
-    # one driver-side probe-ranking pass (ivf_query's model, done once for
-    # the max level instead of once per leg)
-    qrows = queries.collect()
-    qmat = np.array([r["query_vec"] for r in qrows], dtype=np.float64)
-    order = np.argsort(-(qmat @ cent_mat.T), axis=1)[:, : max(sweep)]
-    probes = [
-        (int(r["query_id"]), list(r["query_vec"]), int(c), rk + 1)
-        for r, cells in zip(qrows, order)
-        for rk, c in enumerate(cells)
-    ]
-    probes_df = F.broadcast(
-        spark.createDataFrame(
-            probes, "query_id long, __qvec array<double>, cell int, probe_rank int"
-        )
-    )
-    scored = indexed.join(probes_df, "cell").withColumn(
-        "score", dot_product(F.col("embedding"), F.col("__qvec"))
-    )
-    # replica dedup + entry level in one aggregate: scores of a (query, id)
-    # pair are identical across its cells, so max(score) IS the score
-    narrow = scored.groupBy("query_id", "vec_id").agg(
-        F.min("probe_rank").alias("entry"), F.max("score").alias("score")
-    )
-    legs = narrow.select(
-        "query_id",
-        "vec_id",
-        "score",
-        "entry",
-        F.explode(F.array(*[F.lit(n) for n in sweep])).alias("nprobe"),
-    ).filter(F.col("entry") <= F.col("nprobe"))
-    w = Window.partitionBy("nprobe", "query_id").orderBy(
-        F.desc("score"), F.asc("vec_id")
-    )
-    topk = (
-        legs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("nprobe", F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vec"))
+    # one scored pass shared across legs — the probe model lives in
+    # operators/ann.ivf_probe_sweep_topk, the SAME module as ivf_query, so
+    # the sweep cannot silently desynchronize from the single-leg path
+    # (ADVICE r11); leg-for-leg equality is pinned in pytest
+    topk = ivf_probe_sweep_topk(indexed, cent_mat, queries, sweep=sweep, k=10).select(
+        "nprobe", F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vec")
     )
     n_expected = 20 * 10
     return (

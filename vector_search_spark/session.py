@@ -15,6 +15,11 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# The SPARK_GRAFT_EXTRA_CONF pairs applied by the most recent get_spark()
+# call — bench.py copies this into its output record so any env override
+# is disclosed next to the numbers it influenced (ADVICE r11).
+LAST_ENV_EXTRA_CONF: dict[str, str] = {}
+
 # Target bytes of INPUT per shuffle partition.  128 MB mirrors
 # spark.sql.files.maxPartitionBytes — a reduce task should chew roughly
 # what a scan task does.
@@ -86,10 +91,23 @@ def get_spark(
     # overrides, so scale-dependent settings never get hard-coded to the
     # local box (explicit extra_conf from callers still wins).
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    applied_env_conf: dict[str, str] = {}
     for pair in env_conf.split(";"):
         if "=" in pair:
             k, _, v = pair.partition("=")
             builder = builder.config(k.strip(), v.strip())
+            applied_env_conf[k.strip()] = v.strip()
+    if applied_env_conf:
+        # Disclose silent env overrides (ADVICE r11): an env-set config
+        # (shuffle width, AQE, codegen...) would otherwise invisibly alter
+        # recorded bench/oracle runs.  bench.py also records this dict in
+        # its output (env_extra_conf) via LAST_ENV_EXTRA_CONF.
+        import sys as _sys
+
+        for k, v in applied_env_conf.items():
+            print(f"# SPARK_GRAFT_EXTRA_CONF applied: {k}={v}", file=_sys.stderr)
+    global LAST_ENV_EXTRA_CONF
+    LAST_ENV_EXTRA_CONF = applied_env_conf
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
