@@ -86,3 +86,26 @@ def test_global_order_stats_hypothesis(spark):
         assert got == ref
 
     check()
+
+
+def test_multi_sum_fusion_equals_chained_single_passes(spark):
+    """Round 12: sum_col=[a, b] (one fused prefix pass) must equal two
+    chained single-column passes — ks_two_sample / pr_best_f1 rely on it."""
+    df = spark.createDataFrame(
+        [(i * 7 % 101, i, (i * 13) % 50, (i * 29) % 17) for i in range(101)],
+        "k long, id long, a long, b long",
+    ).repartition(9)
+    fused = {
+        r["id"]: (r["__rank"], r["__prior_a"], r["__prior_b"])
+        for r in global_order_stats(
+            df, ["k", "id"], sum_col=["a", "b"], num_ranges=7
+        ).collect()
+    }
+    one = global_order_stats(df, ["k", "id"], sum_col="a", num_ranges=7).withColumnRenamed(
+        "__prior", "pa"
+    ).drop("__rank")
+    two = global_order_stats(one, ["k", "id"], sum_col="b", num_ranges=7)
+    chained = {
+        r["id"]: (r["__rank"], r["pa"], r["__prior"]) for r in two.collect()
+    }
+    assert fused == chained

@@ -129,7 +129,7 @@ def salted_join(
 def global_order_stats(
     df: DataFrame,
     order_cols: list[str],
-    sum_col: str | None = None,
+    sum_col: str | list[str] | None = None,
     num_ranges: int = 32,
 ) -> DataFrame:
     """Global rank (and optional exclusive prefix sum) over a TOTAL order —
@@ -164,39 +164,62 @@ def global_order_stats(
     passed whenever exchange reuse happened to kick in).  One pinned
     evaluation is the repo's standing multi-consumer rule — at production
     scale this is the written staging table both phases read.
+
+    ``sum_col`` may be a LIST of columns (round 12): callers that need
+    several prefix sums over the SAME total order (ks_two_sample's two
+    samples, pr_best_f1's cnt+pos sweep) previously chained two full
+    passes — two range exchanges, two eager checkpoints, two window
+    stages — for what is one pass with two running sums.  A single
+    column name keeps the historical ``__prior`` output; a list emits
+    ``__prior_<col>`` per column.  Each column's prefix sum depends only
+    on the total order, so fused results are identical to chained calls.
     """
     from pyspark.sql import Window
+
+    sum_cols: list[str]
+    single = isinstance(sum_col, str)
+    if sum_col is None:
+        sum_cols = []
+    elif single:
+        sum_cols = [sum_col]
+    else:
+        sum_cols = list(sum_col)
 
     parts = df.repartitionByRange(num_ranges, *[F.col(c) for c in order_cols])
     tagged = parts.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
         eager=True
     )
-    aggs = [F.count(F.lit(1)).alias("__cnt")]
-    if sum_col is not None:
-        aggs.append(F.sum(sum_col).alias("__sum"))
+    aggs = [F.count(F.lit(1)).alias("__cnt")] + [
+        F.sum(c).alias(f"__sum_{c}") for c in sum_cols
+    ]
     totals = tagged.groupBy("__pid").agg(*aggs)
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     off_cols = ["__pid", F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__cnt_off")]
-    if sum_col is not None:
-        off_cols.append(F.coalesce(F.sum("__sum").over(wo), F.lit(0)).alias("__sum_off"))
+    for c in sum_cols:
+        off_cols.append(
+            F.coalesce(F.sum(f"__sum_{c}").over(wo), F.lit(0)).alias(f"__sum_off_{c}")
+        )
     offsets = totals.select(*off_cols)
 
     wp = Window.partitionBy("__pid").orderBy(*order_cols)
     out = tagged.withColumn("__rn", F.row_number().over(wp))
-    if sum_col is not None:
+    for c in sum_cols:
         out = out.withColumn(
-            "__ps",
+            f"__ps_{c}",
             F.coalesce(
-                F.sum(sum_col).over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+                F.sum(c).over(wp.rowsBetween(Window.unboundedPreceding, -1)),
                 F.lit(0),
             ),
         )
     out = out.join(F.broadcast(offsets), "__pid")
     out = out.withColumn("__rank", (F.col("__rn") + F.col("__cnt_off")).cast("long"))
     drop = ["__pid", "__rn", "__cnt_off"]
-    if sum_col is not None:
-        out = out.withColumn("__prior", (F.col("__ps") + F.col("__sum_off")).cast("long"))
-        drop += ["__ps", "__sum_off"]
+    for c in sum_cols:
+        name = "__prior" if single else f"__prior_{c}"
+        out = out.withColumn(
+            name, (F.col(f"__ps_{c}") + F.col(f"__sum_off_{c}")).cast("long")
+        )
+        drop += [f"__ps_{c}", f"__sum_off_{c}"]
     return out.drop(*drop)
 
 

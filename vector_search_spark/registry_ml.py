@@ -805,7 +805,18 @@ def q_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bootstrap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    from .partitioning import fan_out
+
+    # Round 12 (guide §2.6/§1.2, measured): the fixture's single-file scan
+    # arrives as ONE input partition, so the B/4 md5 digests + B conv/
+    # ladder evaluations per row all ran on one core (8→32-core scaling
+    # ratio ~1 in PERF_r11).  One cheap exchange of the narrow projection
+    # before the heavy map work buys full parallelism; at 100 TB the scan
+    # already has thousands of splits and fan_out is a no-op.
+    ev = fan_out(
+        _t(spark, sf_dir, "events").select("event_id", "event_type", "value"),
+        "event_id",
+    )
     h_cols = [
         F.md5(F.concat(F.lit(f"bootg{g}:"), F.col("event_id").cast("string"))).alias(
             f"h{g}"
@@ -1171,20 +1182,19 @@ def q_pr_best_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     tot = grp.agg(F.sum("pos").cast("long").alias("p"))
-    # descending sweep: order by negated score, inclusive prefix = prior + own
-    cum = (
-        global_order_stats(
-            grp.withColumn("neg_cents", -F.col("cents")), ["neg_cents"], sum_col="cnt"
-        )
-        .withColumn("pred_pos", (F.col("__prior") + F.col("cnt")).cast("long"))
-        .drop("__rank", "__prior", "neg_cents")
-    )
+    # descending sweep: order by negated score, inclusive prefix = prior +
+    # own.  Both running sums (cnt and pos) come from ONE fused prefix
+    # pass (round 12) — the chained shape paid a second range exchange +
+    # checkpoint + window for the identical total order.
     cum_tp = (
         global_order_stats(
-            cum.withColumn("neg_cents", -F.col("cents")), ["neg_cents"], sum_col="pos"
+            grp.withColumn("neg_cents", -F.col("cents")),
+            ["neg_cents"],
+            sum_col=["cnt", "pos"],
         )
-        .withColumn("tp", (F.col("__prior") + F.col("pos")).cast("long"))
-        .drop("__rank", "__prior", "neg_cents")
+        .withColumn("pred_pos", (F.col("__prior_cnt") + F.col("cnt")).cast("long"))
+        .withColumn("tp", (F.col("__prior_pos") + F.col("pos")).cast("long"))
+        .drop("__rank", "__prior_cnt", "__prior_pos", "neg_cents")
     )
     scored = (
         cum_tp.crossJoin(F.broadcast(tot))
@@ -1409,15 +1419,15 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cells.agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
     )
-    cum1 = (
-        global_order_stats(cells, ["cents"], sum_col="c1")
-        .withColumn("cum1", (F.col("__prior") + F.col("c1")).cast("long"))
-        .drop("__rank", "__prior")
-    )
+    # One fused prefix pass for both samples (round 12): the chained
+    # two-pass shape paid a second range exchange + checkpoint + window
+    # for the identical total order.  Each cumulative sum depends only on
+    # the order by cents, so the fused values are unchanged.
     cum = (
-        global_order_stats(cum1, ["cents"], sum_col="c2")
-        .withColumn("cum2", (F.col("__prior") + F.col("c2")).cast("long"))
-        .drop("__rank", "__prior")
+        global_order_stats(cells, ["cents"], sum_col=["c1", "c2"])
+        .withColumn("cum1", (F.col("__prior_c1") + F.col("c1")).cast("long"))
+        .withColumn("cum2", (F.col("__prior_c2") + F.col("c2")).cast("long"))
+        .drop("__rank", "__prior_c1", "__prior_c2")
     )
     dev = cum.crossJoin(F.broadcast(tot)).withColumn(
         "d_scaled",
@@ -2057,7 +2067,17 @@ def q_ab_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _abb_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    from .partitioning import fan_out
+
+    # Round 12 (guide §2.6, measured): single-file scan = one input
+    # partition; fan_out the narrow purchase projection so the md5/conv/
+    # ladder map work parallelizes (no-op at scale — see _bootstrap_plan).
+    ev = fan_out(
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value"),
+        "event_id",
+    )
     grp = F.when(
         F.conv(
             F.substring(
@@ -2096,40 +2116,73 @@ def _abb_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         *[F.expr(_pois_w(f"u{b}")).alias(f"w{b}") for b in range(_BOOT_B)],
     )
-    # Round 11: a group-by-arm + 2-row-pivot restructuring (66 accumulators
-    # per group instead of 132 CASE-laden ones) was tried and MEASURED
-    # neutral-to-slightly-worse at both sf0.1 and sf1 (warm ~0.25 s either
-    # way — the cost is the 3-stage md5/conv/ladder pipeline over the
-    # purchase slice, not aggregate codegen), so the original one-pass
-    # shape is kept.
-    aggs = [
-        F.sum(F.when(F.col("grp") == "t", 1).otherwise(0)).cast("long").alias("n_t"),
-        F.sum(F.when(F.col("grp") == "c", 1).otherwise(0)).cast("long").alias("n_c"),
-        F.sum(F.when(F.col("grp") == "t", F.col("cents")).otherwise(0))
+    # Round 12 (guide §1.2/§7.2, measured): the previous one-pass shape
+    # carried 132 accumulators in a single no-grouping aggregate, which is
+    # over spark.sql.codegen.maxFields (100) — the whole scan→ladder→agg
+    # pipeline fell out of WholeStageCodegen and every one of the 132
+    # CASE-wrapped updates ran interpreted per row (measured: 64 CASE sums
+    # 36 ms vs 128 CASE sums 181 ms on the identical fanned input).  The
+    # corpus-width pass is now a 67-field groupBy(grp) aggregate (WSCG
+    # stays ON at any scale), and the two arm rows pivot through a wide
+    # conditional aggregate that only ever sees 2 rows.  All integer sums:
+    # sum(w) over grp='t' rows == sum(CASE WHEN grp='t' THEN w ELSE 0) —
+    # bit-identical to the old accumulators (r11 measured the group-by-arm
+    # half of this neutral, but WITHOUT the fan_out the whole pipeline was
+    # single-task and the WSCG cliff was invisible at 1-task latencies).
+    per_arm = w.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sc"),
+        *[
+            a
+            for b in range(_BOOT_B)
+            for a in (
+                F.sum(f"w{b}").cast("long").alias(f"sw{b}"),
+                F.sum(F.col(f"w{b}") * F.col("cents")).cast("long").alias(f"swc{b}"),
+            )
+        ],
+    )
+    # Per-arm replica means computed on the 2-row frame with the SAME
+    # division text as the old pivoted columns (identical operand values
+    # → IEEE-identical doubles), then the two arms combine through a
+    # 36-field signed-sum aggregate: sum over {t-row, c-row} of
+    # (m_t, −m_c) — IEEE a + (−b) ≡ a − b exactly, and a 2-element sum
+    # is order-invariant (addition is commutative bitwise), so d{b} is
+    # bit-identical to _abb_diff's t-minus-c text.  A >100-field pivot
+    # aggregate here measured +170 ms PER COLLECT even over 2 rows
+    # (plan-width-proportional per-collect cost once WSCG is cut off).
+    mrow = per_arm.select(
+        "grp",
+        "n",
+        "sc",
+        *[
+            F.expr(
+                f"((CAST(swc{b} AS DOUBLE) / 100.0) / CAST(sw{b} AS DOUBLE))"
+            ).alias(f"m{b}")
+            for b in range(_BOOT_B)
+        ],
+    )
+    comb_aggs = [
+        F.sum(F.when(F.col("grp") == "t", F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("grp") == "c", F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("grp") == "t", F.col("sc")).otherwise(0))
         .cast("long")
         .alias("sc_t"),
-        F.sum(F.when(F.col("grp") == "c", F.col("cents")).otherwise(0))
+        F.sum(F.when(F.col("grp") == "c", F.col("sc")).otherwise(0))
         .cast("long")
         .alias("sc_c"),
+        *[
+            F.sum(
+                F.when(F.col("grp") == "t", F.col(f"m{b}")).otherwise(-F.col(f"m{b}"))
+            ).alias(f"d{b}")
+            for b in range(_BOOT_B)
+        ],
     ]
-    for s in ("t", "c"):
-        for b in range(_BOOT_B):
-            aggs.append(
-                F.sum(F.when(F.col("grp") == s, F.col(f"w{b}")).otherwise(0))
-                .cast("long")
-                .alias(f"sw_{s}{b}")
-            )
-            aggs.append(
-                F.sum(
-                    F.when(F.col("grp") == s, F.col(f"w{b}") * F.col("cents")).otherwise(
-                        0
-                    )
-                )
-                .cast("long")
-                .alias(f"swc_{s}{b}")
-            )
-    agg = w.agg(*aggs)
-    diffs = ", ".join(_abb_diff(b) for b in range(_BOOT_B))
+    agg = mrow.agg(*comb_aggs)
+    diffs = ", ".join(f"d{b}" for b in range(_BOOT_B))
     lo = F.expr(f"element_at(array_sort(array({diffs})), 2)")
     hi = F.expr(f"element_at(array_sort(array({diffs})), {_BOOT_B - 1})")
     return agg.select(

@@ -1036,9 +1036,25 @@ def q_bagging_split_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree ensembles train on 100 TB: replication happens in the
     sufficient statistics, not the data.
     """
+    from .partitioning import fan_out
     from .registry_ml import _STUMP_FEATURES, _STUMP_LABEL, _gini_gain, _pois_w
 
-    li = _t(spark, sf_dir, "lineitem")
+    # Round 12 (guide §2.6, measured): the 8.5 s "cold" was not Janino —
+    # it was 600k rows × (4 md5 + 16 conv + 16 Poisson ladders) executing
+    # on the fixture's ONE scan partition.  fan_out the narrow projection
+    # the ladders actually need (no-op at scale).
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_quantity",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+        ),
+        "l_orderkey",
+    )
     sig = li.withColumn(
         "rowsig",
         F.concat(
