@@ -22,9 +22,12 @@ Rank semantics per level k: ``r_k(doc, pos)`` orders suffixes by their
 first ``2^k`` tokens (ties equal), out-of-range as sentinel -1 (< every
 real rank) so shorter suffixes sort first — exactly the lexicographic
 list order the oracle's native list comparison uses.  Ranks are assigned
-GLOBALLY (across docs) by ``global_order_stats`` + a min-over-group
-window: order-preserving with ties equal is all doubling needs, and it
-avoids any single-partition dense_rank.
+GLOBALLY (across docs) by ``global_dense_rank`` (round 12; one
+range-partitioned pass with boundary-corrected group-start prefix sums):
+order-preserving with ties equal is all doubling needs, and it avoids
+both a single-partition dense_rank and the old min-over-group second
+window exchange.  Rank VALUES are the group's 1..G dense index; no
+consumer may depend on values, only on order/tie structure.
 
 Equality-at-level-k implies a REAL 2^k-token match wherever the walk uses
 it: two suffixes of the same document have distinct lengths, so their
@@ -43,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..partitioning import global_order_stats
+from ..partitioning import global_dense_rank, global_order_stats, maybe_broadcast
 
 _BASE_W = 8     # lead-column width of the base table (= 2^_BASE_LEVEL)
 _BASE_LEVEL = 3
@@ -61,6 +64,10 @@ def suffix_ranks(tok: DataFrame, levels: int) -> dict[int, DataFrame]:
     """
     if levels < _BASE_LEVEL:
         raise ValueError("levels must be >= 3 (base table covers 8 tokens)")
+    # (Round 12: a dense rank of the full token table was tried in place
+    # of the {distinct → rank → join} vocabulary — MEASURED +6% shuffle
+    # bytes (range-exchanging every token STRING costs more than the
+    # distinct's tiny output plus the join) and no wall win; kept.)
     vocab = global_order_stats(tok.select("tok").distinct(), ["tok"]).select(
         "tok", F.col("__rank").alias("p0")
     )
@@ -71,31 +78,44 @@ def suffix_ranks(tok: DataFrame, levels: int) -> dict[int, DataFrame]:
             f"p{t}", F.coalesce(F.lead("p0", t).over(w_doc), F.lit(-1))
         )
     base = base.localCheckpoint()
-    ranks: dict = {"base": base}
+    # "__n": the shared row count (levels preserve rows) — read by
+    # lcp_walk's broadcast gate so query-path walks never pay a count job.
+    ranks: dict = {"base": base, "__n": base.count()}
 
+    # Round 12: per level, the old shape paid FIVE full-data exchanges —
+    # shifted self-join on (doc_id, pos) (2 exchanges + join),
+    # global_order_stats (range + __pid window exchange), then a
+    # min-over-group window (a second full window hash exchange).  Two
+    # structural fixes, values-invariant by the pyramid's contract (ranks
+    # are consumed only for ORDER and TIE structure, never their values —
+    # pinned by test_suffix.py's true-SA-order / brute-force gates):
+    #
+    # 1. `global_dense_rank` computes the tie-equal group rank inside the
+    #    SAME range-partitioned pass (group-start flags + boundary fixes
+    #    on the tiny per-partition stats table) — the per-group hash
+    #    exchange disappears.  Dense 1..G values replace min-row-number
+    #    values; both are order-preserving and tie-equal, which is all
+    #    prefix doubling needs.
+    # 2. The shift is `lead(r, 2^(k-1))` over the per-doc position window
+    #    — posexplode guarantees contiguous 0-based positions, so the
+    #    lead row IS the suffix at pos+d; the self-join (2 exchanges) is
+    #    one doc_id window exchange.
     pcols = [f"p{t}" for t in range(_BASE_W)]
-    ranked = global_order_stats(base, pcols + ["doc_id", "pos"])
-    grp = Window.partitionBy(*pcols)
     cur = (
-        ranked.withColumn("rmin", F.min("__rank").over(grp))
-        .select("doc_id", "pos", F.col("rmin").alias("r"))
+        global_dense_rank(base, pcols, ["doc_id", "pos"])
+        .select("doc_id", "pos", F.col("__dense").alias("r"))
         .localCheckpoint()
     )
     ranks[_BASE_LEVEL] = cur
 
     for k in range(_BASE_LEVEL + 1, levels + 1):
         d = 1 << (k - 1)
-        shifted = cur.select(
-            "doc_id", (F.col("pos") - d).alias("pos"), F.col("r").alias("r2")
+        paired = cur.withColumn(
+            "r2", F.coalesce(F.lead("r", d).over(w_doc), F.lit(-1))
         )
-        paired = cur.join(shifted, ["doc_id", "pos"], "left").withColumn(
-            "r2", F.coalesce(F.col("r2"), F.lit(-1))
-        )
-        ranked = global_order_stats(paired, ["r", "r2", "doc_id", "pos"])
-        grp = Window.partitionBy("r", "r2")
         cur = (
-            ranked.withColumn("rmin", F.min("__rank").over(grp))
-            .select("doc_id", "pos", F.col("rmin").alias("r"))
+            global_dense_rank(paired, ["r", "r2"], ["doc_id", "pos"])
+            .select("doc_id", "pos", F.col("__dense").alias("r"))
             .localCheckpoint()
         )
         ranks[k] = cur
@@ -121,14 +141,30 @@ def lcp_walk(pairs: DataFrame, ranks: dict, levels: int) -> DataFrame:
     Returns ``pairs`` plus an exact ``lcp`` column.
     """
     base = ranks["base"]
+    # Round 12: the 2-joins-per-level lookup cascade ran every lookup as a
+    # sort-merge join (the checkpointed rank tables carry no size stats,
+    # so auto-broadcast never fires) — 16+ full exchanges of the pair
+    # table per walk.  The rank tables are (doc_id, pos, r) triples; gate
+    # them through the house `maybe_broadcast` so fixture/bench scales run
+    # the walk as a narrow broadcast cascade while corpora past the byte
+    # gate keep the shuffle join (the correct 100 TB shape).  All levels
+    # share one row count (doubling preserves rows), taken once from the
+    # eagerly-checkpointed base, cached in `ranks` by `suffix_ranks`.
+    n = ranks.get("__n")
+    if n is None:
+        n = ranks["__n"] = base.count()
+
+    def _mb(df, row_bytes=160):
+        return maybe_broadcast(df, max_rows=32_000_000, n_rows=n, row_bytes=row_bytes)
+
     doc_len = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__L"))
     adj = (
         pairs.join(
-            doc_len.select(F.col("doc_id").alias("doc_i"), F.col("__L").alias("__Li")),
+            _mb(doc_len.select(F.col("doc_id").alias("doc_i"), F.col("__L").alias("__Li"))),
             "doc_i",
         )
         .join(
-            doc_len.select(F.col("doc_id").alias("doc_j"), F.col("__L").alias("__Lj")),
+            _mb(doc_len.select(F.col("doc_id").alias("doc_j"), F.col("__L").alias("__Lj"))),
             "doc_j",
         )
         .withColumn("lcp", F.lit(0).cast("long"))
@@ -178,11 +214,12 @@ def lcp_walk(pairs: DataFrame, ranks: dict, levels: int) -> DataFrame:
             F.col("__Li") - F.col("__ki"),
             F.col("__Lj") - F.col("__kj"),
         )
+        rb = 160 if k >= _BASE_LEVEL else 320  # base-level lookups are wider
         adj = (
             adj.withColumn("__ki", F.col("i") + F.col("lcp"))
             .withColumn("__kj", F.col("j") + F.col("lcp"))
-            .join(left, ["doc_i", "__ki"], "left")
-            .join(right, ["doc_j", "__kj"], "left")
+            .join(_mb(left, rb), ["doc_i", "__ki"], "left")
+            .join(_mb(right, rb), ["doc_j", "__kj"], "left")
             .withColumn(
                 "lcp",
                 F.col("lcp") + F.when(match, gain).otherwise(F.lit(0)),

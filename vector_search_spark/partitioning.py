@@ -223,6 +223,85 @@ def global_order_stats(
     return out.drop(*drop)
 
 
+def global_dense_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    tiebreak_cols: list[str],
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Order-preserving, tie-equal group rank (a dense rank) over the
+    total order ``(key_cols, tiebreak_cols)`` — one range exchange + ONE
+    window pass, with NO per-group hash exchange.
+
+    The round-8..11 suffix-pyramid shape was ``global_order_stats`` (range
+    exchange + __pid window) followed by ``min(__rank) over (partition by
+    key_cols)`` — a SECOND full-data window exchange per doubling level.
+    But under a range partitioning of the total order a group's rows are
+    contiguous, so the group id can be computed inside the same pass:
+    flag group starts with a lag() comparison, prefix-sum the flags, and
+    fix partition boundaries (a group spanning a range boundary must not
+    be counted twice) on the tiny per-partition stats table.
+
+    Emits ``__dense``: 1-based, equal iff ``key_cols`` are equal,
+    strictly increasing with the total order across groups.  Values are
+    the group's 1..G index — NOT the min row number the old shape
+    produced — so callers must depend only on the ORDER and TIE structure
+    of the output, never on rank values (the suffix pyramid's documented
+    contract).
+
+    The windowed frame is eagerly checkpointed BEFORE the stats/output
+    fan-out (two consumers of one exchange; the round-8 range-resample
+    lesson in ``global_order_stats``); the window itself sits upstream of
+    the checkpoint and therefore runs exactly once.
+    """
+    from pyspark.sql import Window
+
+    order_cols = list(key_cols) + list(tiebreak_cols)
+    parts = df.repartitionByRange(num_ranges, *[F.col(c) for c in order_cols])
+    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    key = F.struct(*[F.col(c) for c in key_cols])
+    full = F.struct(*[F.col(c) for c in order_cols])
+    wp = Window.partitionBy("__pid").orderBy(*order_cols)
+    flagged = (
+        tagged.withColumn(
+            "__new", F.when(F.lag(key).over(wp).eqNullSafe(key), 0).otherwise(1)
+        )
+        .withColumn(
+            "__ldense",
+            F.sum("__new").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = flagged.groupBy("__pid").agg(
+        F.max("__ldense").alias("__starts"),
+        F.min_by(key, full).alias("__firstk"),
+        F.max_by(key, full).alias("__lastk"),
+    )
+    wo = Window.orderBy("__pid")
+    offsets = (
+        stats.withColumn(
+            "__merge",
+            F.when(
+                F.lag("__lastk").over(wo).eqNullSafe(F.col("__firstk")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__starts").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            - F.sum("__merge").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        flagged.join(F.broadcast(offsets), "__pid")
+        .withColumn("__dense", (F.col("__ldense") + F.col("__off")).cast("long"))
+        .drop("__pid", "__new", "__ldense", "__off")
+    )
+
+
 def ntile_from_rank(rank, n_total, n_tiles: int):
     """SQL-standard ntile bucket from a 1-based rank and the total count —
     the broadcast-scalar companion to ``global_order_stats``.  Exactly

@@ -382,12 +382,24 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("long").alias("wu")
     ).localCheckpoint(eager=True)  # feeds wedges, the rank init AND the output join
     wedges = edges.join(strength, "u").localCheckpoint(eager=True)
+    # Round 12: the rank table is one row per frequent token — orders of
+    # magnitude smaller than the weighted edge list — yet each round's
+    # join shuffled BOTH sides (checkpointed frames carry no size stats,
+    # so auto-broadcast never fires).  Gate the rank side through
+    # maybe_broadcast (node count known from the checkpointed strength
+    # table, counted once): each round becomes map-side join + one
+    # partial-agg'd exchange instead of three exchanges.  Physical-only;
+    # the integer rank arithmetic is unchanged.
+    from .partitioning import maybe_broadcast
+
+    n_nodes = strength.count()
     ranks = strength.select(F.col("u").alias("tok")).withColumn(
         "r", F.lit(1000000).cast("long")
     )
     for _ in range(TEXTRANK_ROUNDS):
+        rb = maybe_broadcast(ranks, max_rows=32_000_000, n_rows=n_nodes, row_bytes=120)
         ranks = (
-            wedges.join(ranks, wedges.u == ranks.tok)
+            wedges.join(rb, wedges.u == rb.tok)
             .select(F.col("v"), F.expr("(w * r) DIV wu").alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("s"))

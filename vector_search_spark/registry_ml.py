@@ -1931,22 +1931,26 @@ def _svd_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = None
     un = None
     for _ in range(_SVD_ROUNDS):
+        # Round 12: checkpoint the half-step AGGREGATE (vn) instead of the
+        # normalized factor (v).  Un-checkpointed, vn fed both the vmax
+        # broadcast subquery and v's main plan, so the heavy m x u join+agg
+        # executed TWICE per round inside v's checkpoint job; checkpointing
+        # vn runs it once, and v / vmax become trivial reads of the tiny
+        # (one row per event_type) checkpointed frame.  Same expressions,
+        # same values — only the materialization point moves.
         vn = (
             m.join(u.select("user_id", "uu"), "user_id")
             .groupBy("event_type")
             .agg(F.sum(F.col("uu") * F.col("cents")).cast("long").alias("num"))
+            .localCheckpoint()
         )
         vmax = vn.agg(F.max(F.abs(F.col("num"))).cast("long").alias("mx"))
-        v = (
-            vn.crossJoin(F.broadcast(vmax))
-            .select(
-                "event_type",
-                F.expr(
-                    f"CAST(floor(CAST(num AS DOUBLE) * {_SVD_SCALE}"
-                    f" / CAST(mx AS DOUBLE)) AS BIGINT)"
-                ).alias("vv"),
-            )
-            .localCheckpoint()
+        v = vn.crossJoin(F.broadcast(vmax)).select(
+            "event_type",
+            F.expr(
+                f"CAST(floor(CAST(num AS DOUBLE) * {_SVD_SCALE}"
+                f" / CAST(mx AS DOUBLE)) AS BIGINT)"
+            ).alias("vv"),
         )
         un = (
             m.join(F.broadcast(v), "event_type")

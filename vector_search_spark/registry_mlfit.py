@@ -112,6 +112,12 @@ def q_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds (HANDOFF: >64 KB generated methods fall back to interpreted).
     """
     ev = _t(spark, sf_dir, "events")
+    # Round 12: per-round fan_out (6.1 s) and a staged fan_out+checkpoint
+    # training frame (flat within noise) were both tried and MEASURED not
+    # better than the plain per-round single-task scan at sf0.1 — the
+    # sigmoid ladder is too cheap relative to the exchange/job floor, and
+    # the staged variant changes scale behavior (O(corpus) checkpoint).
+    # Kept as is; see OPTIMIZATION_r12.md.
     base = ev.select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("long").alias("y"),
         (2 * F.hour("ts").cast("long") - 23).alias("h2"),
@@ -262,13 +268,17 @@ def q_knn_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cap (TakeOrderedAndProject) collapses to ONE partition — fan the
     # slice back out before materializing or the whole LOO scoring pass
     # runs as a single task (measured 0.04 s → 2.0 s at sf0.1 when the cap
-    # first landed without this)
-    samp = (
-        samp.orderBy("vec_id")
-        .limit(LOO_CAP)
-        .repartition("vec_id")
-        .localCheckpoint(eager=True)
-    )
+    # first landed without this).  Round 12: `repartition("vec_id")` with
+    # no explicit partition count is an AQE-coalescible exchange — the
+    # ~500-row slice coalesced back to ONE partition and the quadratic
+    # scoring pass (interpreted dot-product fold per pair) ran serial
+    # again (measured 2.6 s at sf0.1).  fan_out pins an explicit count,
+    # which AQE leaves alone.
+    from .partitioning import fan_out
+
+    samp = fan_out(
+        samp.orderBy("vec_id").limit(LOO_CAP), "vec_id"
+    ).localCheckpoint(eager=True)
     q = samp.select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("true_label"),
@@ -377,6 +387,11 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the test slice.  No step touches more than one pass over each
     split.
     """
+    # Round 12: fan_out before the md5 ladder and a staged bucketed
+    # checkpoint were both tried and MEASURED flat-to-worse at sf0.1 (the
+    # serial exchange write costs what the parallelized md5 pass saves at
+    # this size, and the staged variant adds an O(corpus) materialization
+    # at scale).  The replayed-scan shape is kept; see OPTIMIZATION_r12.md.
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("rf"),
         F.col("l_linestatus").alias("ls"),
@@ -571,6 +586,10 @@ def q_decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .registry_ml import _STUMP_FEATURES, _STUMP_LABEL, _gini_gain
 
+    # Round 12: per-level fan_out and a staged fan_out+checkpoint of the 4
+    # training columns were both tried and MEASURED not better at sf0.1
+    # (exchange/job floor eats the parallelized explode; the staged
+    # variant is an O(corpus) materialization at scale).  Kept as is.
     li = _t(spark, sf_dir, "lineitem")
     fv = F.explode(
         F.array(
@@ -806,6 +825,8 @@ def q_decision_tree_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .registry_ml import _STUMP_FEATURES, _STUMP_LABEL, _gini_gain
 
+    # Round 12: same tried-and-reverted fan_out/staged-frame experiments
+    # as decision_tree_depth2 (measured not better at sf0.1).
     li = _t(spark, sf_dir, "lineitem")
     fv = F.explode(
         F.array(
@@ -1226,6 +1247,8 @@ def q_conformal_group_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     global q̂ is a second ranking by r alone; everything else is the
     broadcast-joined one-pass shape of the marginal query.
     """
+    # Round 12: same tried-and-reverted fan_out/staged-frame experiments
+    # as the marginal query (measured flat-to-worse at sf0.1).
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("rf"),
         F.col("l_linestatus").alias("ls"),

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.suffix import adjacent_lcp, lcp_walk, suffix_ranks
-from .partitioning import global_order_stats
+from .partitioning import global_order_stats, maybe_broadcast
 from .registry import register
 from .sources.tables import load_table as __load
 
@@ -64,13 +64,25 @@ def _shared_sa_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit[1]
     tok, ranks = _shared_suffix(spark, sf_dir)
     top = ranks[_SA_LEVELS]
-    sa = global_order_stats(top, ["r", "doc_id", "pos"]).select(
-        "doc_id", "pos", F.col("__rank").alias("sa_r")
+    # Round 12: checkpoint the ranked SA once — un-checkpointed, the
+    # global_order_stats window re-executed for BOTH sides of the
+    # consecutive-rank self-join; and gate the shifted side through
+    # maybe_broadcast (row count known from the pyramid) so the join is
+    # narrow at bench scales and a plain shuffle join past the byte gate.
+    sa = (
+        global_order_stats(top, ["r", "doc_id", "pos"])
+        .select("doc_id", "pos", F.col("__rank").alias("sa_r"))
+        .localCheckpoint()
     )
-    nxt = sa.select(
-        (F.col("sa_r") - 1).alias("sa_r"),
-        F.col("doc_id").alias("doc_j"),
-        F.col("pos").alias("j"),
+    nxt = maybe_broadcast(
+        sa.select(
+            (F.col("sa_r") - 1).alias("sa_r"),
+            F.col("doc_id").alias("doc_j"),
+            F.col("pos").alias("j"),
+        ),
+        max_rows=32_000_000,
+        n_rows=ranks["__n"],
+        row_bytes=160,
     )
     pairs = (
         sa.select("sa_r", F.col("doc_id").alias("doc_i"), F.col("pos").alias("i"))

@@ -2044,12 +2044,20 @@ def _shared_bpe(spark: SparkSession, sf_dir: str):
             except Exception:
                 pass  # old session already stopped
     docs = __load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    # Round 12: checkpoint the word-type table and each round's 1-row
+    # argmax.  Un-checkpointed, round k's `best` re-executed its full
+    # pair aggregation inside every LATER round's lineage, the merges
+    # union, and the final seqs materialization (no cross-query exchange
+    # reuse) — the corpus explode+groupBy alone ran ~5×.  Checkpoints
+    # change materialization only; the merge sequence and final seqs are
+    # expression-identical (deterministic argmax tie-break).
     wt = (
         docs.select(
             F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint()
     )
     seqs = wt.select(
         "word",
@@ -2072,6 +2080,7 @@ def _shared_bpe(spark: SparkSession, sf_dir: str):
             .agg(F.sum("freq").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
+            .localCheckpoint()
         )
         merges.append(
             best.select(
