@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from conftest import SF_SMOKE, duck_con, skip_unless_slow_tests
+from conftest import SF_SMOKE, duck_con, skip_unless_slow_tests, sweep_sample
 from vector_search_spark import registry
 
 INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint"}
@@ -47,7 +47,12 @@ _SLOW_DTYPE_ORACLES = frozenset(
 
 
 def _oracle_cases():
-    return sorted(registry.ORACLES.keys())
+    # Round 12 (VERDICT r11 #1): default = deterministic 1-in-3 sample +
+    # recently-rewritten queries (the gate is a STATIC contract — oracle
+    # SQL text x Spark schema — so it only moves when one of those is
+    # edited, which the "recently touched" set tracks); SP_SLOW_TESTS=1
+    # restores the full sweep.  See conftest.sweep_sample.
+    return sweep_sample(sorted(registry.ORACLES.keys()))
 
 
 @pytest.mark.parametrize("name", _oracle_cases())

